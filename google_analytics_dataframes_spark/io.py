@@ -1,0 +1,68 @@
+"""Table catalog + loaders (SURVEY.md §1.3, FIXTURES.md).
+
+The reference's "source" is a GA profile id (``ids="ga:XXXX"``) resolved over
+HTTPS; ours is a directory of Parquet tables (BASELINE.json:7 "DataFrame ops
+over Parquet").  Parquet self-describes its schema, so unlike the reference we
+need no string->dtype coercion layer (SURVEY.md §1.2): the vectorized Parquet
+reader hands Catalyst typed columnar batches, and column pruning / predicate
+pushdown reach the scan for free.
+
+Scale posture: loaders never collect; they return lazy DataFrames.  At 100 TB
+the same code reads a partitioned table directory — partition pruning applies
+because we filter on typed columns, not pre-collected python values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.session import configure
+
+#: Every driver-supplied table (TESTDATA.md:13-15 + documents/embeddings).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a lazy DataFrame (schema from Parquet footer).
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS,false), which Spark's
+    vectorized reader refuses; with `nanosAsLong` (session.py) it arrives as
+    a LONG of epoch-nanos.  We floor-divide to µs and rebuild a timestamp —
+    the same truncation DuckDB applies reading ns parquet, so both engines
+    see identical µs instants."""
+    configure(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables; also registers each as a temp view ``<name>`` so the
+    SQL entry point (SURVEY.md §3.2 E3) works on the same data."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

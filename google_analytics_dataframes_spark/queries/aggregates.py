@@ -1,0 +1,369 @@
+"""§2.4 Aggregations (SURVEY.md) — the heart of the reference.
+
+Every GA query is `GROUP BY dimensions -> aggregate metrics` [K]: `metrics`
+are sums/counts (sessions, pageviews), count-distincts (users), ratios
+(bounceRate) and averages (avgSessionDuration); `totalsForAllResults` is the
+ungrouped twin; v4 adds `pivots` and `histogramBuckets`.
+
+Spark physicals: HashAggregateExec with partial (map-side) + final phases —
+the shuffle moves pre-aggregated partials, not raw rows, so a1-a16 scale with
+group cardinality, not input size.  Float sums use exact decimal accumulation
+(see queries/_util.py) so results are order-independent and hash-match DuckDB.
+
+Type hygiene vs DuckDB: SUM(BIGINT) is HUGEINT in DuckDB and year() is
+BIGINT — oracles cast to BIGINT; Spark casts year()/month() to long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import (
+    T,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    r6,
+)
+
+
+@register(
+    "a1_groupby_sum",
+    oracle=f"""
+    SELECT event_type, {dsum_sql('value')} AS sum_value, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_groupby_sum(spark, sf_dir):
+    """Single-dimension report: "sessions by source" analog
+    (GA `dimensions=ga:source&metrics=ga:sessions` [K])."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(dsum("value").alias("sum_value"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "a2_multi_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a2_multi_agg(spark, sf_dir):
+    """Multi-metric single pass (GA up-to-10-`metrics` [K]); TPC-H Q1 shape."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "a3_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS hits
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_count_distinct(spark, sf_dir):
+    """Exact distinct count (GA `ga:users` [K]).  Spark plans this as a
+    two-phase expand+agg; exact is fine at report cardinalities, a4 is the
+    100-TB path."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("*").alias("hits"),
+        )
+    )
+
+
+@register("a4_approx_distinct", oracle=None, tier="R")
+def a4_approx_distinct(spark, sf_dir):
+    """Approximate distinct via HyperLogLog++ (GA `samplingLevel` tolerance
+    analog [K]; the scale path for `users` at 100 TB — constant memory per
+    group vs expand-shuffle for exact).  Estimator differs from DuckDB's HLL
+    so this is R-tier; self-tests cross-check vs exact within rsd."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "a5_global_totals",
+    oracle=f"""
+    SELECT COUNT(*) AS total_events,
+           COUNT(DISTINCT user_id) AS total_users,
+           {dsum_sql('value')} AS total_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    """,
+)
+def a5_global_totals(spark, sf_dir):
+    """Ungrouped global aggregate — GA `totalsForAllResults` field [K]."""
+    return T(spark, sf_dir, "events").agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("total_users"),
+        dsum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "a6_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a6_grouping_sets(spark, sf_dir):
+    """Grouping sets (GA multi-report union idiom [K]).  One Expand node —
+    a single pass over the data emits all three groupings, vs three scans
+    for the naive union; at 100 TB that is a 3x scan saving."""
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_a6_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS decimal(30,6))) AS DOUBLE) AS sum_price
+        FROM _a6_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "a7_rollup",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY ROLLUP (o_year, o_month)
+    """,
+)
+def a7_rollup(spark, sf_dir):
+    """Hierarchical rollup over the GA time hierarchy ga:year/ga:month [K]."""
+    o = T(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        "o_totalprice",
+    )
+    return o.rollup("o_year", "o_month").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "a8_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a8_cube(spark, sf_dir):
+    """Cube over two dimensions (GA cross-dimension report matrix [K])."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "a9_pivot",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END")} AS F,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END")} AS O,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END")} AS P
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a9_pivot(spark, sf_dir):
+    """Pivot dimension -> columns (GA v4 `pivots` request field [K]).
+    Explicit value list keeps the plan single-pass (no value-discovery scan)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    piv = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")))
+    )
+    return piv.select(
+        "n_name",
+        F.col("F").cast("double").alias("F"),
+        F.col("O").cast("double").alias("O"),
+        F.col("P").cast("double").alias("P"),
+    )
+
+
+@register(
+    "a10_ratio_metric",
+    oracle=f"""
+    SELECT event_type,
+           ({dsum_sql('value')} / COUNT(*)) AS value_per_event,
+           ({dsum_sql("CASE WHEN value > 50.0 THEN value END")}
+              / nullif({dsum_sql('value')}, 0.0)) AS big_share
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_ratio_metric(spark, sf_dir):
+    """Post-aggregation derived ratios with null-safe divide — GA computed
+    metrics bounceRate / avgSessionDuration [K].  Both numerator and
+    denominator are exact decimal sums, so the double division is
+    deterministic on both engines."""
+    ev = T(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        dsum("value").alias("_sv"),
+        dsum(F.when(F.col("value") > 50.0, F.col("value"))).alias("_sb"),
+        F.count("*").alias("_n"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("_sv") / F.col("_n")).alias("value_per_event"),
+        (F.col("_sb") / F.nullif(F.col("_sv"), F.lit(0.0))).alias("big_share"),
+    )
+
+
+@register(
+    "a11_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) > 20
+    """,
+)
+def a11_having(spark, sf_dir):
+    """Filter on aggregate output (GA v4 post-agg metric filters [K])."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") > 20)
+    )
+
+
+@register(
+    "a12_distinct_rows",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def a12_distinct_rows(spark, sf_dir):
+    """DISTINCT dimension combos (GA unique dimension rows [K]; north-star
+    exact dedup is l1)."""
+    return T(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "a13_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) * 10.0 AS DOUBLE) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY bucket
+    """,
+)
+def a13_histogram(spark, sf_dir):
+    """Bucketed histogram (GA v4 `histogramBuckets` [K])."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy((F.floor(F.col("value") / 10.0) * 10.0).cast("double").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a14_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (GA avg-metric
+    generalization [K]).  Linear interpolation can differ in the last ulp
+    across engines -> terminal round(6) on both sides."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", F.lit(0.25))).alias("q25"),
+        r6(F.percentile("l_quantity", F.lit(0.50))).alias("q50"),
+        r6(F.percentile("l_quantity", F.lit(0.75))).alias("q75"),
+    )
+
+
+@register(
+    "a15_collect_list",
+    oracle="""
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+    """,
+)
+def a15_collect_list(spark, sf_dir):
+    """Ordered per-group sequence — GA session page-path analog
+    (`ga:pagePath` per session [K]).  Emitted as a joined string so the
+    value-hash sees a scalar; ordering is total (ts, event_id) so the
+    sequence is deterministic."""
+    ev = T(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("_seq")
+    )
+    return seq.select(
+        "user_id",
+        F.array_join(F.transform("_seq", lambda s: s.getField("event_type")), ",").alias(
+            "path"
+        ),
+    )
+
+
+@register(
+    "a16_multikey_count",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           CAST(year(ts) AS BIGINT) AS y, COUNT(*) AS n
+    FROM events GROUP BY event_type, user_bucket, y
+    """,
+)
+def a16_multikey_count(spark, sf_dir):
+    """Group by several dimensions (GA up-to-7-dimensions rule [K])."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 10).alias("user_bucket"),
+        F.year("ts").cast("long").alias("y"),
+    ).agg(F.count("*").alias("n"))

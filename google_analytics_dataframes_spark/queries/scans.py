@@ -1,0 +1,133 @@
+"""§2.1 Scans, sources, sinks (SURVEY.md).
+
+The reference's "scan" is an HTTPS GET against the GA Core Reporting API with
+``ids`` naming the profile; the server applies `dimensions`/`metrics` column
+selection [K].  Spark-first equivalents: Parquet scans where Catalyst pushes
+projection + predicates into the vectorized reader (observable via
+``PushedFilters`` / ``ReadSchema`` in ``.explain``).
+
+Scale notes: s2's filter+projection reach the parquet footer (row-group
+min/max skip) — at 100 TB this is the difference between reading 11 columns
+of 600B rows and 2 columns of a pruned subset.  s4 writes partitioned output
+(partition pruning for downstream readers).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import T
+
+
+@register(
+    "s1_scan_parquet",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def s1_scan_parquet(spark, sf_dir):
+    """Full-projection parquet scan (GA: profile `ids` names the source)."""
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "s2_scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_quantity > 45.0
+    """,
+)
+def s2_scan_pruned(spark, sf_dir):
+    """Column pruning + predicate pushdown: ReadSchema carries 3 of 11 cols,
+    PushedFilters carries the shipdate range + quantity bound."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "s3_json_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def s3_json_props(spark, sf_dir):
+    """JSON-string column -> typed field (`events.props`, FIXTURES.md)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+
+
+@register("s4_sink_parquet", oracle=None, tier="R")
+def s4_sink_parquet(spark, sf_dir):
+    """Partitioned parquet sink + re-read round-trip (side-effecting -> R).
+
+    Partitioning by `l_returnflag` gives downstream partition pruning; at
+    scale the same write would also bucket by join key (SURVEY.md §4.2).
+    """
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    # partition column comes back as the partition directory value (string);
+    # normalize types/order to match the written frame.
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+        "l_quantity",
+    )
+
+
+@register("s5_csv_json_io", oracle=None, tier="R")
+def s5_csv_json_io(spark, sf_dir):
+    """CSV + JSON read with explicit schema (GA wire format is JSON [K]).
+
+    Round-trips a 1000-row slice of `events` through both formats and unions
+    them — checks schema-declared reads, not inference.
+    """
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = (
+        T(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(1000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ev.write.mode("overwrite").json(os.path.join(base, "json"))
+    ev.write.mode("overwrite").option("header", "true").csv(os.path.join(base, "csv"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    j = spark.read.schema(schema).json(os.path.join(base, "json"))
+    c = spark.read.schema(schema).option("header", "true").csv(os.path.join(base, "csv"))
+    return j.unionByName(c)
