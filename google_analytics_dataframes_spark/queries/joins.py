@@ -1,0 +1,316 @@
+"""§2.3 Joins (SURVEY.md).
+
+The reference performs no client-side joins [K] — each GA report arrives
+pre-joined from Google.  Joins enter the contract because reproducing GA
+metrics from the raw `events`/star-schema tables requires them
+(TESTDATA.md:13-14).  All equi-joins are built-in Spark; the physical
+algorithm is Catalyst/AQE's choice, steered with hints:
+
+* j2 pins BROADCAST for the small dim side — at 100 TB a 200k-row `part`
+  dim is megabytes; broadcasting avoids shuffling the 600B-row fact table.
+* j1 pins SHUFFLE_HASH, j3 pins MERGE — exercising both large-join paths.
+* j10-j12 are theta/range shapes: equi on the user key plus a time-range
+  predicate, so they still hash-partition by user (no nested-loop blowup);
+  the range is a post-join filter on co-located rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import T, dsum, dsum_sql
+
+
+@register(
+    "j1_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_inner_hash(spark, sf_dir):
+    """Inner equi-join, shuffled-hash path pinned via hint."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j2_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           l.l_extendedprice * (1 - l.l_discount) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    """,
+)
+def j2_broadcast(spark, sf_dir):
+    """Broadcast hash join: small dim ships to every executor — no shuffle
+    of the fact side (TPC-H Q14 shape)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "j3_sort_merge",
+    oracle=f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines, {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j3_sort_merge(spark, sf_dir):
+    """Sort-merge join of the two large tables (MERGE hint): both sides
+    shuffle-sort on the key; at scale this spills gracefully where hash
+    builds cannot."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").hint("MERGE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "j4_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def j4_left_outer(spark, sf_dir):
+    """Left outer join — customers with zero orders survive with count 0."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "j5_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def j5_right_outer(spark, sf_dir):
+    """Right outer join (mirror of j4 with preserved side on the right)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "j6_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 200000.0) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def j6_full_outer(spark, sf_dir):
+    """Full outer join with nulls on both sides (filtered inputs so each
+    side has unmatched rows)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return o.join(c, o.o_custkey == c.c_custkey, "full").select(
+        "c_custkey", "c_mktsegment", "o_orderkey"
+    )
+
+
+@register(
+    "j7_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j7_semi(spark, sf_dir):
+    """Left semi join (EXISTS): customers with >=1 urgent order; emits each
+    customer once regardless of match count."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j8_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def j8_anti(spark, sf_dir):
+    """Left anti join (NOT EXISTS): customers with no pending ('P') order
+    (unfiltered orders give every customer a match at sf>=0.01 — a 0-row
+    degenerate test)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j9_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def j9_cross(spark, sf_dir):
+    """Cross join (small x small -> BroadcastNestedLoopJoin physically)."""
+    r = T(spark, sf_dir, "region")
+    s = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+@register(
+    "j10_theta_range",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    """,
+)
+def j10_theta_range(spark, sf_dir):
+    """Theta join: event pairs of the same user within one hour.  Equi on
+    user_id keeps it hash-partitioned (the range is a co-located filter) —
+    the 100-TB-safe shape for time-proximity joins."""
+    ev = T(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("pairs"))
+    )
+
+
+@register(
+    "j11_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(MAX(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+           COUNT(v.ts) AS n_prior_views
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def j11_asof(spark, sf_dir):
+    """As-of join: for every purchase, the latest view event of the same
+    user at-or-before it (DuckDB ASOF JOIN semantics, expressed as
+    join+max so both engines share one ANSI formulation).  Equi on user +
+    max-aggregation — shuffles once on user_id."""
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v, (F.col("v_user_id") == F.col("user_id")) & (F.col("v_ts") <= F.col("ts")), "left"
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.date_format(F.max("v_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+        F.count("v_ts").alias("n_prior_views"),
+    )
+
+
+@register(
+    "j12_interval",
+    oracle="""
+    SELECT p.event_id, p.user_id, COUNT(e.event_id) AS errors_within_2h
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type = 'error'
+     AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def j12_interval(spark, sf_dir):
+    """Interval-overlap join: error events falling inside each purchase's
+    2-hour window, per user (j10 machinery, interval-table query shape)."""
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_event_id"),
+    )
+    joined = p.join(
+        e,
+        (F.col("e_user_id") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("ts"))
+        & (F.col("e_ts") < F.col("ts") + F.expr("INTERVAL 2 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("e_event_id").alias("errors_within_2h")
+    )
+
+
+@register(
+    "j13_multikey",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, r.l_returnflag
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, l_linenumber, l_returnflag
+          FROM lineitem WHERE l_returnflag = 'R') r
+      ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+    """,
+)
+def j13_multikey(spark, sf_dir):
+    """Multi-column equi-join on the composite line key."""
+    li = T(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_linenumber").alias("r_linenumber"),
+        F.col("l_returnflag").alias("r_returnflag"),
+    )
+    return li.join(
+        r,
+        (li.l_orderkey == r.r_orderkey) & (li.l_linenumber == r.r_linenumber),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("r_returnflag").alias("l_returnflag"),
+    )

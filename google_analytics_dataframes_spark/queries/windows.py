@@ -1,0 +1,214 @@
+"""§2.5 Window functions (SURVEY.md).
+
+GA v4 `orderBys` DELTA/SMART sorts and cohort/LTV reports imply per-entity
+sequences [K]; sessionization (§2.9 st3) builds on the same machinery.
+
+Determinism: every ORDER BY inside a window carries a unique tiebreaker
+(`event_id` / line key) so ranks and lags are total-order stable across
+engines.  Running sums use exact decimal accumulation (frame-order is fixed,
+but decimal also kills float drift between engines).
+
+Scale: window partitions are per-user / per-flag — bounded cardinality keys,
+so a single hash shuffle per query and no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import T
+
+_DEC = "decimal(30,6)"
+
+_USER_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _user_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "w1_row_number",
+    oracle=f"""
+    SELECT event_id, user_id, row_number() OVER ({_USER_W}) AS rn
+    FROM events
+    """,
+)
+def w1_row_number(spark, sf_dir):
+    """Per-user event sequence numbers."""
+    return T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.row_number().over(_user_window()).alias("rn")
+    )
+
+
+@register(
+    "w2_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk
+    FROM lineitem
+    """,
+)
+def w2_rank_dense(spark, sf_dir):
+    """rank/dense_rank with ties (quantity repeats -> gaps vs no gaps);
+    rank depends only on the order key so ties are engine-stable."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "w3_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id,
+           value - lag(value, 1) OVER ({_USER_W}) AS delta,
+           lead(event_type, 1) OVER ({_USER_W}) AS next_type
+    FROM events
+    """,
+)
+def w3_lag_lead(spark, sf_dir):
+    """Period-over-period delta (GA v4 DELTA sort [K]) + next-event lookahead."""
+    w = _user_window()
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+@register(
+    "w4_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER ({_USER_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w4_running_sum(spark, sf_dir):
+    """Cumulative per-user value (GA LTV-style running total)."""
+    w = _user_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "w5_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER ({_USER_W} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value) OVER ({_USER_W} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS mov_avg
+    FROM events
+    """,
+)
+def w5_moving_avg(spark, sf_dir):
+    """7-row moving average (decimal-sum/count so both engines divide the
+    same exact numbers)."""
+    w = _user_window().rowsBetween(-6, Window.currentRow)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mov_avg"),
+    )
+
+
+@register(
+    "w6_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+    FROM events
+    """,
+)
+def w6_range_frame(spark, sf_dir):
+    """Time-valued RANGE frame: trailing 1-hour sum per user, ordered by
+    epoch seconds (identical floor semantics both engines)."""
+    ev = T(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("hour_value"),
+    )
+
+
+@register(
+    "w7_ntile",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS tier
+    FROM events
+    """,
+)
+def w7_ntile(spark, sf_dir):
+    """Quartile tiers per event type (GA user-value tiers analog)."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("tier")
+    )
+
+
+@register(
+    "w8_first_last",
+    oracle=f"""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER ({_USER_W}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS landing,
+           last_value(event_type) OVER ({_USER_W}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS exit_type
+    FROM events
+    """,
+)
+def w8_first_last(spark, sf_dir):
+    """Landing/exit page analog: first and last event type per user."""
+    w_first = _user_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_last = _user_window().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w_first).alias("landing"),
+        F.last("event_type").over(w_last).alias("exit_type"),
+    )
+
+
+@register(
+    "w9_percent_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr,
+           cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+    FROM lineitem
+    """,
+)
+def w9_percent_rank(spark, sf_dir):
+    """percent_rank / cume_dist — integer-ratio doubles, engine-stable."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
