@@ -1,0 +1,401 @@
+"""§2.8 Scalar functions (SURVEY.md) — string / date / math / array / map /
+JSON / null / hash.
+
+These reproduce the reference's client-side coercions (string->number,
+`"20140101"`->date [K]) and GA's derived dimensions (`ga:dayOfWeek`,
+`ga:hour`, channel-grouping CASE rules [K]).  All JVM-side built-ins inside
+whole-stage codegen — no Python in the hot path.
+
+Cross-engine traps handled here (each noted inline):
+* Spark `dayofweek` is 1=Sunday; DuckDB's is 0=Sunday (+1 in oracle).
+* Spark CAST(double AS int) truncates; DuckDB rounds (oracle uses trunc()).
+* DuckDB `regexp_replace` is first-match unless the 'g' flag is passed.
+* transcendentals (ln/pow/exp) are libm-dependent -> terminal round(4-6)
+  keeping |ulp|/rounding-step tiny for the operand magnitudes used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import T
+
+
+@register(
+    "sf1_date_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d') AS ga_date,
+           strftime(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE),
+                    '%Y-%m-%d') AS parsed
+    FROM orders
+    """,
+)
+def sf1_date_parse(spark, sf_dir):
+    """GA's `yyyyMMdd` string wire format [K]: format out, parse back."""
+    o = T(spark, sf_dir, "orders")
+    ga_date = F.date_format("o_orderdate", "yyyyMMdd")
+    return o.select(
+        "o_orderkey",
+        ga_date.alias("ga_date"),
+        F.date_format(F.to_date(ga_date, "yyyyMMdd"), "yyyy-MM-dd").alias("parsed"),
+    )
+
+
+@register(
+    "sf2_date_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start
+    FROM events
+    """,
+)
+def sf2_date_extract(spark, sf_dir):
+    """GA time dimensions ga:year/month/day/dayOfWeek/hour [K].
+    Spark dayofweek: 1=Sunday; DuckDB: 0=Sunday -> oracle adds 1."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("h"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@register(
+    "sf3_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate + INTERVAL 7 DAY AS DATE), '%Y-%m-%d') AS plus7,
+           strftime(CAST(o_orderdate - INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS minus30,
+           strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus1m,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def sf3_date_arith(spark, sf_dir):
+    """Date arithmetic (GA relative dates `7daysAgo`/`today` [K]).
+    add_months and +INTERVAL 1 MONTH both clamp to month end."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate"), 7), "yyyy-MM-dd").alias("plus7"),
+        F.date_format(F.date_sub(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "minus30"
+        ),
+        F.date_format(F.add_months(F.col("o_orderdate"), 1), "yyyy-MM-dd").alias(
+            "plus1m"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
+@register(
+    "sf4_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           substring(c_name, 1, 8) AS sub8,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+    FROM customer
+    """,
+)
+def sf4_string_basic(spark, sf_dir):
+    """upper/lower/trim/substring/concat/length/lpad — the reference's
+    string-shaping layer [K]."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+@register(
+    "sf5_regex_fn",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(cold|small)') AS is_cold_small
+    FROM part
+    """,
+)
+def sf5_regex_fn(spark, sf_dir):
+    """regexp_extract / regexp_replace / match (GA regex filters [K]).
+    DuckDB regexp_replace needs 'g' to match Spark's replace-all."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(cold|small)").alias("is_cold_small"),
+    )
+
+
+@register(
+    "sf6_split_array",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS word1,
+           split_part(p_name, ' ', 2) AS word2,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def sf6_split_array(spark, sf_dir):
+    """split -> array + element access (p_name is two space-separated
+    words, FIXTURES.md)."""
+    p = T(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        toks.getItem(0).alias("word1"),
+        toks.getItem(1).alias("word2"),
+        F.size(toks).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "sf7_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           abs(l_discount - 0.05) AS adiff,
+           CAST(ceil(l_quantity) AS BIGINT) AS cq,
+           CAST(floor(l_quantity) AS BIGINT) AS fq,
+           round(ln(l_extendedprice), 4) AS ln_price,
+           round(pow(1 + l_discount, 3), 6) AS pow3,
+           sqrt(l_quantity) AS sq,
+           l_partkey % 7 AS m7
+    FROM lineitem
+    """,
+)
+def sf7_math(spark, sf_dir):
+    """round/abs/ceil/floor/ln/pow/sqrt/mod.  sqrt is IEEE-correctly-rounded
+    (no rounding needed); ln/pow are libm-dependent -> round(4)/round(6)
+    with small-magnitude operands."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adiff"),
+        F.ceil("l_quantity").cast("long").alias("cq"),
+        F.floor("l_quantity").cast("long").alias("fq"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 3), 6).alias("pow3"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_partkey") % 7).alias("m7"),
+    )
+
+
+@register(
+    "sf8_case_when",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'problem'
+                ELSE 'engagement' END AS channel,
+           COUNT(*) AS n
+    FROM events GROUP BY channel
+    """,
+)
+def sf8_case_when(spark, sf_dir):
+    """CASE WHEN — GA channel-grouping rules [K]."""
+    ev = T(spark, sf_dir, "events")
+    channel = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "problem")
+        .otherwise("engagement")
+    )
+    return ev.groupBy(channel.alias("channel")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "sf9_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS VARCHAR) AS ln_str,
+           CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS ln_back,
+           CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           TRY_CAST('not-a-number' AS BIGINT) AS bad_int,
+           CAST('3.5' AS DOUBLE) AS lit_d,
+           CAST('true' AS BOOLEAN) AS lit_b
+    FROM lineitem
+    """,
+)
+def sf9_cast(spark, sf_dir):
+    """Explicit casts + try_cast — the reference's dtype-coercion layer [K].
+    double->int goes through trunc() in the oracle (DuckDB CAST rounds,
+    Spark truncates)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("string").alias("ln_str"),
+        F.col("l_linenumber").cast("string").cast("long").alias("ln_back"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.lit("not-a-number").try_cast("long").alias("bad_int"),
+        F.lit("3.5").cast("double").alias("lit_d"),
+        F.lit("true").cast("boolean").alias("lit_b"),
+    )
+
+
+@register(
+    "sf10_array_fns",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents WHERE lang = 'en' AND source = 'src0'
+    """,
+)
+def sf10_array_fns(spark, sf_dir):
+    """Array surface: split/posexplode/size/array_distinct/array_contains
+    over `documents` (restricted to one (lang,source) slice to bound the
+    exploded row count; oracle indexes with a lateral generate_series)."""
+    d = T(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("source") == "src0")
+    )
+    toks = F.split("text", " ")
+    d = d.select(
+        "doc_id",
+        F.posexplode(toks).alias("pos0", "token"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "token",
+        "n_tokens",
+        "n_distinct",
+        "has_spark",
+    )
+
+
+@register(
+    "sf11_map_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           json_keys(props)[1] AS first_key
+    FROM events
+    """,
+)
+def sf11_map_fns(spark, sf_dir):
+    """Map functions over JSON-parsed props: element_at / map_keys / size."""
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+    )
+
+
+@register(
+    "sf12_json_path",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def sf12_json_path(spark, sf_dir):
+    """get_json_object path extraction (string out, NULL on missing path)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "sf13_null_fns",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'NONE') AS st,
+           nullif(o_totalprice, 0.0) AS price_nz,
+           CASE WHEN isnan(CASE WHEN o_totalprice > 300000.0 THEN 'NaN'::DOUBLE
+                                ELSE o_totalprice END)
+                THEN -1.0
+                ELSE CASE WHEN o_totalprice > 300000.0 THEN 'NaN'::DOUBLE
+                          ELSE o_totalprice END END AS nan_guarded
+    FROM orders
+    """,
+)
+def sf13_null_fns(spark, sf_dir):
+    """coalesce/nullif/nanvl — NaN introduced deterministically, then
+    guarded (pandas-NaN semantics of the reference client [K])."""
+    o = T(spark, sf_dir, "orders")
+    with_nan = F.when(
+        F.col("o_totalprice") > 300000.0, F.lit(float("nan"))
+    ).otherwise(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("NONE")).alias("st"),
+        F.nullif("o_totalprice", F.lit(0.0)).alias("price_nz"),
+        F.nanvl(with_nan, F.lit(-1.0)).alias("nan_guarded"),
+    )
+
+
+@register(
+    "sf14_hash_fns",
+    oracle="""
+    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+    FROM documents
+    """,
+)
+def sf14_hash_fns(spark, sf_dir):
+    """md5/sha2 content keys (dedup north star, BASELINE.json:6) — ANSI
+    twins exist in DuckDB; xxhash64 is sf14b (R-tier, no DuckDB twin)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+@register("sf14b_xxhash", oracle=None, tier="R")
+def sf14b_xxhash(spark, sf_dir):
+    """xxhash64 — Spark's cheap 64-bit content key (the workhorse for
+    MinHash perms in l2).  No DuckDB twin -> rows-only; self-tests pin
+    stability across runs."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.xxhash64("text").alias("h_xx"))
