@@ -1,0 +1,72 @@
+"""Multimodal column plumbing (SURVEY.md north star; task brief).
+
+Images/audio/video ride through the engine as opaque `binary` columns with a
+typed metadata struct; decode / feature-extraction runs as Arrow-batched
+`mapInPandas` so each Python worker sees bounded batches, never a whole
+partition.  The decode step itself is STUBBED (no image/audio libs in this
+container): `fake_decode_features` computes deterministic stand-in features
+from the raw bytes, and `decode_real` raises NotImplementedError where a
+real codec would plug in.  The Spark-side plumbing — schema, batch shape,
+partition flow — is real and oracle-testable via the deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Schema of the decoded-feature output (plumbing contract).
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int, checksum bigint"
+
+
+def to_multimodal(docs: DataFrame) -> DataFrame:
+    """Wrap text payloads as the binary-blob + metadata shape a real
+    image/audio table has: (id, blob binary, meta struct<n_bytes,mime>)."""
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(blob: bytes) -> dict:
+    """Where a real decoder (PIL / libsndfile / ffmpeg frame sampler) would
+    run.  Deliberately stubbed: those libs are not in this container."""
+    raise NotImplementedError(
+        "real media decode is stubbed in this environment; "
+        "use fake_decode_features for the plumbing path"
+    )
+
+
+def fake_decode_features(blobs: DataFrame) -> DataFrame:
+    """Deterministic stand-in 'decode': per blob, emit byte length, first
+    byte, and a mod-997 byte checksum.  Arrow batches in and out — the
+    exact batch shape a real decoder UDF uses."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                feats.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        int(arr[0]) if arr.size else -1,
+                        int(arr.sum() % 997),
+                    )
+                )
+            yield pd.DataFrame(
+                feats, columns=["doc_id", "n_bytes", "first_byte", "checksum"]
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(per_batch, FEATURE_SCHEMA)

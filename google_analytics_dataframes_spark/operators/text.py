@@ -1,0 +1,135 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.11 l5/l8/l9 +
+extensions: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure Spark expressions — the analyses a training-data pipeline runs per
+document stay inside whole-stage codegen; only the (optional) model-scoring
+stub l9 crosses to Python, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.operators.dedup import tokens, word_shingles
+
+#: Fixed "stopword" list from the synthetic analytics vocabulary
+#: (FIXTURES.md: documents.text draws from spark/join/filter/window/...).
+STOPWORDS = (
+    "spark join filter window data query table row value agg".split()
+)
+
+#: Sentiment-ish lexica for the classifier stub (l9) — deterministic, no
+#: external model (PAPERS.md:5 sentiment-on-Spark, reduced to a linear
+#: scorer whose features are re-expressible in SQL).
+NEG_WORDS = ("slow", "error", "fail", "scan")
+POS_WORDS = ("fast", "cache", "index", "merge")
+
+
+def tf_idf(docs: DataFrame) -> DataFrame:
+    """Per (doc, term) TF-IDF: tf = in-doc occurrences, idf = ln(N/df).
+    Two aggregations + one broadcast of the 1-row corpus count; df join is
+    on `token` (bounded vocabulary -> broadcastable at any corpus size)."""
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+def language_profiles(docs: DataFrame, top_n: int = 10) -> DataFrame:
+    """Self-trained word-level language profiles: top-N tokens per lang by
+    frequency (deterministic tiebreak on token)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("lang", "token")
+    )
+
+
+def language_id(docs: DataFrame, top_n: int = 10) -> DataFrame:
+    """n-gram-heuristic language ID: score each doc against each lang
+    profile by distinct-token overlap; argmax with (overlap desc, lang asc)
+    tiebreak.  Profiles are tiny -> broadcast; one shuffle on doc_id."""
+    from pyspark.sql import Window
+
+    profiles = language_profiles(docs, top_n).withColumnRenamed("lang", "cand_lang")
+    doc_toks = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    scores = (
+        doc_toks.join(F.broadcast(profiles), "token")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "cand_lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "overlap")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features: length, type-token ratio, stopword ratio,
+    non-letter ratio, composite logistic score (all ratios are exact int
+    divisions; the logistic gets terminal round(4))."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = n_stop / n_tok
+    z = 0.5 * ttr + 0.3 * F.log(F.lit(1).cast("double") + n_tok) - 1.5 * stop_ratio
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(n_alpha / F.col("n_chars"), 6).alias("alpha_ratio"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword chunks (greedy <=4-letter runs,
+    digits, punctuation) — the cheap "how many training tokens" estimator."""
+    bpe_pattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(bpe_pattern)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over 3-word shingles
+    (winnowing reduced to window=whole-doc) — a stable near-identity key
+    that survives local edits away from the minimum shingle."""
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(word_shingles("text"), F.md5)).alias("fingerprint"),
+    )

@@ -1,0 +1,415 @@
+"""§2.11 LLM-data-pipeline operators (SURVEY.md; north star BASELINE.json:6)
+plus the extended training-data operators the task brief requires: the full
+dedup cascade (exact / MinHash-LSH / SimHash / n-gram / embedding), ANN
+search (brute-force baseline + IVF + hyperplane-LSH), text analysis
+(language-ID, quality, token counting, fingerprinting), and multimodal
+binary-column plumbing.
+
+O-tier rows pair with ANSI oracles; algorithm-defined ops (LSH families,
+ANN, pandas-blocked kNN, binary plumbing) are R-tier with planted-fixture
+self-tests in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.registry import register
+from google_analytics_dataframes_spark.queries._util import T
+from google_analytics_dataframes_spark.operators import dedup as D
+from google_analytics_dataframes_spark.operators import similarity as S
+from google_analytics_dataframes_spark.operators import text as X
+from google_analytics_dataframes_spark.operators import multimodal as M
+
+
+# ---------------------------------------------------------------- dedup ----
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY h
+    """,
+)
+def l1_exact_dedup(spark, sf_dir):
+    """Exact content-hash dedup; survivor = min doc_id (deterministic)."""
+    return D.exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+@register("l2_near_dedup_minhash", oracle=None, tier="R")
+def l2_near_dedup_minhash(spark, sf_dir):
+    """MinHash(32 perms)/LSH(8 bands) near-dup pairs, exact-Jaccard
+    verified at >=30% (operators/dedup.py).  Algorithm-defined -> R-tier;
+    planted-duplicate recall is asserted in tests/test_dedup.py."""
+    return D.minhash_lsh_pairs(T(spark, sf_dir, "documents"))
+
+
+@register("l11_simhash_neardup", oracle=None, tier="R")
+def l11_simhash_neardup(spark, sf_dir):
+    """SimHash-64 near-dup candidates (16-bit band join, hamming<=8)."""
+    return D.simhash_pairs(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l12_ngram_jaccard",
+    oracle="""
+    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.inter,
+           CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni,
+           (CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)
+    """,
+)
+def l12_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs (>=60%) within one source
+    slice — the token-free dedup signal for noisy text."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("source") == "src5")
+    grams = docs.select(
+        "doc_id", F.explode(D.char_ngrams("text", 3)).alias("item")
+    )
+    out = D.jaccard_pairs(grams, threshold_pct=60)
+    return out.select(
+        "doc_a", "doc_b", "inter", F.col("uni").cast("long").alias("uni"), "jaccard"
+    )
+
+
+@register("l13_embed_neardup", oracle=None, tier="R")
+def l13_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs: 16-plane hyperplane-LSH buckets, exact
+    cosine >= 0.9 verify (operators/similarity.py)."""
+    return S.hyperplane_lsh_pairs(T(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------- similarity ----
+
+
+@register(
+    "l3_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+    FROM embeddings e, q
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def l3_topk_cosine(spark, sf_dir):
+    """Brute-force top-10 cosine for a stored query vector — the exact ANN
+    baseline (broadcast query, scan-parallel, TakeOrderedAndProject)."""
+    return S.brute_force_topk(T(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("l4_knn_join", oracle=None, tier="R")
+def l4_knn_join(spark, sf_dir):
+    """Blocked k-NN self-join (numpy matmul per label block via
+    applyInPandas); brute-force-vs-block recall asserted in tests."""
+    return S.knn_join_blocked(T(spark, sf_dir, "embeddings"), k=3)
+
+
+@register("l14_ann_ivf", oracle=None, tier="R")
+def l14_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: label-centroid coarse quantizer, nprobe=2 cells,
+    exact rerank inside probed cells."""
+    return S.ivf_topk(T(spark, sf_dir, "embeddings"), query_vec_id=7, k=5, nprobe=2)
+
+
+@register(
+    "l10_embed_agg",
+    oracle="""
+    WITH cells AS (
+      SELECT label,
+             unnest(range(0, 64)) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           round(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x), 9) AS cx
+    FROM cells GROUP BY label, dim
+    """,
+)
+def l10_embed_agg(spark, sf_dir):
+    """Vector aggregation: per-label centroid cells (exact decimal mean per
+    dimension).  Terminal round(9): DuckDB's int128-decimal -> double cast
+    can land 1 ulp off Spark's correctly-rounded BigDecimal cast."""
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select(
+        "label", F.posexplode(S.as_double("embedding")).alias("dim", "x")
+    ).groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,15)")).cast("double") / F.count("x"), 9
+        ).alias("cx")
+    )
+
+
+# ---------------------------------------------------- text / documents ----
+
+
+@register(
+    "l5_wordcount_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.doc_id, t.token, t.tf,
+           round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+    FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+    """,
+)
+def l5_wordcount_tfidf(spark, sf_dir):
+    """Tokenize -> word count -> TF-IDF per (doc, term)."""
+    return X.tf_idf(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l6_lang_slice",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           (CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / COUNT(n_chars))
+             AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def l6_lang_slice(spark, sf_dir):
+    """Per-(lang, source) corpus slice stats — the partition-routing view a
+    multilingual pipeline writes `partitionBy(lang)`."""
+    from google_analytics_dataframes_spark.queries._util import davg
+
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "l7_string_simjoin",
+    oracle="""
+    WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM en),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.inter,
+           CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni,
+           (CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 100 * i.inter >= 40 * (sa.sz + sb.sz - i.inter)
+    """,
+)
+def l7_string_simjoin(spark, sf_dir):
+    """Token-set Jaccard similarity join (>=40%) over the English slice via
+    inverted-index join (PAPERS.md:6)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("item")
+    )
+    out = D.jaccard_pairs(toks, threshold_pct=40)
+    return out.select(
+        "doc_a", "doc_b", "inter", F.col("uni").cast("long").alias("uni"), "jaccard"
+    )
+
+
+@register(
+    "l8_text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_len_mismatch,
+           (CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           (CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*)) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def l8_text_stats(spark, sf_dir):
+    """Per-lang text stats; `n_len_mismatch` doubles as the built-in golden
+    check that n_chars == length(text) (FIXTURES.md)."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_len_mismatch"),
+        (F.sum(F.col("n_chars").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
+            "avg_chars"
+        ),
+        (
+            F.sum(F.size(D.tokens("text")).cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_tokens"),
+    )
+
+
+@register(
+    "l9_classify_udf",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('slow', 'error', 'fail', 'scan'))) AS DOUBLE) AS n_neg,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('fast', 'cache', 'index', 'merge'))) AS DOUBLE) AS n_pos
+      FROM documents)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-( -0.8 + 2.5 * (n_pos / n_tok)
+                                    - 2.5 * (n_neg / n_tok)
+                                    + 0.3 * ln(1.0 + n_tok)))), 4) AS sentiment
+    FROM f
+    """,
+)
+def l9_classify_udf(spark, sf_dir):
+    """Model-scoring column: deterministic featurizer + linear-logistic
+    scorer inside an Arrow pandas UDF (PAPERS.md:5 sentiment-on-Spark,
+    stubbed to a lexicon model — no external deps)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    neg, pos = set(X.NEG_WORDS), set(X.POS_WORDS)
+
+    @pandas_udf(DoubleType())
+    def sentiment(text: pd.Series) -> pd.Series:
+        def score(t: str) -> float:
+            toks = t.split(" ")
+            n = float(len(toks))
+            n_neg = float(sum(tok in neg for tok in toks))
+            n_pos = float(sum(tok in pos for tok in toks))
+            z = -0.8 + 2.5 * (n_pos / n) - 2.5 * (n_neg / n) + 0.3 * np.log(1.0 + n)
+            return round(1.0 / (1.0 + np.exp(-z)), 4)
+
+        return text.map(score)
+
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", sentiment("text").alias("sentiment")
+    )
+
+
+@register(
+    "l15_langid",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    counts AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    prof AS (SELECT lang AS cand_lang, token FROM (
+               SELECT lang, token,
+                      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+                        AS rk
+               FROM counts) r WHERE rk <= 10),
+    dtoks AS (SELECT DISTINCT doc_id, lang, token FROM toks),
+    scores AS (SELECT d.doc_id, d.lang, p.cand_lang, COUNT(*) AS overlap
+               FROM dtoks d JOIN prof p ON d.token = p.token GROUP BY 1, 2, 3),
+    best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY overlap DESC, cand_lang) AS rk FROM scores)
+    SELECT doc_id, lang, cand_lang AS pred_lang, overlap FROM best WHERE rk = 1
+    """,
+)
+def l15_langid(spark, sf_dir):
+    """Heuristic language ID: self-trained top-10-token profiles per lang,
+    argmax overlap (deterministic tiebreaks)."""
+    return X.language_id(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l16_quality_score",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('spark','join','filter','window','data',
+                              'query','table','row','value','agg'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS alpha_ratio,
+           round(1.0 / (1.0 + exp(-(
+               0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * ln(1.0 + len(string_split(text, ' ')))
+             - 1.5 * (CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('spark','join','filter','window','data',
+                                   'query','table','row','value','agg'))) AS DOUBLE)
+                      / len(string_split(text, ' ')))))), 4) AS quality
+    FROM documents
+    """,
+)
+def l16_quality_score(spark, sf_dir):
+    """Document quality features + composite logistic score
+    (operators/text.py)."""
+    return X.quality_scores(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l17_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))
+             AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def l17_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting."""
+    return X.token_counts(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l18_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) >= 3
+                THEN list_min(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> md5(concat_ws(' ', string_split(text, ' ')[i],
+                                               string_split(text, ' ')[i+1],
+                                               string_split(text, ' ')[i+2]))))
+                ELSE md5(text) END AS fingerprint
+    FROM documents
+    """,
+)
+def l18_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint: min md5 over 3-word shingles."""
+    return X.fingerprints(T(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- multimodal ----
+
+
+@register("l19_multimodal_stub", oracle=None, tier="R")
+def l19_multimodal_stub(spark, sf_dir):
+    """Multimodal plumbing: text -> binary blob + metadata struct ->
+    Arrow-batched 'decode' (deterministic fake features; real codec point
+    stubbed with NotImplementedError — operators/multimodal.py)."""
+    blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
+    return M.fake_decode_features(blobs)
