@@ -10,7 +10,7 @@ from google_analytics_dataframes_spark.queries import scans  # noqa: F401
 from google_analytics_dataframes_spark.queries import filters  # noqa: F401
 from google_analytics_dataframes_spark.queries import aggregates  # noqa: F401
 
-for _mod in ("joins", "windows", "sorts", "setops", "scalar_fns", "streaming_batch", "udfs", "llm_ops"):
+for _mod in ("joins", "windows", "sorts", "setops", "scalar_fns", "streaming_batch", "udfs", "llm_ops", "report_queries"):
     try:  # modules land incrementally during the build
         __import__(f"google_analytics_dataframes_spark.queries.{_mod}")
     except ImportError:

@@ -1,0 +1,112 @@
+"""GA Core Reporting API connector (SURVEY.md §2.1 s6, §3.1) — the
+reference's actual client-side job, reproduced Spark-first.
+
+The reference's lifecycle [K] is: build request kwargs -> HTTPS
+``data/ga.get`` -> paginate on ``nextLink`` -> coerce ``columnHeaders``
+dataTypes -> pandas DataFrame.  Everything network-side is unreachable here
+(and GA v3 itself is sunset), so the connector splits into:
+
+* :func:`build_request_params` / :func:`next_page_params` — pure request
+  assembly + pagination arithmetic (`start-index` is 1-based, bumps by
+  `max-results` while more rows remain) — fully unit-tested offline.
+* :func:`response_to_dataframe` — the dtype-coercion layer: GA responses
+  carry all cell values as strings with a dynamic declared schema
+  (columnHeaders: DIMENSION/METRIC x STRING/INTEGER/FLOAT/CURRENCY/
+  PERCENT/TIME); this maps them to a typed Spark DataFrame exactly the way
+  the reference maps to pandas dtypes (SURVEY.md §1.2 table).
+* :func:`fetch_report` — the network call itself: stubbed with
+  NotImplementedError (no OAuth/HTTP in this environment).
+
+At scale the fetch loop is a driver-side page iterator whose pages land as
+parquet and union via `unionByName` — the 10k-row GA page cap makes the
+network, not Spark, the bottleneck; pages are written out as they arrive so
+nothing accumulates on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+#: GA wire dataType -> (spark cast target) — SURVEY.md §1.2.
+_DATATYPE_CAST = {
+    "STRING": "string",
+    "INTEGER": "long",
+    "FLOAT": "double",
+    "CURRENCY": "double",
+    "PERCENT": "double",
+    "TIME": "double",
+}
+
+
+def build_request_params(
+    ids: str,
+    start_date: str,
+    end_date: str,
+    metrics: list[str],
+    dimensions: list[str] | None = None,
+    filters: str | None = None,
+    sort: list[str] | None = None,
+    max_results: int = 10_000,
+    start_index: int = 1,
+    sampling_level: str = "HIGHER_PRECISION",
+) -> dict[str, Any]:
+    """Assemble the exact `ga.get` parameter dict the reference sends [K]."""
+    params: dict[str, Any] = {
+        "ids": ids if ids.startswith("ga:") else f"ga:{ids}",
+        "start-date": start_date,
+        "end-date": end_date,
+        "metrics": ",".join(metrics),
+        "max-results": max_results,
+        "start-index": start_index,
+        "samplingLevel": sampling_level,
+    }
+    if dimensions:
+        params["dimensions"] = ",".join(dimensions)
+    if filters:
+        params["filters"] = filters
+    if sort:
+        params["sort"] = ",".join(sort)
+    return params
+
+
+def next_page_params(
+    params: dict[str, Any], total_results: int
+) -> dict[str, Any] | None:
+    """GA pagination: bump 1-based start-index by max-results; None when the
+    next page would start past totalResults."""
+    nxt = dict(params)
+    nxt["start-index"] = params["start-index"] + params["max-results"]
+    return nxt if nxt["start-index"] <= total_results else None
+
+
+def response_to_dataframe(spark: SparkSession, response: dict[str, Any]) -> DataFrame:
+    """GA JSON response -> typed Spark DataFrame.
+
+    Mirrors the reference's shaping step [K]: all wire cells are strings;
+    `columnHeaders[].dataType` declares the real type; `ga:date` strings
+    (`yyyyMMdd`) become DateType.  Empty `rows` (a valid GA response) yields
+    an empty typed frame."""
+    headers = response["columnHeaders"]
+    names = [h["name"].removeprefix("ga:") for h in headers]
+    wire_schema = StructType([StructField(n, StringType()) for n in names])
+    df = spark.createDataFrame(response.get("rows", []), schema=wire_schema)
+    for h, name in zip(headers, names):
+        if h["name"] == "ga:date":
+            df = df.withColumn(name, F.to_date(F.col(name), "yyyyMMdd"))
+        else:
+            df = df.withColumn(
+                name, F.col(name).cast(_DATATYPE_CAST[h["dataType"]])
+            )
+    return df
+
+
+def fetch_report(spark: SparkSession, **request: Any) -> DataFrame:
+    """The network boundary (SURVEY.md §3.1 step 4).  Unreachable here."""
+    raise NotImplementedError(
+        "GA HTTP transport is stubbed: no network/OAuth in this environment. "
+        "Drive response_to_dataframe with a recorded response instead."
+    )

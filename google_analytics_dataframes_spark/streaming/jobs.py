@@ -1,0 +1,138 @@
+"""Structured Streaming jobs over the events table (SURVEY.md §2.9, §3.2 E4).
+
+Batch-first design: every streaming job here has an oracle-checked batch
+twin in queries/streaming_batch.py; tests run these with
+``Trigger.AvailableNow`` over the same parquet and assert stream == batch
+(st1/st3) or the documented late-data/dedup behavior (st4/st5).
+
+The event source is parquet with TIMESTAMP(NANOS) `ts` — the stream reader
+declares `ts` as LONG (nanosAsLong, session.py) and converts to a µs
+timestamp exactly like the batch loader, so event-time semantics match.
+
+Scale posture: state stores are keyed by (window/user) — bounded keys; the
+watermark caps state size; `availableNow` is the batch-backfill trigger a
+100 TB replay uses (processes all existing files in bounded sub-batches,
+then stops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from google_analytics_dataframes_spark.session import configure
+
+#: Wire schema of events.parquet under nanosAsLong (ts arrives as ns LONG).
+EVENTS_WIRE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over an events parquet directory; ns->µs conversion
+    mirrors io.load_table so stream and batch see identical instants."""
+    configure(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def st4_watermarked_counts(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Tumbling hourly counts with a watermark: events later than
+    `lateness` behind max(event-time) are dropped and their windows
+    finalized — GA's late-hit handling made explicit."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def st5_stream_dedup(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Stateful stream dedup on the event key within the watermark horizon
+    (exactly-once event delivery on an at-least-once feed)."""
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def st6_stateful_funnel(events: DataFrame) -> DataFrame:
+    """Custom per-key state via applyInPandasWithState: per user, a running
+    (views, purchases) funnel counter emitted on every update."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, views bigint, purchases bigint"
+    state_schema = "views bigint, purchases bigint"
+
+    def update(key, pdfs, state: GroupState):
+        views, purchases = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            views += int((pdf["event_type"] == "view").sum())
+            purchases += int((pdf["event_type"] == "purchase").sum())
+        state.update((views, purchases))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "views": [views], "purchases": [purchases]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Execute a streaming plan with the availableNow trigger into a memory
+    sink (st7 output-mode surface); returns the sink table as a DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def run_foreach_batch(stream_df: DataFrame, collector: list) -> None:
+    """st7: foreachBatch sink — per-microbatch callback (the arbitrary-sink
+    escape hatch: upserts, external indexes).  Appends (batch_id, rows) to
+    `collector`."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: collector.append((bid, df.count())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,139 @@
+"""Planted-fixture checks for the R-tier dedup/similarity operators
+(FIXTURES.md 'Planted fixtures'): the driver's rows-only gate can't see
+recall, so these assert it with known ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.io import load_table
+from google_analytics_dataframes_spark.operators import dedup as D
+from google_analytics_dataframes_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """documents + 5 near-dup copies (2 leading words edited) + 1 exact dup."""
+    base = load_table(spark, SF_DIR, "documents").toPandas()
+    near = base.head(5).copy()
+    near["doc_id"] += 100000
+    near["text"] = near["text"].map(
+        lambda t: " ".join(["zed1", "zed2"] + t.split(" ")[2:])
+    )
+    exact = base.iloc[[7]].copy()
+    exact["doc_id"] += 200000
+    out = pd.concat([base, near, exact], ignore_index=True)
+    return spark.createDataFrame(out)
+
+
+def test_exact_dedup_finds_planted_copy(spark, planted_docs):
+    groups = D.exact_dedup_groups(planted_docs).filter(F.col("n_copies") > 1).collect()
+    assert any(g.keep_id == 7 and g.n_copies == 2 for g in groups)
+
+
+def test_minhash_lsh_recalls_planted_neardups(spark, planted_docs):
+    pairs = D.minhash_lsh_pairs(planted_docs).toPandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for doc_id in range(5):
+        assert (doc_id, doc_id + 100000) in found
+    # verification step bounds jaccard to [threshold, 1]
+    assert (pairs["jaccard"] >= 0.3).all() and (pairs["jaccard"] <= 1.0).all()
+
+
+def test_minhash_rejects_unrelated_short_overlap(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa"],
+            }
+        )
+    )
+    assert D.minhash_lsh_pairs(df).count() == 0
+
+
+def test_jaccard_pairs_exact_math(spark):
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 1, 2, 2, 2, 3],
+                "item": ["a", "b", "c", "b", "c", "d", "zzz"],
+            }
+        )
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in D.jaccard_pairs(items, 40).collect()}
+    assert rows[(1, 2)].inter == 2 and rows[(1, 2)].uni == 4
+    assert rows[(1, 2)].jaccard == pytest.approx(0.5)
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spark join filter window table",
+                    "spark join filter window table",
+                    "completely different words entirely here",
+                ],
+            }
+        )
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """embeddings + perturbed copies of vec 3 and 11 (known nearest)."""
+    base = load_table(spark, SF_DIR, "embeddings").toPandas()
+    rng = np.random.RandomState(7)
+    copies = []
+    for vid in (3, 11):
+        row = base[base.vec_id == vid].iloc[0]
+        v = np.asarray(row.embedding, dtype="float32")
+        v = v + rng.standard_normal(64).astype("float32") * 0.01
+        copies.append(
+            {"vec_id": int(vid) + 100000, "embedding": v.tolist(), "label": int(row.label)}
+        )
+    out = pd.concat([base, pd.DataFrame(copies)], ignore_index=True)
+    return spark.createDataFrame(out)
+
+
+def test_brute_force_topk_finds_planted_nearest(spark, planted_vectors):
+    top = S.brute_force_topk(planted_vectors, query_vec_id=100003, k=2).collect()
+    assert top[0].vec_id == 100003  # self
+    assert top[1].vec_id == 3  # the perturbed source
+
+
+def test_ivf_matches_brute_force_top1(spark, planted_vectors):
+    brute = S.brute_force_topk(planted_vectors, query_vec_id=100011, k=2).collect()
+    ivf = S.ivf_topk(planted_vectors, query_vec_id=100011, k=2, nprobe=2).collect()
+    assert [r.vec_id for r in ivf][:2] == [r.vec_id for r in brute][:2]
+
+
+def test_hyperplane_lsh_recalls_planted_pair(spark, planted_vectors):
+    pairs = S.hyperplane_lsh_pairs(planted_vectors, min_cos=0.9).collect()
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    assert (3, 100003) in found and (11, 100011) in found
+
+
+def test_knn_join_neighbors_within_label(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    knn = S.knn_join_blocked(emb, k=3)
+    pdf = knn.toPandas()
+    labels = emb.select("vec_id", "label").toPandas().set_index("vec_id")["label"]
+    assert (pdf["rank"] <= 3).all()
+    assert (pdf["vec_id"] != pdf["neighbor_id"]).all()
+    assert (
+        pdf["neighbor_id"].map(labels).to_numpy() == pdf["label"].to_numpy()
+    ).all()
+    per_vec = pdf.groupby("vec_id").size()
+    assert (per_vec <= 3).all()

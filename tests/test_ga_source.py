@@ -1,0 +1,82 @@
+"""GA connector (s6): request assembly, pagination arithmetic, and the
+string-wire -> typed-DataFrame shaping layer, driven with a recorded-style
+GA v3 response fixture (SURVEY.md §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from google_analytics_dataframes_spark.sources.ga_api import (
+    build_request_params,
+    fetch_report,
+    next_page_params,
+    response_to_dataframe,
+)
+
+RESPONSE = {
+    "columnHeaders": [
+        {"name": "ga:date", "columnType": "DIMENSION", "dataType": "STRING"},
+        {"name": "ga:source", "columnType": "DIMENSION", "dataType": "STRING"},
+        {"name": "ga:sessions", "columnType": "METRIC", "dataType": "INTEGER"},
+        {"name": "ga:bounceRate", "columnType": "METRIC", "dataType": "PERCENT"},
+        {"name": "ga:transactionRevenue", "columnType": "METRIC", "dataType": "CURRENCY"},
+    ],
+    "totalResults": 3,
+    "rows": [
+        ["20140101", "google", "120", "41.2", "99.95"],
+        ["20140102", "direct", "80", "38.0", "0.0"],
+        ["20140103", "google", "95", "44.9", "12.5"],
+    ],
+}
+
+
+def test_request_params_match_ga_surface():
+    p = build_request_params(
+        ids="12345",
+        start_date="2014-01-01",
+        end_date="2014-01-31",
+        metrics=["ga:sessions", "ga:users"],
+        dimensions=["ga:date", "ga:source"],
+        filters="ga:country==US",
+        sort=["-ga:sessions"],
+        max_results=1000,
+    )
+    assert p["ids"] == "ga:12345"
+    assert p["metrics"] == "ga:sessions,ga:users"
+    assert p["dimensions"] == "ga:date,ga:source"
+    assert p["sort"] == "-ga:sessions"
+    assert p["start-index"] == 1 and p["max-results"] == 1000
+
+
+def test_pagination_bumps_one_based_index():
+    p = build_request_params("ga:1", "a", "b", ["ga:sessions"], max_results=1000)
+    p2 = next_page_params(p, total_results=2500)
+    assert p2["start-index"] == 1001
+    p3 = next_page_params(p2, total_results=2500)
+    assert p3["start-index"] == 2001
+    assert next_page_params(p3, total_results=2500) is None
+
+
+def test_response_shaping_types_and_values(spark):
+    df = response_to_dataframe(spark, RESPONSE)
+    assert dict(df.dtypes) == {
+        "date": "date",
+        "source": "string",
+        "sessions": "bigint",
+        "bounceRate": "double",
+        "transactionRevenue": "double",
+    }
+    rows = {(str(r.date), r.source): r for r in df.collect()}
+    assert rows[("2014-01-01", "google")].sessions == 120
+    assert rows[("2014-01-02", "direct")].bounceRate == 38.0
+
+
+def test_empty_response_yields_typed_empty_frame(spark):
+    empty = {"columnHeaders": RESPONSE["columnHeaders"], "totalResults": 0}
+    df = response_to_dataframe(spark, empty)
+    assert df.count() == 0 and dict(df.dtypes)["sessions"] == "bigint"
+
+
+def test_fetch_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        fetch_report(spark, ids="ga:1")

@@ -1,0 +1,112 @@
+"""Property-style invariants over the registered queries (SURVEY.md §5.2
+item 3) + multimodal plumbing checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.io import load_table
+from google_analytics_dataframes_spark.operators import multimodal as M
+from google_analytics_dataframes_spark.registry import registry
+from tests.conftest import SF_DIR
+
+
+def test_filter_is_subset_and_partition(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    total = o.count()
+    f = o.filter(F.col("o_orderstatus") == "F").count()
+    nf = o.filter(F.col("o_orderstatus") != "F").count()
+    assert f + nf == total and 0 < f < total
+
+
+def test_semi_plus_anti_partition_left_side(spark):
+    reg = registry()
+    semi = reg["j7_semi"].fn(spark, SF_DIR).count()
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    anti = c.join(o, o.o_custkey == c.c_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_union_counts_add_and_except_inverts(spark):
+    reg = registry()
+    u1 = reg["u1_union_all"].fn(spark, SF_DIR).count()
+    u3 = reg["u3_intersect"].fn(spark, SF_DIR).count()
+    u4 = reg["u4_except"].fn(spark, SF_DIR).count()
+    # |A|+|B| = |A UNION ALL B|; |A| = |A EXCEPT ALL B| + |A∩B| (keys unique)
+    assert u1 > 0 and u4 + u3 + (u1 - u4 - 2 * u3) > 0
+    a = u4 + u3  # |A| reconstructed
+    assert a + (u1 - a) == u1
+
+
+def test_topk_per_group_bounded(spark):
+    reg = registry()
+    pdf = reg["o4_topk_per_group"].fn(spark, SF_DIR).toPandas()
+    assert (pdf.groupby("c_custkey").size() <= 3).all()
+
+
+def test_sessionize_gap_semantics(spark):
+    """Within a session consecutive gaps <= 30 min; session starts are
+    > 30 min after the previous session's last event."""
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    reg = registry()
+    sess = reg["st3_sessionize"].fn(spark, SF_DIR).toPandas()
+    # reconstruct sessions per user from gaps and compare counts
+    def count_sessions(g: pd.Series) -> int:
+        gaps = g.diff()
+        return int(1 + (gaps > 1_800_000_000).sum())
+
+    want = ev.groupby("user_id")["us"].apply(count_sessions)
+    got = sess.groupby("user_id")["session_id"].max()
+    assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_multimodal_plumbing_checksum(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    feats = M.fake_decode_features(M.to_multimodal(docs)).toPandas()
+    texts = docs.select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    for _, r in feats.iterrows():
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.first_byte == raw[0]
+        assert r.checksum == sum(raw) % 997
+
+
+def test_multimodal_real_decode_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"\x89PNG")
+
+
+def test_approx_distinct_within_rsd(spark):
+    reg = registry()
+    approx = (
+        reg["a4_approx_distinct"].fn(spark, SF_DIR).toPandas().set_index("event_type")
+    )
+    exact = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    j = approx.join(exact)
+    rel_err = (j["approx_users"] - j["u"]).abs() / j["u"]
+    assert (rel_err < 0.05).all()
+
+
+def test_xxhash_stable_across_runs(spark):
+    reg = registry()
+    h1 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
+    h2 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert (h1["h_xx"].to_numpy() == h2["h_xx"].to_numpy()).all()

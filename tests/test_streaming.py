@@ -1,0 +1,159 @@
+"""Streaming D-tier validation (SURVEY.md §5.2 item 5): availableNow runs
+over parquet, compared to the oracle-checked batch twins, plus late-data /
+dedup / stateful behavior on a planted out-of-order fixture."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.io import load_table
+from google_analytics_dataframes_spark.queries.streaming_batch import st1_tumbling
+from google_analytics_dataframes_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events.parquet copied into a directory (file-stream source wants a
+    dir), split into several files so availableNow runs multiple batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = jobs.read_event_stream(spark, events_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    got = jobs.run_available_now(agg, "t_st1", output_mode="complete").toPandas()
+    want = st1_tumbling(spark, SF_DIR).drop("sum_value").toPandas()
+    assert _canon(got).equals(_canon(want))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Two files arriving in order: the second carries an event 3 h older
+    than the watermark front -> its window must not appear in the update
+    stream after finalization."""
+    d = str(tmp_path_factory.mktemp("late"))
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 11:30:00", "2024-01-01 12:30:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["view"] * 3,
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    late = on_time.copy()
+    late["event_id"] = [4, 5, 6]
+    late.loc[:, "ts"] = pd.Timestamp("2024-01-01 09:10:00")  # > 1h late
+    os.makedirs(d, exist_ok=True)
+    for i, pdf in enumerate([on_time, late]):
+        out = pdf.copy()
+        out["ts"] = out["ts"].astype("int64")  # epoch ns
+        spark.createDataFrame(out).write.mode("overwrite").parquet(f"{d}/f{i}")
+    # one directory with both files; maxFilesPerTrigger=1 => 2 ordered batches
+    merged = str(tmp_path_factory.mktemp("late_merged"))
+    for i in (0, 1):
+        for f in os.listdir(f"{d}/f{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/f{i}/{f}", f"{merged}/b{i}_{f}")
+    stream = jobs.read_event_stream(spark, merged)
+    got = jobs.run_available_now(
+        jobs.st4_watermarked_counts(stream), "t_st4", output_mode="append"
+    ).toPandas()
+    # Append mode emits a window only once the watermark passes its end.
+    # Final watermark = max event time (12:30) - 1h = 11:30, so exactly the
+    # [10:00,11:00) window finalizes from the on-time file; [11:00,12:00)
+    # and [12:00,13:00) stay open and must NOT be emitted.  The late batch
+    # must not contaminate the finalized window's count (drop of late rows
+    # into *open* windows is best-effort in Spark; non-contamination of
+    # finalized ones is the guarantee).
+    finalized = got.set_index("window_start")["n"]
+    assert finalized.get("2024-01-01 10:00:00") == 1
+    assert "2024-01-01 11:00:00" not in finalized.index
+    assert "2024-01-01 12:00:00" not in finalized.index
+    assert got.groupby(["window_start", "event_type"]).size().max() == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 5),
+            "user_id": [1] * 5,
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("int64")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+    stream = jobs.read_event_stream(spark, d)
+    got = jobs.run_available_now(
+        jobs.st5_stream_dedup(stream), "t_st5", output_mode="append"
+    ).toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3]
+
+
+def test_stateful_funnel_counts(spark, events_dir):
+    stream = jobs.read_event_stream(spark, events_dir)
+    out = jobs.run_available_now(
+        jobs.st6_stateful_funnel(stream), "t_st6", output_mode="update"
+    ).toPandas()
+    # final state per user (last update) must equal the batch counts
+    final = out.groupby("user_id").last()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    joined = final.join(batch, lsuffix="_s")
+    assert (joined["views_s"] == joined["views"]).all()
+    assert (joined["purchases_s"] == joined["purchases"]).all()
+
+
+def test_foreach_batch_sees_all_batches(spark, events_dir):
+    stream = jobs.read_event_stream(spark, events_dir)
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    seen: list = []
+    jobs.run_foreach_batch(counts, seen)
+    assert len(seen) >= 1 and all(isinstance(b, int) for b, _ in seen)
