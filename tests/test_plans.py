@@ -1,0 +1,97 @@
+"""Plan audits as tests (SURVEY.md §4): the physical plan IS part of the
+contract — correctness green but a full-table scan behind a 2-column
+projection is a failing build at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.operators.skew import (
+    salted_groupby_sum,
+    salted_join,
+)
+from google_analytics_dataframes_spark.io import load_table
+from google_analytics_dataframes_spark.plans import audit
+from google_analytics_dataframes_spark.registry import registry
+from tests.conftest import SF_DIR
+
+
+def test_scan_pruning_and_pushdown(spark):
+    df = registry()["s2_scan_pruned"].fn(spark, SF_DIR)
+    scans = audit.scan_info(df)
+    assert len(scans) == 1
+    assert "GreaterThan(l_quantity,45.0)" in scans[0]["pushed_filters"]
+    assert "l_shipdate" in scans[0]["pushed_filters"]
+    # 4 of 11 columns read (3 projected + the filter column)
+    assert scans[0]["read_schema"].count(":") == 4
+    assert "l_extendedprice" not in scans[0]["read_schema"]
+
+
+def test_join_hints_pick_physical_algorithms(spark):
+    reg = registry()
+    assert "BroadcastHashJoin" in audit.join_algorithms(reg["j2_broadcast"].fn(spark, SF_DIR))
+    assert "ShuffledHashJoin" in audit.join_algorithms(reg["j1_inner_hash"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in audit.join_algorithms(reg["j3_sort_merge"].fn(spark, SF_DIR))
+
+
+def test_topk_plans(spark):
+    reg = registry()
+    assert "TakeOrderedAndProject" in audit.node_names(reg["o5_global_topk"].fn(spark, SF_DIR))
+    # rank-limit pushdown keeps per-group sorts bounded
+    assert "WindowGroupLimit" in audit.node_names(reg["o4_topk_per_group"].fn(spark, SF_DIR))
+
+
+def test_aggregate_is_partial_then_final(spark):
+    nodes = audit.node_names(registry()["a1_groupby_sum"].fn(spark, SF_DIR))
+    assert nodes.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_brute_force_topk_single_shuffle_free_scan(spark):
+    """l3: query side broadcast; the only wide node is the final top-k."""
+    df = registry()["l3_topk_cosine"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "TakeOrderedAndProject" in nodes
+    assert audit.count_exchanges(df) == 0  # broadcast + take-ordered only
+
+
+def test_report_builder_pushes_filters_to_scan(spark):
+    from google_analytics_dataframes_spark.report import report
+
+    ev = load_table(spark, SF_DIR, "events")
+    rep = report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"n": "count"},
+        filters="value>10.0",
+        date_range=("ts", "2024-01-01", "2024-01-15"),
+    )
+    scans = audit.scan_info(rep)
+    # value filter pushed; ts is derived (ns->us) so its filter stays post-scan
+    assert "GreaterThan(value,10.0)" in scans[0]["pushed_filters"]
+    assert "props" not in scans[0]["read_schema"]  # column pruning
+
+
+def test_salted_groupby_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = (
+        ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"))
+        .collect()
+    )
+    salted = salted_groupby_sum(ev, "event_type", "value", "s").collect()
+    assert sorted((r.event_type, r.s) for r in plain) == sorted(
+        (r.event_type, r.s) for r in salted
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        ["event_type", "type_id"],
+    )
+    plain = ev.join(dim, "event_type").select("event_id", "type_id").collect()
+    salted = salted_join(ev, dim, "event_type").select("event_id", "type_id").collect()
+    assert sorted((r.event_id, r.type_id) for r in plain) == sorted(
+        (r.event_id, r.type_id) for r in salted
+    )
