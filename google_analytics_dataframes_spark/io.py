@@ -57,6 +57,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guarantee at least ``min_partitions`` partitions ahead of compute-dense
+    per-row work (hashing every shingle, 64 simhash bit-votes, Arrow UDF
+    batches).
+
+    Why: Spark splits files by byte range but a range only yields rows when a
+    row-group midpoint falls inside it, so a single-row-group file — exactly
+    what the sf<=0.1 microbench tables are — scans as ONE partition and a
+    compute-bound projection runs on one core of local[32].  At 100 TB the
+    scan arrives in thousands of row-group-backed splits and this helper is an
+    explicit no-op (it never *reduces* partitioning, so it is safe to leave in
+    the operator path); on tiny inputs it round-robins a few MB once to engage
+    every core.  Cost model: one narrow shuffle of the projected columns vs an
+    N-core speedup of the dominant stage.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables; also registers each as a temp view ``<name>`` so the
     SQL entry point (SURVEY.md §3.2 E3) works on the same data."""

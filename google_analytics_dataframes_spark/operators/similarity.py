@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
+
 
 def as_double(vec: Column | str) -> Column:
     """float[] -> double[] (exact widening) so accumulation is f64 on both
@@ -155,7 +157,7 @@ def hyperplane_lsh_pairs(
         bits = (m @ planes.T) > 0
         return pd.Series(bits.dot(1 << np.arange(n_planes)).astype("int64"))
 
-    sig = emb.select("vec_id", "embedding", signature("embedding").alias("sig"))
+    sig = fanout(emb).select("vec_id", "embedding", signature("embedding").alias("sig"))
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b,

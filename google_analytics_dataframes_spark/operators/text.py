@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
 from google_analytics_dataframes_spark.operators.dedup import tokens, word_shingles
 
 #: Fixed "stopword" list from the synthetic analytics vocabulary
@@ -30,7 +31,7 @@ def tf_idf(docs: DataFrame) -> DataFrame:
     """Per (doc, term) TF-IDF: tf = in-doc occurrences, idf = ln(N/df).
     Two aggregations + one broadcast of the 1-row corpus count; df join is
     on `token` (bounded vocabulary -> broadcastable at any corpus size)."""
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    toks = fanout(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -54,7 +55,7 @@ def language_profiles(docs: DataFrame, top_n: int = 10) -> DataFrame:
     from pyspark.sql import Window
 
     counts = (
-        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        fanout(docs).select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -73,7 +74,7 @@ def language_id(docs: DataFrame, top_n: int = 10) -> DataFrame:
     from pyspark.sql import Window
 
     profiles = language_profiles(docs, top_n).withColumnRenamed("lang", "cand_lang")
-    doc_toks = docs.select(
+    doc_toks = fanout(docs).select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("token")
     )
     scores = (
@@ -102,7 +103,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     ttr = F.size(F.array_distinct(toks)) / n_tok
     stop_ratio = n_stop / n_tok
     z = 0.5 * ttr + 0.3 * F.log(F.lit(1).cast("double") + n_tok) - 1.5 * stop_ratio
-    return docs.select(
+    return fanout(docs).select(
         "doc_id",
         "lang",
         F.col("n_chars").alias("n_chars"),
@@ -118,7 +119,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish subword chunks (greedy <=4-letter runs,
     digits, punctuation) — the cheap "how many training tokens" estimator."""
     bpe_pattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
-    return docs.select(
+    return fanout(docs).select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("ws_tokens"),
         F.regexp_count("text", F.lit(bpe_pattern)).cast("long").alias("bpe_tokens"),
@@ -129,7 +130,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint: min md5 over 3-word shingles
     (winnowing reduced to window=whole-doc) — a stable near-identity key
     that survives local edits away from the minimum shingle."""
-    return docs.select(
+    return fanout(docs).select(
         "doc_id",
         F.array_min(F.transform(word_shingles("text"), F.md5)).alias("fingerprint"),
     )

@@ -17,6 +17,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
 from google_analytics_dataframes_spark.registry import register
 from google_analytics_dataframes_spark.queries._util import T
 from google_analytics_dataframes_spark.operators import dedup as D
@@ -81,7 +82,7 @@ def l12_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard near-dup pairs (>=60%) within one source
     slice — the token-free dedup signal for noisy text."""
     docs = T(spark, sf_dir, "documents").filter(F.col("source") == "src5")
-    grams = docs.select(
+    grams = fanout(docs).select(
         "doc_id", F.explode(D.char_ngrams("text", 3)).alias("item")
     )
     out = D.jaccard_pairs(grams, threshold_pct=60)
@@ -309,7 +310,7 @@ def l9_classify_udf(spark, sf_dir):
 
         return text.map(score)
 
-    return T(spark, sf_dir, "documents").select(
+    return fanout(T(spark, sf_dir, "documents")).select(
         "doc_id", sentiment("text").alias("sentiment")
     )
 

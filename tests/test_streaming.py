@@ -83,7 +83,12 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     for i in (0, 1):
         for f in os.listdir(f"{d}/f{i}"):
             if f.endswith(".parquet"):
-                shutil.copy(f"{d}/f{i}/{f}", f"{merged}/b{i}_{f}")
+                dst = f"{merged}/b{i}_{f}"
+                shutil.copy(f"{d}/f{i}/{f}", dst)
+                # FileStreamSource orders the initial listing by modification
+                # time; same-second copies would make batch order (and thus
+                # which windows finalize) nondeterministic.
+                os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
     stream = jobs.read_event_stream(spark, merged)
     got = jobs.run_available_now(
         jobs.st4_watermarked_counts(stream), "t_st4", output_mode="append"
