@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from google_analytics_dataframes_spark.registry import register
-from google_analytics_dataframes_spark.report import report
+from google_analytics_dataframes_spark.report import (
+    cohort_report,
+    compare_report,
+    report,
+)
 from google_analytics_dataframes_spark.queries._util import T, dsum_sql
 
 
@@ -77,4 +81,122 @@ def rb2_report_orders(spark, sf_dir):
         filters="o_orderpriority=@URGENT;o_totalprice>=1000.0",
         date_range=("o_orderdate", "1996-01-01", "1998-01-01"),
         sort=["-revenue", "o_orderstatus"],
+    )
+
+
+@register(
+    "rb3_segment_users",
+    oracle="""
+    SELECT event_type, COUNT(*) AS sessions, COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase' AND value > 300.0)
+    GROUP BY event_type
+    """,
+)
+def rb3_segment_users(spark, sf_dir):
+    """GA `segment` param [K] ("users::condition::..."): all activity of
+    users who EVER made a purchase over 300 — a left-semi join against the
+    broadcast distinct qualifying-user set (report.py `segment=`)."""
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "users": "users:user_id"},
+        segment=("user_id", "event_type==purchase;value>300.0"),
+    )
+
+
+@register(
+    "rb4_cohort_retention",
+    oracle="""
+    WITH first AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY user_id)
+    SELECT strftime(date_trunc('week', f.f), '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', date_trunc('day', date_trunc('week', f.f)),
+                                date_trunc('day', e.ts)) / 7) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def rb4_cohort_retention(spark, sf_dir):
+    """GA v4 `cohortGroup` retention [K]: users cohorted by first-activity
+    week; active-user count per (cohort_week, week_offset)
+    (report.py cohort_report)."""
+    return cohort_report(T(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "rb5_daterange_delta",
+    oracle="""
+    SELECT event_type,
+      COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+                 THEN 1 END) AS sessions_a,
+      COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29'
+                 THEN 1 END) AS sessions_b,
+      CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+                             THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE)
+        AS total_value_a,
+      CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29'
+                             THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE)
+        AS total_value_b,
+      COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+                 THEN 1 END)
+        - COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29'
+                     THEN 1 END) AS sessions_delta,
+      CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+                             THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE)
+        - CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29'
+                               THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE)
+        AS total_value_delta
+    FROM events
+    WHERE (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
+       OR (ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29')
+    GROUP BY event_type
+    """,
+)
+def rb5_daterange_delta(spark, sf_dir):
+    """GA v4 twin `dateRanges` + DELTA orderBy [K]: current vs comparison
+    window per dimension in ONE conditional-aggregate pass — no self-join,
+    no second scan (report.py compare_report)."""
+    return compare_report(
+        T(spark, sf_dir, "events"),
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        ts_col="ts",
+        range_a=("2024-01-01", "2024-01-15"),
+        range_b=("2024-01-15", "2024-01-29"),
+    )
+
+
+@register(
+    "rb6_channel_having",
+    oracle=f"""
+    SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type IN ('view', 'click') THEN 'engagement'
+                ELSE 'diagnostic' END AS channel,
+           COUNT(*) AS sessions, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY channel
+    HAVING COUNT(*) > 2500
+    ORDER BY sessions DESC
+    """,
+)
+def rb6_channel_having(spark, sf_dir):
+    """GA default channel grouping (CASE-rule computed dimension [K]) +
+    GA v4 metricFilterClauses (post-agg `having=` in the GA filter DSL)."""
+    ev = T(spark, sf_dir, "events")
+    channel = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type").isin("view", "click"), "engagement")
+        .otherwise("diagnostic")
+        .alias("channel")
+    )
+    return report(
+        ev,
+        dimensions=[channel],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        having="sessions>2500",
+        sort=["-sessions"],
     )

@@ -114,6 +114,8 @@ def report(
     sort: list[str] | None = None,
     limit: int | None = None,
     offset: int = 0,
+    segment: tuple[str, str] | None = None,
+    having: str | None = None,
 ) -> DataFrame:
     """Build a GA-style report plan.
 
@@ -125,8 +127,21 @@ def report(
         start-date/end-date, i.e. ts_col >= start AND ts_col < end.
     sort: GA sort syntax, '-name' = descending.
     limit/offset: GA max-results / start-index pagination.
+    segment: GA `segment` param [K] — (entity_col, filter-DSL): keep rows of
+        entities (users) that have ANY row matching the DSL anywhere in the
+        table (GA "users::condition::" segments).  Physical shape: left-semi
+        join against the distinct qualifying entity keys; the qualifier set
+        is one small column, broadcast-eligible at any fact-table size.
+    having: GA v4 `metricFilterClauses` [K] — same filter DSL evaluated over
+        the *aggregated* metric columns (post-agg filter).
     """
     out = df
+    if segment is not None:
+        entity_col, seg_filters = segment
+        qualifying = (
+            df.filter(parse_ga_filters(df, seg_filters)).select(entity_col).distinct()
+        )
+        out = out.join(F.broadcast(qualifying), entity_col, "left_semi")
     if date_range is not None:
         ts, start, end = date_range
         out = out.filter(
@@ -137,6 +152,8 @@ def report(
         out = out.filter(parse_ga_filters(df, filters))
     dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
     out = out.groupBy(*dims).agg(*[_metric(n, s) for n, s in metrics.items()])
+    if having:
+        out = out.filter(parse_ga_filters(out, having))
     if sort:
         order = [
             F.col(s[1:]).desc() if s.startswith("-") else F.col(s).asc() for s in sort
@@ -147,3 +164,84 @@ def report(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def cohort_report(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """GA v4 `cohortGroup` retention report [K]: entities cohorted by
+    first-activity week, one row per (cohort_week, week_offset) with the
+    count of entities active that many weeks after their first touch.
+
+    Physical shape: one groupBy(entity) to find first touch (shuffle on the
+    entity key), a join back on the same key (co-partitioned — reuses the
+    shuffle; broadcast when the entity dim is small), then a count-distinct
+    per (cohort, offset) — cardinality bounded by weeks^2, tiny at any scale.
+    """
+    first = df.groupBy(entity_col).agg(F.min(ts_col).alias("_first_ts"))
+    joined = df.select(entity_col, ts_col).join(first, entity_col)
+    cohort = F.date_trunc("week", F.col("_first_ts"))
+    offset = F.floor(
+        F.datediff(F.date_trunc("day", F.col(ts_col)), F.date_trunc("day", cohort)) / 7
+    ).cast("long")
+    out = (
+        joined.select(
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+            F.col(entity_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(entity_col).alias("active_users"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("week_offset") <= max_offset)
+    return out
+
+
+def compare_report(
+    df: DataFrame,
+    dimensions: list[str | Column],
+    metrics: dict[str, str],
+    ts_col: str,
+    range_a: tuple[str, str],
+    range_b: tuple[str, str],
+) -> DataFrame:
+    """GA v4 twin `dateRanges` with DELTA ordering [K]: the same metrics for
+    a current (a) and comparison (b) window side-by-side plus the delta,
+    computed as ONE pass of conditional aggregates — no self-join, no second
+    scan.  Only sum/count metric kinds are meaningful per-window."""
+    a0, a1 = range_a
+    b0, b1 = range_b
+    ts = F.col(ts_col)
+    in_a = (ts >= F.lit(a0).cast("timestamp")) & (ts < F.lit(a1).cast("timestamp"))
+    in_b = (ts >= F.lit(b0).cast("timestamp")) & (ts < F.lit(b1).cast("timestamp"))
+    aggs: list[Column] = []
+    deltas: list[Column] = []
+    for name, spec in metrics.items():
+        kind, _, col = spec.partition(":")
+        if kind == "count":
+            ma = F.count(F.when(in_a, F.lit(1))).alias(f"{name}_a")
+            mb = F.count(F.when(in_b, F.lit(1))).alias(f"{name}_b")
+        elif kind == "sum":
+            ma = (
+                F.coalesce(F.sum(F.when(in_a, F.col(col)).cast("decimal(30,6)")), F.lit(0))
+                .cast("double")
+                .alias(f"{name}_a")
+            )
+            mb = (
+                F.coalesce(F.sum(F.when(in_b, F.col(col)).cast("decimal(30,6)")), F.lit(0))
+                .cast("double")
+                .alias(f"{name}_b")
+            )
+        else:
+            raise ValueError(f"compare_report supports count/sum, got {spec!r}")
+        aggs += [ma, mb]
+        deltas.append(
+            (F.col(f"{name}_a") - F.col(f"{name}_b")).alias(f"{name}_delta")
+        )
+    dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
+    out = df.filter(in_a | in_b).groupBy(*dims).agg(*aggs)
+    return out.select(*[F.col(c) for c in out.columns], *deltas)

@@ -90,3 +90,101 @@ def test_unknown_metric_and_bad_filter_raise(spark):
         report(ev, dimensions=["event_type"], metrics={"x": "median:value"}).collect()
     with pytest.raises(ValueError, match="no GA operator"):
         parse_ga_filters(ev, "event_type~~view")
+
+
+def test_segment_keeps_all_rows_of_qualifying_users(spark):
+    """A segment is user-scoped, not row-scoped: a qualifying user's NON-
+    matching rows must be kept too."""
+    ev = load_table(spark, SF_DIR, "events")
+    # data-driven threshold: the median purchase value — qualifying users are
+    # a nonempty strict subset at every scale factor
+    thr = ev.filter(F.col("event_type") == "purchase").agg(
+        F.percentile_approx("value", 0.5)
+    ).first()[0]
+    cond = (F.col("event_type") == "purchase") & (F.col("value") > thr)
+    qualifying = ev.filter(cond).select("user_id").distinct()
+    got = report(
+        ev,
+        dimensions=["user_id"],
+        metrics={"n": "count"},
+        segment=("user_id", f"event_type==purchase;value>{thr}"),
+    )
+    want = (
+        ev.join(qualifying, "user_id", "left_semi").groupBy("user_id").count()
+    )
+    g = {r["user_id"]: r["n"] for r in got.collect()}
+    w = {r["user_id"]: r["count"] for r in want.collect()}
+    assert g == w and len(g) > 0
+    # row-scoped filtering would yield strictly fewer rows per user
+    row_scoped = ev.filter(cond).groupBy("user_id").count()
+    assert sum(g.values()) > sum(r["count"] for r in row_scoped.collect())
+
+
+def test_cohort_retention_invariants(spark):
+    from google_analytics_dataframes_spark.report import cohort_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = cohort_report(ev, "user_id", "ts").collect()
+    assert rows, "cohort report empty"
+    # offsets are non-negative; week-0 of the earliest cohort contains users
+    assert all(r["week_offset"] >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r[
+            "active_users"
+        ]
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cohort} missing week 0 (first touch)"
+        # week-0 actives >= any later week's actives is NOT guaranteed per
+        # week, but week-0 must equal the cohort size = max over weeks
+        assert offs[0] == max(offs.values())
+    # total distinct users across cohorts' week-0 == all users
+    assert sum(offs[0] for offs in by_cohort.values()) == ev.select(
+        "user_id"
+    ).distinct().count()
+
+
+def test_compare_report_delta_arithmetic(spark):
+    from google_analytics_dataframes_spark.report import compare_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = compare_report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"n": "count", "v": "sum:value"},
+        ts_col="ts",
+        range_a=("2024-01-01", "2024-01-15"),
+        range_b=("2024-01-15", "2024-01-29"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_delta"] == r["n_a"] - r["n_b"]
+        assert abs(r["v_delta"] - (r["v_a"] - r["v_b"])) < 1e-9
+    # window A counts must equal a direct filtered count
+    direct = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    d = {r["event_type"]: r["count"] for r in direct}
+    assert {r["event_type"]: r["n_a"] for r in rows} == d
+
+
+def test_having_filters_on_metric_output(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    full = report(ev, dimensions=["event_type"], metrics={"n": "count"})
+    counts = {r["event_type"]: r["n"] for r in full.collect()}
+    cutoff = sorted(counts.values())[len(counts) // 2]
+    kept = report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"n": "count"},
+        having=f"n>={cutoff}",
+    ).collect()
+    assert {r["event_type"] for r in kept} == {
+        k for k, v in counts.items() if v >= cutoff
+    }
