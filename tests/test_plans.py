@@ -95,3 +95,44 @@ def test_salted_join_matches_plain(spark):
     assert sorted((r.event_id, r.type_id) for r in plain) == sorted(
         (r.event_id, r.type_id) for r in salted
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Both sides bucketed on the join key into equal bucket counts => the
+    join plan is Exchange-free (co-located per-bucket join) and, with
+    sortBy, Sort-free on the scan side too."""
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey",
+        path=f"{wh}/b_orders",
+    )
+    write_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey",
+        path=f"{wh}/b_lineitem",
+    )
+    try:
+        j = colocated_join(
+            spark, "b_lineitem", "b_orders",
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+            merge_hint=True,
+        ).select("l_orderkey", "o_totalprice", "l_quantity")
+        assert audit.count_exchanges(j) == 0, audit.formatted_plan(j)
+        # must be a genuine co-located SMJ, not a broadcast that merely
+        # avoids the *shuffle* Exchange node
+        assert audit.join_algorithms(j) == ["SortMergeJoin"], audit.formatted_plan(j)
+        assert "BroadcastExchange" not in audit.formatted_plan(j)
+        # correctness: same row count as the plain (shuffling) join
+        plain = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert j.count() == plain > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
