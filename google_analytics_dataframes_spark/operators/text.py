@@ -134,3 +134,66 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(word_shingles("text"), F.md5)).alias("fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition (Gopher/C4-style quality signal): fraction
+    of duplicate 3-word shingles.  Boilerplate-heavy or looping generations
+    score high; single-pass per row, no shuffle."""
+    sh = word_shingles("text")
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return fanout(docs).select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct"),
+        F.round((n - nd) / n, 6).alias("dup_ratio"),
+    )
+
+
+#: (name, regex) PII-ish patterns — deliberately simple, identical semantics
+#: in Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("emails", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"),
+    ("phones", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4s", "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"),
+)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc counts of PII-looking spans (emails / phone numbers / IPv4) —
+    the redaction/filter precursor in a training-data pipeline.  Pure
+    regexp_count projections, whole-stage codegen."""
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(name)
+        for name, pat in PII_PATTERNS
+    ]
+    out = fanout(docs).select("doc_id", *counts)
+    total = sum((F.col(name) for name, _ in PII_PATTERNS), start=F.lit(0).cast("long"))
+    return out.withColumn("any_pii", total > 0)
+
+
+def hash_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent key
+    hash: bucket = first 16 bits of md5(key) mod 100.  Stable across runs,
+    partitionings and engines (md5 is bit-identical everywhere), so the
+    split never leaks when the corpus is re-sharded or appended.
+    Projection-only — no shuffle, no sampling state."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return fanout(docs).select(
+        F.col(key_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

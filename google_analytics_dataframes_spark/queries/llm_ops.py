@@ -414,3 +414,75 @@ def l19_multimodal_stub(spark, sf_dir):
     stubbed with NotImplementedError — operators/multimodal.py)."""
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     return M.fake_decode_features(blobs)
+
+
+# --------------------------------------- training-data filters (C4/Gopher) ----
+
+
+@register(
+    "l20_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       ELSE [text] END AS s
+           FROM t)
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+           round(CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s), 6)
+             AS dup_ratio
+    FROM sh
+    """,
+)
+def l20_repetition(spark, sf_dir):
+    """Within-doc duplicate-shingle fraction (Gopher/C4 repetition filter
+    signal; operators/text.py repetition_stats)."""
+    return X.repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l21_pii_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))
+             AS BIGINT) AS emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+             AS BIGINT) AS phones,
+           CAST(len(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))
+             AS BIGINT) AS ipv4s,
+           (len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))
+            + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+            + len(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')))
+             > 0 AS any_pii
+    FROM documents
+    """,
+)
+def l21_pii_scan(spark, sf_dir):
+    """PII-looking span counts per doc (email/phone/IPv4 regexes identical
+    under Java regex and RE2; operators/text.py pii_scan)."""
+    return X.pii_scan(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l22_hash_split",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      try_cast(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                               AS BIGINT) % 100 AS bucket
+               FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def l22_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) bucket —
+    re-shard- and append-stable, engine-independent (operators/text.py
+    hash_split)."""
+    return X.hash_split(T(spark, sf_dir, "documents"))

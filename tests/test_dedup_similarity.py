@@ -137,3 +137,38 @@ def test_knn_join_neighbors_within_label(spark):
     ).all()
     per_vec = pdf.groupby("vec_id").size()
     assert (per_vec <= 3).all()
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from google_analytics_dataframes_spark.operators.text import hash_split
+    from google_analytics_dataframes_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # deterministic: identical assignment on recompute and under re-sharding
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert s1 == s2
+    n = len(s1)
+    frac_train = sum(v == "train" for v in s1.values()) / n
+    assert 0.7 < frac_train < 0.9  # 80% +- hash noise at small n
+    assert set(s1.values()) <= {"train", "val", "test"}
+
+
+def test_repetition_bounds_and_planted_dup(spark):
+    from google_analytics_dataframes_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z w v u"), (3, "q r")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: 7 shingles, distinct = {abc,bca,cab} = 3 -> ratio 4/7
+    assert got[1]["n_shingles"] == 7 and got[1]["n_distinct"] == 3
+    assert abs(got[1]["dup_ratio"] - 4 / 7) < 1e-6
+    # doc 2: all distinct -> 0; doc 3 short-doc collapse -> 1 shingle, 0
+    assert got[2]["dup_ratio"] == 0.0
+    assert got[3]["n_shingles"] == 1 and got[3]["dup_ratio"] == 0.0
