@@ -54,6 +54,31 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def st3_session_stream(
+    events: DataFrame, gap: str = "30 minutes", lateness: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of batch sessionization (st3_sessionize): GA's 30-min
+    inactivity sessions as a native `session_window` stateful aggregation.
+    State per (user, open session) only; the watermark finalizes and evicts
+    sessions once event-time passes their close + lateness."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def st4_watermarked_counts(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
     """Tumbling hourly counts with a watermark: events later than
     `lateness` behind max(event-time) are dropped and their windows

@@ -162,3 +162,43 @@ def test_foreach_batch_sees_all_batches(spark, events_dir):
     seen: list = []
     jobs.run_foreach_batch(counts, seen)
     assert len(seen) >= 1 and all(isinstance(b, int) for b, _ in seen)
+
+
+def test_stream_session_window_equals_batch(spark, events_dir):
+    """st3 streaming twin: native session_window sessions == batch lag-gap
+    sessionization (30-min inactivity).  Lateness is set beyond the data's
+    span so no event drops regardless of file/batch arrival order."""
+    from pyspark.sql import Window
+
+    stream = jobs.read_event_stream(spark, events_dir)
+    got = (
+        jobs.run_available_now(
+            jobs.st3_session_stream(stream, lateness="90 days"),
+            "t_st3s",
+            output_mode="complete",
+        )
+        .drop("session_value")
+        .toPandas()
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1_000_000)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("is_new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    assert _canon(got).equals(_canon(batch))
