@@ -274,17 +274,29 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tok"), *packed)
     )
-    byte_count = lambda j, m: F.shiftrightunsigned(F.col(f"p{j}"), 8 * m).bitwiseAND(
-        0xFF
+    # Decode: a flat 64-element array of byte counters (literal shifts —
+    # shallow codegen) folded by ONE interpreted higher-order aggregate.  A
+    # chain of 64 nested CASE-adds is a deep codegen tree that takes seconds
+    # to janino-compile per query; this shape plans in O(1).
+    byte_counts = F.array(
+        *[
+            F.shiftrightunsigned(F.col(f"p{j}"), 8 * m).bitwiseAND(0xFF)
+            for j in range(8)
+            for m in range(8)
+        ]
     )
-    simhash = F.lit(0).cast("long")
-    for j in range(8):
-        for m in range(8):
-            i = 8 * j + m
-            simhash = simhash + F.when(
-                2 * byte_count(j, m) > F.col("n_tok"),
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
+    # bit 63's power is long-min in two's complement (1 << 63 overflows)
+    powers = F.array(
+        *[F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long") for k in range(64)]
+    )
+    bits = F.zip_with(
+        byte_counts,
+        powers,
+        lambda b, p: F.when(2 * b > F.col("n_tok"), p).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    simhash = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return votes.select("doc_id", simhash.alias("simhash"))
 
 

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): the vocab-adaptive bitmask Jaccard
+strategy must be EXACTLY result-equivalent to the inverted-index strategy on
+arbitrary corpora — including vocabularies crossing the 64-bit mask-word
+boundary — and the GA filter DSL must agree with hand-built predicates."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# vocab > 64 forces multi-word masks; tokens as short strings
+_VOCAB = [f"t{i:02d}" for i in range(70)]
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12, unique=True),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(corpus=_corpus, pct=st.sampled_from([10, 40, 60, 100]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bitmask_and_index_jaccard_agree(spark, corpus, pct):
+    from google_analytics_dataframes_spark.operators.dedup import (
+        _jaccard_pairs_bitmask,
+        jaccard_pairs,
+    )
+
+    rows = [(i, item) for i, items in enumerate(corpus) for item in items]
+    items = spark.createDataFrame(rows, "doc_id long, item string")
+    vocab = sorted({it for _, it in rows})
+    via_bitmask = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in _jaccard_pairs_bitmask(items, pct, vocab).collect()
+    }
+    # max_bitmask_vocab=0 forces the inverted-index strategy
+    via_index = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in jaccard_pairs(items, pct, max_bitmask_vocab=0).collect()
+    }
+    assert via_bitmask == via_index
+
+
+@given(
+    lo=st.integers(min_value=0, max_value=200),
+    hi=st.integers(min_value=201, max_value=600),
+    et=st.sampled_from(["view", "click", "purchase"]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_dsl_equals_handbuilt(spark, lo, hi, et):
+    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.report import parse_ga_filters
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    dsl = f"value>{lo}.0,event_type=={et};value<={hi}.0"
+    got = ev.filter(parse_ga_filters(ev, dsl)).count()
+    want = ev.filter(
+        ((F.col("value") > float(lo)) | (F.col("event_type") == et))
+        & (F.col("value") <= float(hi))
+    ).count()
+    assert got == want
