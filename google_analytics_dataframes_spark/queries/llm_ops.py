@@ -486,3 +486,51 @@ def l22_hash_split(spark, sf_dir):
     re-shard- and append-stable, engine-independent (operators/text.py
     hash_split)."""
     return X.hash_split(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "l23_mixture_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, lang,
+             try_cast(concat('0x',
+               substr(md5(concat('mix1', CAST(doc_id AS VARCHAR))), 1, 4))
+               AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT source, COUNT(*) AS kept
+    FROM b
+    WHERE bucket < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                                WHEN 'src2' THEN 10 ELSE 25 END)
+    GROUP BY source
+    """,
+)
+def l23_mixture_sample(spark, sf_dir):
+    """Deterministic corpus-mixture sampling (curriculum weighting): per-
+    source keep rates decided by a salted md5 bucket of doc_id — stable
+    across runs, engines, re-sharding and appends
+    (operators/sampling.py weighted_sample)."""
+    from google_analytics_dataframes_spark.operators.sampling import weighted_sample
+
+    docs = T(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        docs,
+        slice_col="source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_weight=0.25,
+        key_col="doc_id",
+        salt="mix1",
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("kept"))
+
+
+@register("l24_stratified_sample", oracle=None, tier="R")
+def l24_stratified_sample(spark, sf_dir):
+    """Native seeded per-stratum Bernoulli sampling (sampleBy) — engine-RNG-
+    specific, hence R-tier; the deterministic path is l23."""
+    from google_analytics_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = T(spark, sf_dir, "documents")
+    s = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    )
+    return s.groupBy("lang").agg(F.count("*").alias("kept"))

@@ -166,6 +166,47 @@ def report(
     return out
 
 
+def realtime_report(
+    stream: DataFrame,
+    dimensions: list[str | Column],
+    metrics: dict[str, str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    lateness: str = "1 hour",
+    filters: str | None = None,
+) -> DataFrame:
+    """GA Real-Time API analog [K]: the same dimensions/metrics/filters
+    surface as :func:`report`, evaluated continuously over an event stream
+    as a watermarked tumbling-window aggregation.
+
+    Streaming restrictions honored: exact count-distinct (`users:`) is not
+    streamable — use `approx_users:` (HLL sketches merge incrementally);
+    sort/limit/pagination are sink-side concerns and deliberately absent.
+    State per (window, dims) only; the watermark finalizes and evicts
+    windows `lateness` behind the event-time front."""
+    out = stream
+    if filters:
+        out = out.filter(parse_ga_filters(stream, filters))
+    for spec in metrics.values():
+        if spec.partition(":")[0] == "users":
+            raise ValueError(
+                "exact count-distinct is not streamable; use approx_users:"
+            )
+    dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
+    agg = (
+        out.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window), *dims)
+        .agg(*[_metric(n, s) for n, s in metrics.items()])
+    )
+    keep = [c for c in agg.columns if c != "window"]
+    return agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        *keep,
+    )
+
+
 def cohort_report(
     df: DataFrame,
     entity_col: str,

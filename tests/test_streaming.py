@@ -202,3 +202,56 @@ def test_stream_session_window_equals_batch(spark, events_dir):
         .toPandas()
     )
     assert _canon(got).equals(_canon(batch))
+
+
+def test_realtime_report_equals_batch_report(spark, events_dir):
+    """GA Real-Time analog: the streaming report (windowed dims/metrics,
+    GA filter DSL) equals the equivalent batch aggregation after an
+    availableNow replay."""
+    from google_analytics_dataframes_spark.report import realtime_report
+
+    stream = jobs.read_event_stream(spark, events_dir)
+    rt = realtime_report(
+        stream,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        window="1 hour",
+        lateness="90 days",
+        filters="value>5.0",
+    )
+    got = jobs.run_available_now(rt, "t_rt", output_mode="complete").toPandas()
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value") > 5.0)
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("sessions"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "sessions",
+            "total_value",
+        )
+        .toPandas()
+    )
+    # float sums: compare rounded
+    for df in (got, want):
+        df["total_value"] = df["total_value"].round(6)
+    assert _canon(got).equals(_canon(want))
+
+
+def test_realtime_report_rejects_exact_distinct(spark, events_dir):
+    from google_analytics_dataframes_spark.report import realtime_report
+
+    stream = jobs.read_event_stream(spark, events_dir)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="approx_users"):
+        realtime_report(
+            stream, ["event_type"], {"users": "users:user_id"}
+        )
