@@ -110,3 +110,50 @@ def test_xxhash_stable_across_runs(spark):
     h1 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
     h2 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
     assert (h1["h_xx"].to_numpy() == h2["h_xx"].to_numpy()).all()
+
+
+def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path_factory):
+    """The 100-TB backfill pattern: re-writing ONE partition with
+    partitionOverwriteMode=dynamic must replace only that partition and be
+    idempotent — other partitions' bytes and rows untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from google_analytics_dataframes_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path_factory.mktemp("dpo")) + "/events_by_type"
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    ev.write.partitionBy("etype").mode("overwrite").parquet(out)
+    before = {
+        d: sorted(os.listdir(f"{out}/{d}"))
+        for d in os.listdir(out)
+        if d.startswith("etype=")
+    }
+    total_before = spark.read.parquet(out).count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill just the 'view' partition (same data -> idempotent)
+        ev.filter(F.col("event_type") == "view").write.partitionBy("etype").mode(
+            "overwrite"
+        ).parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {
+        d: sorted(os.listdir(f"{out}/{d}"))
+        for d in os.listdir(out)
+        if d.startswith("etype=")
+    }
+    # untouched partitions keep their exact files; total rows unchanged
+    for d in before:
+        if d != "etype=view":
+            assert after[d] == before[d], d
+    assert spark.read.parquet(out).count() == total_before
+    assert (
+        spark.read.parquet(out).filter(F.col("etype") == "view").count()
+        == ev.filter(F.col("event_type") == "view").count()
+    )
