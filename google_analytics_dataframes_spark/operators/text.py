@@ -30,7 +30,12 @@ POS_WORDS = ("fast", "cache", "index", "merge")
 def tf_idf(docs: DataFrame) -> DataFrame:
     """Per (doc, term) TF-IDF: tf = in-doc occurrences, idf = ln(N/df).
     Two aggregations + one broadcast of the 1-row corpus count; df join is
-    on `token` (bounded vocabulary -> broadcastable at any corpus size)."""
+    on `token` (bounded vocabulary -> broadcastable at any corpus size).
+
+    Deliberately NOT a `count().over(Window.partitionBy(token))`: a window
+    buffers each token's whole partition, so one hot token (stopword-like
+    skew) OOMs/spills at scale, while the agg+broadcast-join shape reduces
+    to |vocab| rows before any join."""
     toks = fanout(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
