@@ -136,3 +136,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_fanout_raises_but_never_reduces_partitions(spark):
+    """fanout engages all cores on single-split scans and is a no-op when
+    the input already has enough partitions (the 100-TB case)."""
+    from google_analytics_dataframes_spark.io import fanout
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # single-row-group file
+    want = spark.sparkContext.defaultParallelism
+    assert fanout(docs).rdd.getNumPartitions() == want
+    wide = docs.repartition(want + 8)
+    # already wider than the floor: returned unchanged, no extra shuffle
+    assert fanout(wide) is wide
+    # row preservation
+    assert fanout(docs).count() == docs.count()
