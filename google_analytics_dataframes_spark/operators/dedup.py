@@ -136,7 +136,10 @@ def minhash_lsh_pairs(
 
 
 def jaccard_pairs(
-    items: DataFrame, threshold_pct: int, max_bitmask_vocab: int = 512
+    items: DataFrame,
+    threshold_pct: int,
+    max_bitmask_vocab: int = 512,
+    prefix_min_items: int = 2_000_000,
 ) -> DataFrame:
     """Set-similarity join (PAPERS.md:6): `items` is (doc_id, item) with
     DISTINCT items per doc; emits pairs with |I|/|U| >= threshold_pct/100.
@@ -153,10 +156,18 @@ def jaccard_pairs(
       bitmask form does the same asymptotic pair work at ~100x smaller
       constant and with no 10^7-row shuffle/aggregate (measured 9.5s -> <1s
       on the 31-token sf0.1 corpus).
-    * **large vocabulary**: classic inverted-index join on `item` — pairs
-      sharing >=1 item get |I| from the index join, |U| from per-doc sizes.
-      At 100 TB a prefix-filter (drop each doc's most frequent items, per the
-      prefix-filtering literature) bounds the frequent-item blowup.
+    * **large vocabulary, large input**: prefix-filtered index join
+      (:func:`_jaccard_pairs_prefix`, ppjoin-style) — each doc indexes only
+      its ``sz - ceil(t*sz) + 1`` globally-rarest items, which provably
+      cannot miss a >=t pair, so frequent items stop dominating the
+      candidate blowup; candidates verify exactly against full sets.
+    * **large vocabulary, small input** (< ``prefix_min_items`` index rows)
+      or **threshold 0** (prefixes can't prune when every co-item pair must
+      be emitted): classic full inverted-index join
+      (:func:`_jaccard_pairs_index`) — at small scale the prefix machinery
+      (frequency join, per-doc ranking, candidate distinct, verify join)
+      costs more than the pruning saves; the crossover is measured in
+      index-entry count, the same stat a cost-based optimizer would use.
     """
     items = fanout(items)
     vocab_rows = items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
@@ -164,6 +175,14 @@ def jaccard_pairs(
         return _jaccard_pairs_bitmask(
             items, threshold_pct, sorted(r["item"] for r in vocab_rows)
         )
+    if threshold_pct > 0 and items.count() >= prefix_min_items:
+        return _jaccard_pairs_prefix(items, threshold_pct)
+    return _jaccard_pairs_index(items, threshold_pct)
+
+
+def _jaccard_pairs_index(items: DataFrame, threshold_pct: int) -> DataFrame:
+    """Full inverted-index join on `item`: pairs sharing >=1 item get |I|
+    from the index join, |U| from per-doc sizes."""
     sizes = items.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = items.alias("a"), items.alias("b")
     inter = (
@@ -189,6 +208,61 @@ def jaccard_pairs(
             (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
         )
         .filter(100 * F.col("inter") >= threshold_pct * F.col("uni"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )
+
+
+def _jaccard_pairs_prefix(items: DataFrame, threshold_pct: int) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (Chaudhuri et al. SSJoin / Xiao et
+    al. ppjoin): under one global item order (frequency ascending, item as
+    tiebreak), two sets with Jaccard >= t MUST share an item inside both of
+    their prefixes of length ``sz - ceil(t*sz) + 1`` — if all shared items
+    sat in A's suffix of length ``ceil(t*sz_a) - 1``, then
+    |I| <= ceil(t*sz_a) - 1 < t*max(sz) <= |I|, a contradiction.  So the
+    index join runs on prefixes only (the globally-frequent items drop out
+    of candidate generation), and survivors verify exactly against the full
+    sorted token arrays.
+
+    Scale shape: one broadcastable frequency table (|vocab| rows), one
+    window bounded by per-doc set size (never a hot-key partition), an
+    index join whose key distribution is by construction rare-item-heavy,
+    and a verify join against doc-count-sized set rows."""
+    from pyspark.sql import Window
+
+    freq = items.groupBy("item").agg(F.count("*").alias("_freq"))
+    ordered = items.join(F.broadcast(freq), "item")
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("_freq").asc(), F.col("item").asc())
+    ranked = ordered.select(
+        "doc_id",
+        "item",
+        F.row_number().over(w_doc).alias("_rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("_sz"),
+    )
+    prefix_len = F.col("_sz") - F.ceil(F.col("_sz") * threshold_pct / 100) + 1
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "item")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok_sets = items.groupBy("doc_id").agg(F.collect_list("item").alias("toks"))
+    ta = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = (F.size("toks_a") + F.size("toks_b") - inter).alias("uni")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", inter.cast("long").alias("inter"), uni.cast("long").alias("uni"))
+        .filter(
+            (F.col("inter") >= 1)
+            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+        )
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
 

@@ -26,25 +26,31 @@ _corpus = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_bitmask_and_index_jaccard_agree(spark, corpus, pct):
+def test_all_jaccard_strategies_agree(spark, corpus, pct):
+    """bitmask, full inverted-index, and prefix-filtered strategies are
+    result-identical on arbitrary corpora and thresholds."""
     from google_analytics_dataframes_spark.operators.dedup import (
         _jaccard_pairs_bitmask,
-        jaccard_pairs,
+        _jaccard_pairs_index,
+        _jaccard_pairs_prefix,
     )
 
     rows = [(i, item) for i, items in enumerate(corpus) for item in items]
     items = spark.createDataFrame(rows, "doc_id long, item string")
     vocab = sorted({it for _, it in rows})
-    via_bitmask = {
-        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
-        for r in _jaccard_pairs_bitmask(items, pct, vocab).collect()
+    results = {
+        "bitmask": _jaccard_pairs_bitmask(items, pct, vocab),
+        "index": _jaccard_pairs_index(items, pct),
+        "prefix": _jaccard_pairs_prefix(items, pct),
     }
-    # max_bitmask_vocab=0 forces the inverted-index strategy
-    via_index = {
-        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
-        for r in jaccard_pairs(items, pct, max_bitmask_vocab=0).collect()
+    seen = {
+        name: {
+            (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+            for r in df.collect()
+        }
+        for name, df in results.items()
     }
-    assert via_bitmask == via_index
+    assert seen["bitmask"] == seen["index"] == seen["prefix"]
 
 
 @given(
