@@ -72,3 +72,58 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
             )
 
     return fanout(blobs.select("doc_id", "blob")).mapInPandas(per_batch, FEATURE_SCHEMA)
+
+
+#: Plumbing contract of the resize stage: fixed-size feature payload + the
+#: dimensions a real image resize would target.
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+#: Plumbing contract of frame sampling: one row per sampled frame.
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame binary"
+
+
+def fake_resize(blobs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic stand-in 'resize': map each blob to a fixed
+    width*height byte payload by strided byte sampling (where PIL's
+    `Image.resize` would run).  Exercises the real contract — fixed-shape
+    binary out, Arrow batches, per-row independence."""
+    import numpy as np
+
+    n_out = width * height
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if arr.size == 0:
+                    out = np.zeros(n_out, dtype=np.uint8)
+                else:
+                    idx = (np.arange(n_out) * arr.size) // n_out
+                    out = arr[idx]
+                rows.append((int(doc_id), width, height, out.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixels"])
+
+    return fanout(blobs.select("doc_id", "blob")).mapInPandas(per_batch, RESIZE_SCHEMA)
+
+
+def fake_frame_sample(
+    blobs: DataFrame, frame_bytes: int = 16, every_nth: int = 4
+) -> DataFrame:
+    """Deterministic stand-in video 'frame sampler': treat the blob as
+    consecutive `frame_bytes` frames, emit every `every_nth` one (1 row per
+    sampled frame — the fan-OUT shape a real ffmpeg sampler has, so
+    downstream per-frame operators see the true cardinality)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    rows.append(
+                        (int(doc_id), i, blob[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return fanout(blobs.select("doc_id", "blob")).mapInPandas(per_batch, FRAME_SCHEMA)

@@ -534,3 +534,24 @@ def l24_stratified_sample(spark, sf_dir):
         docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
     )
     return s.groupBy("lang").agg(F.count("*").alias("kept"))
+
+
+@register("l25_multimodal_resize", oracle=None, tier="R")
+def l25_multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: blob -> fixed 8x8 byte payload via
+    strided sampling (real PIL resize stubbed; operators/multimodal.py)."""
+    blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
+    out = M.fake_resize(blobs)
+    return out.groupBy("width", "height").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("pixels")).alias("total_bytes"),
+    )
+
+
+@register("l26_multimodal_frames", oracle=None, tier="R")
+def l26_multimodal_frames(spark, sf_dir):
+    """Multimodal frame sampling plumbing: blob -> every-4th 16-byte frame,
+    one row per frame (the fan-out shape of a real ffmpeg sampler)."""
+    blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
+    frames = M.fake_frame_sample(blobs)
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))

@@ -157,3 +157,29 @@ def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path_fact
         spark.read.parquet(out).filter(F.col("etype") == "view").count()
         == ev.filter(F.col("event_type") == "view").count()
     )
+
+
+def test_multimodal_resize_and_frames_shapes(spark):
+    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.operators import multimodal as M
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    blobs = M.to_multimodal(docs)
+    resized = M.fake_resize(blobs, width=8, height=8).collect()
+    assert len(resized) == 50
+    assert all(len(r["pixels"]) == 64 for r in resized)
+    frames = M.fake_frame_sample(blobs, frame_bytes=16, every_nth=4)
+    got = frames.collect()
+    # every sampled frame is full-size and indices step by 4
+    assert all(len(r["frame"]) == 16 for r in got)
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(0, 4 * len(idxs), 4))
+    # fan-out cardinality: n_frames == floor(n_bytes/16) sampled every 4th
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for doc_id, idxs in by_doc.items():
+        expect = (n_chars[doc_id] // 16 + 3) // 4
+        assert len(idxs) == expect
