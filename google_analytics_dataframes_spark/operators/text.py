@@ -202,3 +202,30 @@ def hash_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def sequence_pack(
+    docs: DataFrame, budget_tokens: int = 2048, order_col: str = "doc_id"
+) -> DataFrame:
+    """Pack documents into ~budget_tokens training sequences: running token
+    sum over a deterministic document order, bin = floor(cumsum_before /
+    budget).  The distributed form of greedy packing — no sequential state,
+    one window over the chosen order; bins can overflow by at most one
+    document, the standard approximation when packing at corpus scale.
+
+    At 100 TB the order column is a partition-friendly key (shard id, hash
+    prefix) so the window runs per shard; here a single global order keeps
+    the oracle exact."""
+    from pyspark.sql import Window
+
+    toks = F.size(tokens("text")).cast("long")
+    w = Window.orderBy(F.col(order_col))
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        fanout(docs)
+        .select(F.col(order_col), toks.alias("n_tokens"))
+        .withColumn("bin", F.floor(cum_before / budget_tokens).cast("long"))
+    )

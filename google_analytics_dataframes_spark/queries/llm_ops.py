@@ -555,3 +555,25 @@ def l26_multimodal_frames(spark, sf_dir):
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     frames = M.fake_frame_sample(blobs)
     return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "l27_sequence_pack",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def l27_sequence_pack(spark, sf_dir):
+    """Sequence packing: docs -> ~2048-token training bins via running token
+    sum over the doc_id order (operators/text.py sequence_pack)."""
+    return X.sequence_pack(T(spark, sf_dir, "documents"), budget_tokens=2048)
