@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from google_analytics_dataframes_spark.io import fanout
 from google_analytics_dataframes_spark.registry import register
 from google_analytics_dataframes_spark.queries._util import T
 
@@ -314,7 +315,8 @@ def sf10_array_fns(spark, sf_dir):
 )
 def sf11_map_fns(spark, sf_dir):
     """Map functions over JSON-parsed props: element_at / map_keys / size."""
-    ev = T(spark, sf_dir, "events")
+    # JSON parse is compute-dense: engage all cores (io.fanout doc)
+    ev = fanout(T(spark, sf_dir, "events"))
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select(
         "event_id",
@@ -336,7 +338,8 @@ def sf11_map_fns(spark, sf_dir):
 )
 def sf12_json_path(spark, sf_dir):
     """get_json_object path extraction (string out, NULL on missing path)."""
-    ev = T(spark, sf_dir, "events")
+    # JSON parse is compute-dense: engage all cores (io.fanout doc)
+    ev = fanout(T(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),

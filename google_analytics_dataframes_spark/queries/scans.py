@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from google_analytics_dataframes_spark.io import fanout
 from google_analytics_dataframes_spark.registry import register
 from google_analytics_dataframes_spark.queries._util import T
 
@@ -72,7 +73,8 @@ def s2_scan_pruned(spark, sf_dir):
 )
 def s3_json_props(spark, sf_dir):
     """JSON-string column -> typed field (`events.props`, FIXTURES.md)."""
-    ev = T(spark, sf_dir, "events")
+    # JSON parse is compute-dense: engage all cores (io.fanout doc)
+    ev = fanout(T(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
