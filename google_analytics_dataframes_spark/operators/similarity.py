@@ -170,3 +170,40 @@ def hyperplane_lsh_pairs(
         ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= min_cos)
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding column — the
+    4x storage cut a 100-TB vector corpus takes before ANN indexing.
+    Dimension stats (min/max) are one tiny aggregate (64 rows) broadcast
+    back; codes are round((x-min)/scale) in [0,255]; the emitted per-vector
+    max |reconstruction error| is bounded by scale/2 per dim.
+
+    All exact JVM arithmetic: stats use exact decimal extrema (no float-sum
+    order dependence), codes are integer rounds — the same numbers on any
+    partitioning/engine."""
+    cells = fanout(emb).select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    stats = cells.groupBy("dim").agg(
+        F.min("x").alias("dmin"), F.max("x").alias("dmax")
+    )
+    scale = ((F.col("dmax") - F.col("dmin")) / 255).alias("scale")
+    withs = cells.join(F.broadcast(stats.select("dim", "dmin", scale)), "dim")
+    code = F.round((F.col("x") - F.col("dmin")) / F.col("scale")).cast("int")
+    recon = F.col("dmin") + code * F.col("scale")
+    return (
+        withs.select(
+            "vec_id",
+            "dim",
+            code.alias("code"),
+            F.abs(F.col("x") - recon).alias("err"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.round(F.max("err"), 9).alias("max_abs_err"),
+        )
+    )

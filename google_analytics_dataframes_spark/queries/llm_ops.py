@@ -577,3 +577,31 @@ def l27_sequence_pack(spark, sf_dir):
     """Sequence packing: docs -> ~2048-token training bins via running token
     sum over the doc_id order (operators/text.py sequence_pack)."""
     return X.sequence_pack(T(spark, sf_dir, "documents"), budget_tokens=2048)
+
+
+@register(
+    "l28_quantize_int8",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, unnest(range(0, 64)) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings),
+    stats AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax FROM cells GROUP BY dim),
+    q AS (SELECT c.vec_id,
+                 CAST(round((c.x - s.dmin) / ((s.dmax - s.dmin) / 255)) AS INTEGER)
+                   AS code,
+                 abs(c.x - (s.dmin
+                   + CAST(round((c.x - s.dmin) / ((s.dmax - s.dmin) / 255)) AS INTEGER)
+                     * ((s.dmax - s.dmin) / 255))) AS err
+          FROM cells c JOIN stats s ON c.dim = s.dim)
+    SELECT vec_id, COUNT(*) AS n_dims,
+           MIN(code) AS min_code, MAX(code) AS max_code,
+           round(MAX(err), 9) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def l28_quantize_int8(spark, sf_dir):
+    """Per-dimension affine int8 quantization + reconstruction-error stats
+    (operators/similarity.py quantize_int8) — the 4x storage path a 100-TB
+    vector corpus takes before ANN indexing."""
+    return S.quantize_int8(T(spark, sf_dir, "embeddings"))
