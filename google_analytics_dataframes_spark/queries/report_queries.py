@@ -200,3 +200,39 @@ def rb6_channel_having(spark, sf_dir):
         having="sessions>2500",
         sort=["-sessions"],
     )
+
+
+@register(
+    "rb7_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+    c AS (SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS users FROM s1
+          UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+    SELECT step, step_name, users,
+           CASE WHEN lag(users) OVER (ORDER BY step) IS NULL THEN 1.0
+                ELSE round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 6)
+           END AS conversion
+    FROM c
+    """,
+)
+def rb7_funnel(spark, sf_dir):
+    """GA goal funnel [K]: users completing view -> click -> purchase in
+    strict event-time order; per-step reach + step conversion rate
+    (report.py funnel_report)."""
+    from google_analytics_dataframes_spark.report import funnel_report
+
+    return funnel_report(
+        T(spark, sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        step_col="event_type",
+        steps=["view", "click", "purchase"],
+    )

@@ -286,3 +286,53 @@ def compare_report(
     dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
     out = df.filter(in_a | in_b).groupBy(*dims).agg(*aggs)
     return out.select(*[F.col(c) for c in out.columns], *deltas)
+
+
+def funnel_report(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """GA goal-funnel analysis [K]: how many entities completed step 1, then
+    step 2 AFTER step 1, then step 3 AFTER step 2, ... (strict event-time
+    ordering, first qualifying occurrence per step).
+
+    Physical shape: one aggregation per step, each joined back on the entity
+    key — every shuffle is on the same key, so at scale the exchanges reuse
+    one partitioning (or disappear entirely on entity-bucketed tables).
+    Output: one row per step with reached-entity count and conversion rate
+    vs the previous step."""
+    reached = None  # DataFrame[entity, _t]: first qualifying time per step
+    counts: list[tuple[str, DataFrame]] = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(step_col) == step).select(
+            F.col(entity_col).alias("_e"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            cur = ev.groupBy("_e").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(reached, "_e")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_e")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        reached = cur
+        counts.append((step, cur))
+    from pyspark.sql import Window
+
+    rows = None
+    for i, (step, cur) in enumerate(counts):
+        one = cur.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).alias("step"), F.lit(step).alias("step_name"), "users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    prev = F.lag("users").over(Window.orderBy("step"))
+    return rows.withColumn(
+        "conversion",
+        F.when(prev.isNull(), F.lit(1.0)).otherwise(
+            F.round(F.col("users") / prev, 6)
+        ),
+    )
