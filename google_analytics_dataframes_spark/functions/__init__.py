@@ -7,7 +7,7 @@ sums), canonical date renderers, and JVM-side vector math.  All are thin
 Column builders — they compile into whole-stage codegen, never Python.
 """
 
-from google_analytics_dataframes_spark.queries._util import (
+from google_analytics_dataframes_spark.determinism import (
     davg,
     davg_sql,
     dsum,

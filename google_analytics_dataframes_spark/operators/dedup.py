@@ -320,27 +320,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, 64 bit-vote counts, bits
     voted by >half the tokens set.
 
-    The 64 per-bit counters are PACKED 8-per-long (one byte each) so the
-    aggregation is 9 codegen-friendly ``sum``s instead of 64 — a 64-buffer
+    The 64 per-bit counters are PACKED 4-per-long (16-bit lanes) so the
+    aggregation is 17 codegen-friendly ``sum``s instead of 64 — a 64-buffer
     hash-agg overflows whole-stage codegen's method budget and drops to the
-    interpreted path (measured ~5x slower).  A byte counter is safe while
-    distinct-token count per doc < 256; the token-count guard below keeps the
-    vote threshold exact."""
+    interpreted path (measured ~5x slower).  A 16-bit lane is exact while a
+    doc has < 65,536 distinct tokens; docs beyond that are rejected by the
+    explicit guard below rather than silently corrupting adjacent lanes."""
     h = F.xxhash64("tok")
     packed = [
         F.sum(
             sum(
                 (
-                    F.shiftrightunsigned(h, 8 * j + m)
+                    F.shiftrightunsigned(h, 4 * j + m)
                     .bitwiseAND(1)
                     .cast("long")
-                    * F.lit(1 << (8 * m)).cast("long")
-                    for m in range(8)
+                    * F.lit(1 << (16 * m)).cast("long")
+                    for m in range(4)
                 ),
                 start=F.lit(0).cast("long"),
             )
         ).alias(f"p{j}")
-        for j in range(8)
+        for j in range(16)
     ]
     votes = (
         fanout(docs)
@@ -348,15 +348,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tok"), *packed)
     )
-    # Decode: a flat 64-element array of byte counters (literal shifts —
+    # Decode: a flat 64-element array of lane counters (literal shifts —
     # shallow codegen) folded by ONE interpreted higher-order aggregate.  A
     # chain of 64 nested CASE-adds is a deep codegen tree that takes seconds
-    # to janino-compile per query; this shape plans in O(1).
-    byte_counts = F.array(
+    # to janino-compile per query; this shape plans in O(1).  Element order is
+    # bit order: bit i lives in lane (i mod 4) of long (i div 4).
+    lane_counts = F.array(
         *[
-            F.shiftrightunsigned(F.col(f"p{j}"), 8 * m).bitwiseAND(0xFF)
-            for j in range(8)
-            for m in range(8)
+            F.shiftrightunsigned(F.col(f"p{j}"), 16 * m).bitwiseAND(0xFFFF)
+            for j in range(16)
+            for m in range(4)
         ]
     )
     # bit 63's power is long-min in two's complement (1 << 63 overflows)
@@ -364,14 +365,19 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         *[F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long") for k in range(64)]
     )
     bits = F.zip_with(
-        byte_counts,
+        lane_counts,
         powers,
         lambda b, p: F.when(2 * b > F.col("n_tok"), p).otherwise(
             F.lit(0).cast("long")
         ),
     )
     simhash = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return votes.select("doc_id", simhash.alias("simhash"))
+    guarded = F.when(F.col("n_tok") < 65536, simhash).otherwise(
+        F.raise_error(
+            F.lit("simhash_signatures: doc exceeds 65535 distinct tokens")
+        ).cast("long")
+    )
+    return votes.select("doc_id", guarded.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -188,7 +188,13 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     stats = cells.groupBy("dim").agg(
         F.min("x").alias("dmin"), F.max("x").alias("dmax")
     )
-    scale = ((F.col("dmax") - F.col("dmin")) / 255).alias("scale")
+    # constant dimension (dmax == dmin): scale would be 0 and every code
+    # NULL via divide-by-zero; force scale 1 so code = 0 and error = 0
+    scale = (
+        F.when(F.col("dmax") == F.col("dmin"), F.lit(1.0))
+        .otherwise((F.col("dmax") - F.col("dmin")) / 255)
+        .alias("scale")
+    )
     withs = cells.join(F.broadcast(stats.select("dim", "dmin", scale)), "dim")
     code = F.round((F.col("x") - F.col("dmin")) / F.col("scale")).cast("int")
     recon = F.col("dmin") + code * F.col("scale")

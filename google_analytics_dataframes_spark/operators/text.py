@@ -188,12 +188,14 @@ def hash_split(
     hash: bucket = first 16 bits of md5(key) mod 100.  Stable across runs,
     partitionings and engines (md5 is bit-identical everywhere), so the
     split never leaks when the corpus is re-sharded or appended.
-    Projection-only — no shuffle, no sampling state."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 100
-    )
+    Projection-only — no shuffle, no sampling state.
+
+    Bucket arithmetic is shared with operators/sampling.py (empty salt =
+    plain md5(key), so existing split assignments are unchanged); mixture
+    sampling uses a non-empty salt for an independent bucket stream."""
+    from google_analytics_dataframes_spark.operators.sampling import sample_bucket
+
+    bucket = sample_bucket(key_col, salt="")
     return fanout(docs).select(
         F.col(key_col),
         bucket.alias("bucket"),

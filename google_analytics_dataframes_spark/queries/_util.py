@@ -1,77 +1,24 @@
-"""Shared helpers for registered queries — determinism + loading.
-
-Cross-engine float determinism (SURVEY.md §5.2/§7 "hard parts"):
-
-Double summation is order-dependent; Spark's partial/final aggregation order
-varies with partitioning, so ``sum(double)`` can drift by ~1e-5 at 600k rows —
-enough to flip a rounded last digit and break the driver's value-hash.  The
-fix is **exact decimal accumulation**: cast each row value to
-``DECIMAL(18,6)`` (exact, associative addition), sum, then cast the total
-back to double.  Both Spark and DuckDB round the *same binary double* when
-casting to decimal, so results are bit-identical and order-independent.
-
-Helpers come in mirrored pairs: a Spark Column builder and the equivalent
-DuckDB SQL fragment, so queries and oracles can't diverge silently.
-"""
+"""Shared helpers for registered queries: table loading + re-exported
+determinism builders (canonical home: ..determinism)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from google_analytics_dataframes_spark.determinism import (  # noqa: F401
+    FMT_D_SQL,
+    FMT_TS_SQL,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    fmt_d,
+    fmt_ts,
+    r6,
+)
 from google_analytics_dataframes_spark.io import load_table
-
-# Decimal wide enough for sums of 1e8-magnitude money values at sf100+.
-_DEC = "decimal(30,6)"
-_DEC_SQL = "DECIMAL(30,6)"
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table (lazy)."""
     return load_table(spark, sf_dir, name)
-
-
-def dsum(c: Column | str) -> Column:
-    """Order-independent sum of a double column: exact decimal accumulation."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast(_DEC)).cast("double")
-
-
-def dsum_sql(expr: str) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE)"
-
-
-def davg(c: Column | str) -> Column:
-    """Order-independent mean: exact decimal sum / exact count (double div)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
-
-
-def davg_sql(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE) / COUNT({expr}))"
-
-
-def r6(c: Column) -> Column:
-    """Terminal rounding for float outputs that aren't exact-decimal sums
-    (ratios, stddev, percentiles): 6 digits in both engines."""
-    return F.round(c, 6)
-
-
-def fmt_d(c: Column | str) -> Column:
-    """Render a date/timestamp as 'yyyy-MM-dd' string — timezone/precision-
-    proof output representation (Spark µs vs DuckDB ns)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.date_format(c, "yyyy-MM-dd")
-
-
-FMT_D_SQL = "strftime({expr}, '%Y-%m-%d')"
-
-
-def fmt_ts(c: Column | str) -> Column:
-    """Render a timestamp as 'yyyy-MM-dd HH:mm:ss' (second resolution)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
-
-
-FMT_TS_SQL = "strftime({expr}, '%Y-%m-%d %H:%M:%S')"

@@ -587,13 +587,16 @@ def l27_sequence_pack(spark, sf_dir):
              unnest(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings),
     stats AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax FROM cells GROUP BY dim),
+    sc AS (SELECT dim, dmin,
+                  CASE WHEN dmax = dmin THEN 1.0
+                       ELSE (dmax - dmin) / 255 END AS scale
+           FROM stats),
     q AS (SELECT c.vec_id,
-                 CAST(round((c.x - s.dmin) / ((s.dmax - s.dmin) / 255)) AS INTEGER)
-                   AS code,
+                 CAST(round((c.x - s.dmin) / s.scale) AS INTEGER) AS code,
                  abs(c.x - (s.dmin
-                   + CAST(round((c.x - s.dmin) / ((s.dmax - s.dmin) / 255)) AS INTEGER)
-                     * ((s.dmax - s.dmin) / 255))) AS err
-          FROM cells c JOIN stats s ON c.dim = s.dim)
+                   + CAST(round((c.x - s.dmin) / s.scale) AS INTEGER)
+                     * s.scale)) AS err
+          FROM cells c JOIN sc s ON c.dim = s.dim)
     SELECT vec_id, COUNT(*) AS n_dims,
            MIN(code) AS min_code, MAX(code) AS max_code,
            round(MAX(err), 9) AS max_abs_err

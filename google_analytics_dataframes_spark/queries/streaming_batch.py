@@ -91,7 +91,7 @@ def st2_sliding(spark, sf_dir):
       FROM events),
     flagged AS (
       SELECT *, CASE WHEN prev_us IS NULL
-                       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
       FROM seq),
     numbered AS (
       SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -107,11 +107,12 @@ def st2_sliding(spark, sf_dir):
     """,
 )
 def st3_sessionize(spark, sf_dir):
-    """Sessionization — GA's core session model [K]: a gap of strictly more
-    than 30 min of inactivity starts a new session.  Batch formulation:
+    """Sessionization — GA's core session model [K]: a gap of 30+ minutes
+    of inactivity starts a new session (gap >= 30 min, matching Spark's
+    end-exclusive `session_window` [start, last+gap) so the streaming twin
+    in streaming/jobs.py is boundary-identical).  Batch formulation:
     lag -> gap flag -> running sum as session id -> per-session metrics.
-    One shuffle on user_id; the streaming twin is session_window(ts, '30
-    minutes') in streaming/jobs.py."""
+    One shuffle on user_id."""
     ev = T(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
     )
@@ -120,7 +121,7 @@ def st3_sessionize(spark, sf_dir):
         "is_new",
         F.when(
             F.lag("ts_us").over(w_seq).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(w_seq) > 1_800_000_000),
+            | (F.col("ts_us") - F.lag("ts_us").over(w_seq) >= 1_800_000_000),
             1,
         ).otherwise(0),
     )

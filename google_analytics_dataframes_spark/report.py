@@ -31,20 +31,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-from google_analytics_dataframes_spark.queries._util import davg, dsum
+from google_analytics_dataframes_spark.determinism import davg, dsum
 
-#: GA filter operators, longest-first so `>=` wins over `>` etc.
-_OPS = ("==", "!=", ">=", "<=", "=@", "!@", "=~", "!~", ">", "<")
+import re as _re
+
+#: One condition = column name, operator, value — the operator is matched
+#: IMMEDIATELY after the identifier (two-char ops first), so operator
+#: characters inside the VALUE (`o_comment=@a>=b`, regexes like `x<=y`)
+#: never split the condition in the wrong place.
+_COND_RE = _re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)(==|!=|>=|<=|=@|!@|=~|!~|>|<)(.*)$", _re.DOTALL
+)
 
 
 def _condition(df: DataFrame, expr: str) -> Column:
-    for op in _OPS:
-        i = expr.find(op)
-        if i > 0:
-            name, value = expr[:i], expr[i + len(op):]
-            break
-    else:
+    m = _COND_RE.match(expr)
+    if not m:
         raise ValueError(f"no GA operator in filter condition: {expr!r}")
+    name, op, value = m.group(1), m.group(2), m.group(3)
+    # GA escaping: `\,` and `\;` are literal characters in values
+    value = value.replace("\\,", ",").replace("\\;", ";")
     col = F.col(name)
     field = df.schema[name].dataType
     lit: Column | str | float = value
@@ -74,11 +80,12 @@ def _condition(df: DataFrame, expr: str) -> Column:
 
 
 def parse_ga_filters(df: DataFrame, filters: str) -> Column:
-    """GA `filters` DSL -> Catalyst predicate: `;`=AND of `,`=OR groups."""
+    """GA `filters` DSL -> Catalyst predicate: `;`=AND of `,`=OR groups.
+    Backslash-escaped separators (`\\,` / `\\;`) stay inside values [K]."""
     pred: Column | None = None
-    for group in filters.split(";"):
+    for group in _re.split(r"(?<!\\);", filters):
         ors: Column | None = None
-        for cond in group.split(","):
+        for cond in _re.split(r"(?<!\\),", group):
             c = _condition(df, cond)
             ors = c if ors is None else (ors | c)
         pred = ors if pred is None else (pred & ors)
@@ -267,15 +274,13 @@ def compare_report(
             ma = F.count(F.when(in_a, F.lit(1))).alias(f"{name}_a")
             mb = F.count(F.when(in_b, F.lit(1))).alias(f"{name}_b")
         elif kind == "sum":
-            ma = (
-                F.coalesce(F.sum(F.when(in_a, F.col(col)).cast("decimal(30,6)")), F.lit(0))
-                .cast("double")
-                .alias(f"{name}_a")
+            # dsum = shared exact-decimal accumulation (determinism.py);
+            # coalesce 0 because a dim present in only one window sums NULL
+            ma = F.coalesce(dsum(F.when(in_a, F.col(col))), F.lit(0.0)).alias(
+                f"{name}_a"
             )
-            mb = (
-                F.coalesce(F.sum(F.when(in_b, F.col(col)).cast("decimal(30,6)")), F.lit(0))
-                .cast("double")
-                .alias(f"{name}_b")
+            mb = F.coalesce(dsum(F.when(in_b, F.col(col))), F.lit(0.0)).alias(
+                f"{name}_b"
             )
         else:
             raise ValueError(f"compare_report supports count/sum, got {spec!r}")
@@ -299,36 +304,66 @@ def funnel_report(
     step 2 AFTER step 1, then step 3 AFTER step 2, ... (strict event-time
     ordering, first qualifying occurrence per step).
 
-    Physical shape: one aggregation per step, each joined back on the entity
-    key — every shuffle is on the same key, so at scale the exchanges reuse
-    one partitioning (or disappear entirely on entity-bucketed tables).
-    Output: one row per step with reached-entity count and conversion rate
-    vs the previous step."""
-    reached = None  # DataFrame[entity, _t]: first qualifying time per step
-    counts: list[tuple[str, DataFrame]] = []
-    for i, step in enumerate(steps):
-        ev = df.filter(F.col(step_col) == step).select(
-            F.col(entity_col).alias("_e"), F.col(ts_col).alias("_ts")
-        )
-        if reached is None:
-            cur = ev.groupBy("_e").agg(F.min("_ts").alias("_t"))
-        else:
-            cur = (
-                ev.join(reached, "_e")
-                .filter(F.col("_ts") > F.col("_t"))
-                .groupBy("_e")
-                .agg(F.min("_ts").alias("_t"))
-            )
-        reached = cur
-        counts.append((step, cur))
+    Physical shape: ONE pass — per entity, the time-sorted event list folds
+    through a higher-order aggregate that advances the step frontier
+    (per-event work O(S)); then an explode + tiny groupBy counts reached
+    entities per step.  A per-step aggregate-and-join-back formulation
+    would embed step k's whole lineage in every later step (O(S^2) subtree
+    recompute); this shape scans the fact table exactly once.  Per-entity
+    event lists must fit in memory — the same bound as any
+    sessionization/collect_list over an entity's history."""
     from pyspark.sql import Window
 
-    rows = None
-    for i, (step, cur) in enumerate(counts):
-        one = cur.agg(F.count("*").alias("users")).select(
-            F.lit(i + 1).alias("step"), F.lit(step).alias("step_name"), "users"
+    n_steps = len(steps)
+    lit_steps = F.array(*[F.lit(s) for s in steps])
+    per_entity = (
+        df.filter(F.col(step_col).isin(list(steps)))
+        .groupBy(entity_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(step_col).alias("step"))
+                )
+            ).alias("_evs")
         )
-        rows = one if rows is None else rows.unionByName(one)
+    )
+    init = F.array_repeat(F.lit(None).cast("timestamp"), n_steps)
+
+    def advance(acc, e):
+        # element_at is 1-based; greatest(i,1) keeps the i==0 branch legal
+        # (its value is ignored there: the `i == 0` disjunct is already true)
+        return F.transform(
+            acc,
+            lambda t, i: F.when(t.isNotNull(), t).otherwise(
+                F.when(
+                    (e.getField("step") == F.element_at(lit_steps, i + 1))
+                    & (
+                        (i == 0)
+                        | (
+                            F.element_at(acc, F.greatest(i, F.lit(1))).isNotNull()
+                            & (e.getField("ts") > F.element_at(acc, F.greatest(i, F.lit(1))))
+                        )
+                    ),
+                    e.getField("ts"),
+                )
+            ),
+        )
+
+    reached = per_entity.select(
+        F.col(entity_col),
+        F.aggregate(F.col("_evs"), init, advance).alias("_reached"),
+    )
+    counts = (
+        reached.select(F.posexplode("_reached").alias("_i", "_t"))
+        .groupBy("_i")
+        .agg(F.count("_t").alias("users"))  # count() skips NULLs = not reached
+    )
+    step_names = F.element_at(lit_steps, F.col("_i") + 1)
+    rows = counts.select(
+        (F.col("_i") + 1).cast("int").alias("step"),
+        step_names.alias("step_name"),
+        "users",
+    )
     prev = F.lag("users").over(Window.orderBy("step"))
     return rows.withColumn(
         "conversion",

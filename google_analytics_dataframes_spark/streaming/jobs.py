@@ -66,7 +66,11 @@ def st3_session_stream(
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("session_value"),
+            # exact-decimal accumulation: same order-independent sum as the
+            # batch twin's dsum, so stream == batch holds for values too
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "session_value"
+            ),
         )
         .select(
             "user_id",

@@ -50,8 +50,8 @@ def test_topk_per_group_bounded(spark):
 
 
 def test_sessionize_gap_semantics(spark):
-    """Within a session consecutive gaps <= 30 min; session starts are
-    > 30 min after the previous session's last event."""
+    """Within a session consecutive gaps < 30 min; session starts are
+    >= 30 min after the previous session's last event."""
     ev = (
         load_table(spark, SF_DIR, "events")
         .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
@@ -63,7 +63,7 @@ def test_sessionize_gap_semantics(spark):
     # reconstruct sessions per user from gaps and compare counts
     def count_sessions(g: pd.Series) -> int:
         gaps = g.diff()
-        return int(1 + (gaps > 1_800_000_000).sum())
+        return int(1 + (gaps >= 1_800_000_000).sum())
 
     want = ev.groupby("user_id")["us"].apply(count_sessions)
     got = sess.groupby("user_id")["session_id"].max()

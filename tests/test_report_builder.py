@@ -188,3 +188,21 @@ def test_having_filters_on_metric_output(spark):
     assert {r["event_type"] for r in kept} == {
         k for k, v in counts.items() if v >= cutoff
     }
+
+
+def test_filter_dsl_operator_chars_in_value_and_escaping(spark):
+    """Operator characters inside values must not split the condition, and
+    GA's backslash-escaped separators stay literal."""
+    ev = load_table(spark, SF_DIR, "events")
+    # '>=' inside a contains-value: must parse as event_type =@ "p>=q" (0 rows)
+    assert ev.filter(parse_ga_filters(ev, "event_type=@p>=q")).count() == 0
+    # regex value containing '<' and '=': parses as =~ with the full pattern
+    assert (
+        ev.filter(parse_ga_filters(ev, "event_type=~^(view|x<=y)$")).count()
+        == ev.filter(F.col("event_type") == "view").count()
+    )
+    # escaped comma is literal, not an OR split: one condition, 0 matches
+    assert ev.filter(parse_ga_filters(ev, r"event_type==view\,click")).count() == 0
+    # unescaped comma still means OR
+    two = ev.filter(parse_ga_filters(ev, "event_type==view,event_type==click")).count()
+    assert two == ev.filter(F.col("event_type").isin("view", "click")).count()

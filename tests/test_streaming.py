@@ -188,7 +188,7 @@ def test_stream_session_window_equals_batch(spark, events_dir):
             "is_new",
             (
                 F.col("prev").isNull()
-                | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1_000_000)
+                | (F.unix_micros("ts") - F.unix_micros("prev") >= 1800 * 1_000_000)
             ).cast("long"),
         )
         .withColumn("sid", F.sum("is_new").over(w))
