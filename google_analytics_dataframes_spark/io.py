@@ -79,6 +79,26 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(min_partitions)
 
 
+def fanout_by(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
+    """Like :func:`fanout`, but hash-partitions on ``cols`` instead of
+    round-robin, so every downstream ``groupBy``/``Window.partitionBy`` whose
+    keys contain ``cols`` is satisfied by this one exchange (Spark's
+    ClusteredDistribution accepts hash partitioning on a *subset* of the
+    grouping keys).
+
+    Use when an operator explodes rows (tokens, shingles, n-grams) and then
+    re-aggregates per source row: repartitioning the *compact* pre-explode
+    side replaces a shuffle of the much larger exploded stream.  At 100 TB the
+    exploded token stream is ~50x the document stream, so moving the exchange
+    before the explode is a ~50x shuffle-volume cut, not a micro-optimisation.
+    Never reduces the partition count (same safety property as ``fanout``).
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    n = max(min_partitions, df.rdd.getNumPartitions())
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables; also registers each as a temp view ``<name>`` so the
     SQL entry point (SURVEY.md §3.2 E3) works on the same data."""

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from google_analytics_dataframes_spark.io import fanout
+from google_analytics_dataframes_spark.io import fanout, fanout_by
 
 
 def tokens(text: Column | str) -> Column:
@@ -73,8 +73,10 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, num_perm: int = 32) -> DataFrame:
     """P permutation-min signatures per doc.  'Permutation' p is the
     xxhash64 family member seeded by p — one exploded-shingle pass computes
-    all P mins (P aggregate expressions, single shuffle on doc_id)."""
-    sh = fanout(docs).select(
+    all P mins (P aggregate expressions).  The only exchange is hash(doc_id)
+    on the compact pre-explode documents, which satisfies the aggregate's
+    clustering — the exploded shingle stream itself never shuffles."""
+    sh = fanout_by(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(word_shingles("text"))).alias("sh")
     )
     mins = [
@@ -168,8 +170,12 @@ def jaccard_pairs(
       (frequency join, per-doc ranking, candidate distinct, verify join)
       costs more than the pruning saves; the crossover is measured in
       index-entry count, the same stat a cost-based optimizer would use.
+
+    `items` is hash-partitioned on doc_id up front: per-doc sizes, the
+    collect_list token sets, the prefix-ranking window, and the bitmask
+    encode all cluster on doc_id, so they share this single exchange.
     """
-    items = fanout(items)
+    items = fanout_by(items, "doc_id")
     vocab_rows = items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
     if len(vocab_rows) <= max_bitmask_vocab:
         return _jaccard_pairs_bitmask(
@@ -343,7 +349,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         for j in range(16)
     ]
     votes = (
-        fanout(docs)
+        # hash(doc_id) on the pre-explode side: the vote aggregate reuses it,
+        # so the exploded token stream stays pipeline-local (no shuffle).
+        fanout_by(docs, "doc_id")
         .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tok"), *packed)

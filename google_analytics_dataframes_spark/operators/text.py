@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from google_analytics_dataframes_spark.io import fanout
+from google_analytics_dataframes_spark.io import fanout, fanout_by
 from google_analytics_dataframes_spark.operators.dedup import tokens, word_shingles
 
 #: Fixed "stopword" list from the synthetic analytics vocabulary
@@ -35,8 +35,15 @@ def tf_idf(docs: DataFrame) -> DataFrame:
     Deliberately NOT a `count().over(Window.partitionBy(token))`: a window
     buffers each token's whole partition, so one hot token (stopword-like
     skew) OOMs/spills at scale, while the agg+broadcast-join shape reduces
-    to |vocab| rows before any join."""
-    toks = fanout(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
+    to |vocab| rows before any join.
+
+    Partitioning: the one exchange is hash(doc_id) on the *compact* document
+    stream, before the explode — hash(doc_id) satisfies the tf aggregate's
+    ClusteredDistribution(doc_id, token), so the ~50x-larger exploded token
+    stream never shuffles (only the |vocab|-sized df agg does)."""
+    toks = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -75,11 +82,15 @@ def language_profiles(docs: DataFrame, top_n: int = 10) -> DataFrame:
 def language_id(docs: DataFrame, top_n: int = 10) -> DataFrame:
     """n-gram-heuristic language ID: score each doc against each lang
     profile by distinct-token overlap; argmax with (overlap desc, lang asc)
-    tiebreak.  Profiles are tiny -> broadcast; one shuffle on doc_id."""
+    tiebreak.  Profiles are tiny -> broadcast; ONE shuffle total on the doc
+    side: hash(doc_id) on the compact pre-explode stream satisfies both the
+    score aggregate's ClusteredDistribution(doc_id, lang, cand_lang) and the
+    argmax window's partitionBy(doc_id), so neither re-shuffles the exploded
+    or scored rows."""
     from pyspark.sql import Window
 
     profiles = language_profiles(docs, top_n).withColumnRenamed("lang", "cand_lang")
-    doc_toks = fanout(docs).select(
+    doc_toks = fanout_by(docs, "doc_id").select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("token")
     )
     scores = (
