@@ -138,6 +138,53 @@ def st6_stateful_funnel(events: DataFrame) -> DataFrame:
     )
 
 
+def st8_stateful_funnel_tws(events: DataFrame) -> DataFrame:
+    """st6's funnel on the Spark 4.x arbitrary-state API
+    (`transformWithStateInPandas` + StatefulProcessor): same per-user
+    (views, purchases) semantics, but on the new engine that adds typed
+    value/list/map state, timers, TTL, and initial-state bootstrap — the
+    forward path for custom stateful operators (applyInPandasWithState is
+    the maintenance-mode predecessor).  State per user is one 2-long value
+    row; output on every update, same as st6, so tests can assert the two
+    APIs agree row-for-row.
+
+    Runtime requirement: the TWS Python state server speaks protobuf, so
+    executing this plan needs the `protobuf` wheel; the test suite
+    importorskips when it is absent (this container).  Plan construction
+    itself has no such dependency."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = StructType(
+        [StructField("views", LongType()), StructField("purchases", LongType())]
+    )
+    output_schema = "user_id bigint, views bigint, purchases bigint"
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("funnel", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            views, purchases = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                views += int((pdf["event_type"] == "view").sum())
+                purchases += int((pdf["event_type"] == "purchase").sum())
+            self._state.update((views, purchases))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "views": [views], "purchases": [purchases]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> DataFrame:

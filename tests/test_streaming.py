@@ -90,21 +90,26 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
                 # which windows finalize) nondeterministic.
                 os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
     stream = jobs.read_event_stream(spark, merged)
+    # Update mode: rows are emitted in the data batch that changes them, so
+    # the result does not depend on whether availableNow squeezes in a final
+    # no-data "flush" microbatch after the last file (that flush is what
+    # append mode needs to emit finalized windows, and it is racy against
+    # availableNow termination — observed empty sinks ~1 in 3 runs).
     got = jobs.run_available_now(
-        jobs.st4_watermarked_counts(stream), "t_st4", output_mode="append"
+        jobs.st4_watermarked_counts(stream), "t_st4", output_mode="update"
     ).toPandas()
-    # Append mode emits a window only once the watermark passes its end.
-    # Final watermark = max event time (12:30) - 1h = 11:30, so exactly the
-    # [10:00,11:00) window finalizes from the on-time file; [11:00,12:00)
-    # and [12:00,13:00) stay open and must NOT be emitted.  The late batch
-    # must not contaminate the finalized window's count (drop of late rows
-    # into *open* windows is best-effort in Spark; non-contamination of
-    # finalized ones is the guarantee).
-    finalized = got.set_index("window_start")["n"]
-    assert finalized.get("2024-01-01 10:00:00") == 1
-    assert "2024-01-01 11:00:00" not in finalized.index
-    assert "2024-01-01 12:00:00" not in finalized.index
+    # Batch 0 (on-time file) emits the three 1-event windows and moves the
+    # watermark to 12:30 - 1h = 11:30.  Batch 1's rows (09:10) are behind
+    # the watermark -> dropped: their [09:00,10:00) window must never
+    # appear, and no existing window may receive a contaminating update.
+    assert "2024-01-01 09:00:00" not in set(got["window_start"])
+    assert sorted(set(got["window_start"])) == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 11:00:00",
+        "2024-01-01 12:00:00",
+    ]
     assert got.groupby(["window_start", "event_type"]).size().max() == 1
+    assert (got["n"] == 1).all()
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path_factory):
@@ -134,6 +139,37 @@ def test_stateful_funnel_counts(spark, events_dir):
         jobs.st6_stateful_funnel(stream), "t_st6", output_mode="update"
     ).toPandas()
     # final state per user (last update) must equal the batch counts
+    final = out.groupby("user_id").last()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    joined = final.join(batch, lsuffix="_s")
+    assert (joined["views_s"] == joined["views"]).all()
+    assert (joined["purchases_s"] == joined["purchases"]).all()
+
+
+def test_stateful_funnel_tws_matches_batch(spark, events_dir):
+    """st8 (transformWithStateInPandas / StatefulProcessor) must agree with
+    the same batch funnel counts st6 is checked against — i.e. the old and
+    new arbitrary-state APIs implement identical semantics."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs the protobuf wheel for its "
+        "state-server protocol; absent in this container (no pip install)",
+    )
+    stream = jobs.read_event_stream(spark, events_dir)
+    out = jobs.run_available_now(
+        jobs.st8_stateful_funnel_tws(stream), "t_st8", output_mode="update"
+    ).toPandas()
     final = out.groupby("user_id").last()
     batch = (
         load_table(spark, SF_DIR, "events")
