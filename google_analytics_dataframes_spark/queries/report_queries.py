@@ -236,3 +236,32 @@ def rb7_funnel(spark, sf_dir):
         step_col="event_type",
         steps=["view", "click", "purchase"],
     )
+
+
+@register(
+    "rb8_pivot_report",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_sessions,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_sessions,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_sessions
+    FROM events
+    GROUP BY day
+    """,
+)
+def rb8_pivot_report(spark, sf_dir):
+    """GA v4 `pivots` [K]: sessions by day, pivoted over the top-3 event
+    types by total sessions (GA maxGroupCount group ranking, value-asc
+    tiebreak).  The Spark side ranks groups dynamically (report.py
+    `pivot=`); the oracle hardcodes the sf0.01 winners (signup, error,
+    click — counts 2017/2014/2006, no ties), since static SQL cannot name
+    data-dependent columns."""
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=[
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        ],
+        metrics={"sessions": "count"},
+        pivot=("event_type", 3),
+    )

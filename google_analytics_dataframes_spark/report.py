@@ -96,7 +96,9 @@ def parse_ga_filters(df: DataFrame, filters: str) -> Column:
 def _metric(name: str, spec: str) -> Column:
     kind, _, col = spec.partition(":")
     if kind == "count":
-        return F.count("*").alias(name)
+        # count(lit(1)), not count("*"): identical semantics, but legal
+        # inside a pivot aggregate (Spark rejects star there)
+        return F.count(F.lit(1)).alias(name)
     if kind == "sum":
         return dsum(col).alias(name)
     if kind == "avg":
@@ -123,6 +125,7 @@ def report(
     offset: int = 0,
     segment: tuple[str, str] | None = None,
     having: str | None = None,
+    pivot: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Build a GA-style report plan.
 
@@ -141,6 +144,15 @@ def report(
         is one small column, broadcast-eligible at any fact-table size.
     having: GA v4 `metricFilterClauses` [K] — same filter DSL evaluated over
         the *aggregated* metric columns (post-agg filter).
+    pivot: GA v4 `pivots` [K] — (pivot_col, max_group_count): the top
+        max_group_count values of pivot_col (ranked by the first metric
+        desc, value asc tiebreak — GA's group ordering) become per-metric
+        column groups `{value}_{metric}`.  The rank job reduces to
+        |distinct pivot values| rows and its collect() is bounded by
+        max_group_count (GA caps it server-side too) — metadata-sized at
+        any fact-table scale; the explicit values list keeps the pivot
+        itself single-pass.  count/users cells with no rows are 0 (GA
+        zero-fills); sum/avg/min/max stay NULL.
     """
     out = df
     if segment is not None:
@@ -158,7 +170,37 @@ def report(
     if filters:
         out = out.filter(parse_ga_filters(df, filters))
     dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
-    out = out.groupBy(*dims).agg(*[_metric(n, s) for n, s in metrics.items()])
+    aggs = [_metric(n, s) for n, s in metrics.items()]
+    if pivot is not None:
+        pcol, max_groups = pivot
+        first = next(iter(metrics))
+        groups = [
+            r[0]
+            for r in out.groupBy(pcol)
+            .agg(_metric(first, metrics[first]))
+            .orderBy(F.col(first).desc(), F.col(pcol).asc())
+            .limit(max_groups)
+            .collect()
+        ]
+        out = out.groupBy(*dims).pivot(pcol, groups).agg(*aggs)
+        if len(metrics) == 1:
+            # single-metric pivot names columns bare `{value}`; normalize to
+            # the multi-metric `{value}_{metric}` convention
+            group_set = {str(g) for g in groups}
+            out = out.select(
+                *[c for c in out.columns if c not in group_set],
+                *[F.col(f"`{g}`").alias(f"{g}_{first}") for g in groups],
+            )
+        zero_fill = [
+            f"{g}_{n}"
+            for n, s in metrics.items()
+            if s.partition(":")[0] in ("count", "users", "approx_users")
+            for g in groups
+        ]
+        if zero_fill:
+            out = out.na.fill(0, zero_fill)
+    else:
+        out = out.groupBy(*dims).agg(*aggs)
     if having:
         out = out.filter(parse_ga_filters(out, having))
     if sort:

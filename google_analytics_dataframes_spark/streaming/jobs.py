@@ -185,6 +185,61 @@ def st8_stateful_funnel_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def st9_attribution_join(
+    events: DataFrame, lateness: str = "2 hours", horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks: attribute each purchase to
+    the views by the same user in the preceding `horizon` (the streaming twin
+    of the batch theta/range join j10, same `b.ts > a.ts` bound).
+
+    Both sides carry a watermark and the join condition carries a two-sided
+    event-time bound, so Spark can prove which buffered rows can never match
+    again and evict them — per-side state is O(events within `lateness`),
+    not O(stream).  Correct eviction needs `lateness` > `horizon` plus the
+    max cross-file disorder of the source (time-ordered files => one file's
+    span); the defaults leave 1 h of slack.
+
+    Inner-join results are emitted as soon as both sides arrive (append
+    mode); the watermark only governs state cleanup, so with ordered input
+    the stream output equals the batch join exactly."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        views.withWatermark("view_ts", lateness)
+        .join(
+            purchases.withWatermark("purchase_ts", lateness),
+            F.expr(
+                f"""user_id = p_user_id
+                AND purchase_ts > view_ts
+                AND purchase_ts <= view_ts + INTERVAL {horizon}"""
+            ),
+        )
+        .select(
+            "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+def st10_stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch dimension
+    table.  The static side needs no watermark and holds no join state — it
+    is re-planned per microbatch and broadcast (dim tables are small by
+    definition; at 100 TB the stream side still never shuffles)."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "ts", "event_type", "value", "c_mktsegment")
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> DataFrame:

@@ -206,3 +206,38 @@ def test_filter_dsl_operator_chars_in_value_and_escaping(spark):
     # unescaped comma still means OR
     two = ev.filter(parse_ga_filters(ev, "event_type==view,event_type==click")).count()
     assert two == ev.filter(F.col("event_type").isin("view", "click")).count()
+
+
+def test_pivot_group_ranking_and_zero_fill(spark):
+    """pivot=(col, n): groups are the top-n pivot values by the FIRST
+    metric (desc, value-asc tiebreak); count cells with no rows are 0, not
+    NULL; multi-metric pivots name columns {value}_{metric}."""
+    ev = load_table(spark, SF_DIR, "events")
+    out = report(
+        ev,
+        dimensions=[
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        ],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        pivot=("event_type", 2),
+    )
+    top2 = [
+        r[0]
+        for r in ev.groupBy("event_type")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("event_type"))
+        .limit(2)
+        .collect()
+    ]
+    want_cols = ["day"] + [f"{g}_{m}" for g in top2 for m in ("sessions", "total_value")]
+    assert sorted(out.columns) == sorted(want_cols)
+    pdf = out.toPandas()
+    for g in top2:
+        assert pdf[f"{g}_sessions"].notna().all()  # count zero-fills
+    # cross-check one cell against a direct filter-count
+    day0 = pdf["day"].min()
+    direct = ev.filter(
+        (F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd") == day0)
+        & (F.col("event_type") == top2[0])
+    ).count()
+    assert int(pdf.set_index("day").loc[day0, f"{top2[0]}_sessions"]) == direct

@@ -54,9 +54,18 @@ def test_stream_tumbling_equals_batch(spark, events_dir):
 
 
 def test_watermark_drops_late_rows(spark, tmp_path_factory):
-    """Two files arriving in order: the second carries an event 3 h older
-    than the watermark front -> its window must not appear in the update
-    stream after finalization."""
+    """Three files arriving in order: batch 0 advances the watermark to
+    11:30, batch 1 is a fresh on-time event, batch 2 carries events >2 h
+    behind the watermark -> their window must never appear.
+
+    Why three batches, not two: Spark filters LATE events with the
+    watermark of the *previous* microbatch (only state EVICTION uses the
+    current one) — the two-watermark split that guarantees no on-time row
+    is dropped by a watermark that advanced within its own trigger.  A late
+    file exactly one batch behind the advancing file is therefore still
+    admitted (verified empirically on 4.1: batch 1 ran with watermark
+    11:30 in progress metadata yet aggregated 09:10 rows); one buffer
+    batch in between makes the drop deterministic."""
     d = str(tmp_path_factory.mktemp("late"))
     on_time = pd.DataFrame(
         {
@@ -70,25 +79,36 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
             "props": ["{}"] * 3,
         }
     )
+    buffer = on_time.iloc[:1].copy()
+    buffer["event_id"] = [9]
+    buffer.loc[:, "ts"] = pd.Timestamp("2024-01-01 12:45:00")  # on-time
     late = on_time.copy()
     late["event_id"] = [4, 5, 6]
-    late.loc[:, "ts"] = pd.Timestamp("2024-01-01 09:10:00")  # > 1h late
+    late.loc[:, "ts"] = pd.Timestamp("2024-01-01 09:10:00")  # >2h late
     os.makedirs(d, exist_ok=True)
-    for i, pdf in enumerate([on_time, late]):
+    for i, pdf in enumerate([on_time, buffer, late]):
         out = pdf.copy()
         out["ts"] = out["ts"].astype("int64")  # epoch ns
-        spark.createDataFrame(out).write.mode("overwrite").parquet(f"{d}/f{i}")
-    # one directory with both files; maxFilesPerTrigger=1 => 2 ordered batches
+        # coalesce(1): createDataFrame on local[32] otherwise splits 3 rows
+        # over several part files, and a split on-time file processed
+        # out of order lets the watermark drop an ON-TIME event (seen as a
+        # rare missing-10:00-window flake)
+        spark.createDataFrame(out).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/f{i}"
+        )
+    # one directory with all files; maxFilesPerTrigger=1 => ordered batches
     merged = str(tmp_path_factory.mktemp("late_merged"))
-    for i in (0, 1):
-        for f in os.listdir(f"{d}/f{i}"):
+    seq = 0
+    for i in (0, 1, 2):
+        for f in sorted(os.listdir(f"{d}/f{i}")):
             if f.endswith(".parquet"):
                 dst = f"{merged}/b{i}_{f}"
                 shutil.copy(f"{d}/f{i}/{f}", dst)
                 # FileStreamSource orders the initial listing by modification
-                # time; same-second copies would make batch order (and thus
-                # which windows finalize) nondeterministic.
-                os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+                # time; ties would make batch order (and thus which windows
+                # finalize) nondeterministic -> strictly increasing mtimes.
+                seq += 1
+                os.utime(dst, (1700000000 + seq * 60, 1700000000 + seq * 60))
     stream = jobs.read_event_stream(spark, merged)
     # Update mode: rows are emitted in the data batch that changes them, so
     # the result does not depend on whether availableNow squeezes in a final
@@ -98,18 +118,23 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     got = jobs.run_available_now(
         jobs.st4_watermarked_counts(stream), "t_st4", output_mode="update"
     ).toPandas()
-    # Batch 0 (on-time file) emits the three 1-event windows and moves the
-    # watermark to 12:30 - 1h = 11:30.  Batch 1's rows (09:10) are behind
-    # the watermark -> dropped: their [09:00,10:00) window must never
-    # appear, and no existing window may receive a contaminating update.
+    # Batch 0 emits the three 1-event windows and moves the watermark to
+    # 12:30 - 1h = 11:30.  Batch 1 (12:45, on-time) updates the 12:00
+    # window to n=2 and commits 11:30 as the late-event filter for batch 2.
+    # Batch 2's rows (09:10) are behind it -> dropped: their [09:00,10:00)
+    # window must never appear, and no window may receive a late update.
     assert "2024-01-01 09:00:00" not in set(got["window_start"])
     assert sorted(set(got["window_start"])) == [
         "2024-01-01 10:00:00",
         "2024-01-01 11:00:00",
         "2024-01-01 12:00:00",
     ]
-    assert got.groupby(["window_start", "event_type"]).size().max() == 1
-    assert (got["n"] == 1).all()
+    final = got.groupby("window_start")["n"].max()
+    assert final.to_dict() == {
+        "2024-01-01 10:00:00": 1,
+        "2024-01-01 11:00:00": 1,
+        "2024-01-01 12:00:00": 2,
+    }
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path_factory):
@@ -186,6 +211,77 @@ def test_stateful_funnel_tws_matches_batch(spark, events_dir):
     joined = final.join(batch, lsuffix="_s")
     assert (joined["views_s"] == joined["views"]).all()
     assert (joined["purchases_s"] == joined["purchases"]).all()
+
+
+@pytest.fixture(scope="module")
+def ordered_events_dir(spark, tmp_path_factory):
+    """events split into 4 TIME-ORDERED files (range-partitioned on ts,
+    mtimes forced ascending so FileStreamSource replays them in time order).
+    Stream-stream join tests need this: with randomly-split files the
+    watermark from an early batch would evict state still needed by older
+    rows arriving later, and stream == batch would not hold."""
+    d = str(tmp_path_factory.mktemp("events_ordered"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(d)
+    # part-0000N holds the N-th ts range (range partitioner is ascending);
+    # stamp strictly increasing mtimes so the initial listing follows it.
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(d, f), (1700000000 + i * 60, 1700000000 + i * 60))
+    return d
+
+
+def test_stream_stream_join_matches_batch(spark, ordered_events_dir):
+    """st9: watermarked stream-stream interval self-join == the batch
+    theta-join with identical bounds (j10 semantics)."""
+    stream = jobs.read_event_stream(spark, ordered_events_dir)
+    got = jobs.run_available_now(
+        jobs.st9_attribution_join(stream), "t_st9", output_mode="append"
+    ).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        v.join(
+            p,
+            (v.user_id == p.p_user_id)
+            & (p.purchase_ts > v.view_ts)
+            & (p.purchase_ts <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+        .toPandas()
+    )
+    assert len(want) > 0  # fixture actually exercises the join
+    assert _canon(got).equals(_canon(want))
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """st10: stream-static broadcast enrichment == the same batch join."""
+    stream = jobs.read_event_stream(spark, events_dir)
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    got = jobs.run_available_now(
+        jobs.st10_stream_static_enrich(stream, dim), "t_st10", output_mode="append"
+    ).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .select("event_id", "user_id", "ts", "event_type", "value", "c_mktsegment")
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert _canon(got).equals(_canon(want))
 
 
 def test_foreach_batch_sees_all_batches(spark, events_dir):
