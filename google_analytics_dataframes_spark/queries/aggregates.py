@@ -367,3 +367,33 @@ def a16_multikey_count(spark, sf_dir):
         (F.col("user_id") % 10).alias("user_bucket"),
         F.year("ts").cast("long").alias("y"),
     ).agg(F.count("*").alias("n"))
+
+
+@register("a17_approx_percentile", oracle=None, tier="R")
+def a17_approx_percentile(spark, sf_dir):
+    """Approximate percentiles per group via the Greenwald-Khanna sketch
+    (`approx_percentile`) — the 100 TB path for a14: constant memory per
+    group and a mergeable partial-agg buffer, where exact `percentile`
+    buffers every value through the shuffle.  Sketch merge order is not
+    pinned by the plan -> R-tier; tests cross-check vs exact within the
+    1/accuracy rank error."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("approx_q")
+    )
+
+
+@register("a18_freq_topk", oracle=None, tier="R")
+def a18_freq_topk(spark, sf_dir):
+    """Single-pass approximate heavy hitters (`DataFrame.stat.freqItems`,
+    a count-sketch variant): candidate items with frequency > 10% of rows,
+    without the full groupBy+sort a o5-style exact top-k pays.  Output is a
+    superset of the true frequent items (algorithm guarantee); order within
+    the array is engine-defined -> sorted here for stability, R-tier."""
+    ev = T(spark, sf_dir, "events")
+    out = ev.freqItems(["event_type"], support=0.1)
+    return out.select(
+        F.sort_array(F.col("event_type_freqItems")).alias("frequent_event_types")
+    )

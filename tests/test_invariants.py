@@ -183,3 +183,48 @@ def test_multimodal_resize_and_frames_shapes(spark):
     for doc_id, idxs in by_doc.items():
         expect = (n_chars[doc_id] // 16 + 3) // 4
         assert len(idxs) == expect
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """a17's GK sketch at accuracy 10000 must land within 1/10000 rank
+    error of the exact per-group percentiles (well inside |group|/10000
+    positions on this data -> compare against a generous value tolerance
+    derived from the exact quartiles)."""
+    reg = registry()
+    approx = (
+        reg["a17_approx_percentile"].fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    j = approx.join(exact)
+    for _, r in j.iterrows():
+        a25, a50, a75 = r["approx_q"]
+        # l_quantity is integers 1..50: rank error 1e-4 * |group| << 1 rank
+        # step, so the sketch answer must sit within one value step
+        assert abs(a25 - r["q25"]) <= 1.0
+        assert abs(a50 - r["q50"]) <= 1.0
+        assert abs(a75 - r["q75"]) <= 1.0
+
+
+def test_freq_topk_superset_of_true_heavy_hitters(spark):
+    """freqItems guarantees a SUPERSET of items above the support
+    threshold: every event_type with >10% frequency must be present."""
+    reg = registry()
+    got = set(
+        reg["a18_freq_topk"].fn(spark, SF_DIR).toPandas()["frequent_event_types"][0]
+    )
+    counts = load_table(spark, SF_DIR, "events").groupBy("event_type").count().toPandas()
+    total = counts["count"].sum()
+    truly_frequent = set(counts[counts["count"] > 0.1 * total]["event_type"])
+    assert truly_frequent <= got
