@@ -133,3 +133,20 @@ def s5_csv_json_io(spark, sf_dir):
     j = spark.read.schema(schema).json(os.path.join(base, "json"))
     c = spark.read.schema(schema).option("header", "true").csv(os.path.join(base, "csv"))
     return j.unionByName(c)
+
+
+@register("s7_orc_roundtrip", oracle=None, tier="R")
+def s7_orc_roundtrip(spark, sf_dir):
+    """ORC sink + re-read round-trip (the other built-in columnar format;
+    side-effecting -> R).  Same predicate-pushdown/column-pruning contract
+    as parquet: the re-read applies a filter that ORC serves from stripe
+    statistics.  Avro is deliberately absent: spark-avro is an external
+    jar, and this engine gates optional formats at import time rather than
+    assuming cluster jars."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
