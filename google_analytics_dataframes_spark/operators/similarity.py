@@ -145,7 +145,23 @@ def hyperplane_lsh_pairs(
     """Near-duplicate embedding pairs via random-hyperplane LSH: a fixed
     seeded hyperplane matrix signs each vector into an n_planes-bit bucket;
     only same-bucket pairs are verified with exact cosine.  Turns the O(N²)
-    pair space into an equi-join on `sig`."""
+    pair space into a partition-by-signature problem.
+
+    Physical shape: signatures are one Arrow pass; a |buckets|-sized count
+    aggregate finds signatures with >= 2 members and broadcast-semi-joins
+    them back, so singleton-bucket vectors (the vast majority of a
+    non-degenerate corpus) never enter the shuffle at all; the surviving
+    candidates shuffle ONCE on sig and a per-bucket numpy matmul verifies
+    all pairs (`applyInPandas`).  The earlier self-join formulation
+    shuffled the full vector stream twice and re-ran the signature UDF per
+    join side; this shape prunes before the shuffle and replaces per-pair
+    HOF cosine arithmetic with a vectorized GEMM.  The hot-bucket list is
+    bounded by 2^n_planes rows — broadcastable at any corpus size.  Skew
+    note: a bucket of b near-identical vectors costs O(b²) inside one
+    task — exactly the pair count ANY exact formulation must emit for that
+    bucket; if a degenerate corpus makes one bucket dominate, raise
+    n_planes (more, smaller buckets) rather than salting, which would lose
+    cross-shard pairs."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
@@ -158,18 +174,36 @@ def hyperplane_lsh_pairs(
         return pd.Series(bits.dot(1 << np.arange(n_planes)).astype("int64"))
 
     sig = fanout(emb).select("vec_id", "embedding", signature("embedding").alias("sig"))
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(
-            cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))), 4
-        ).alias("cos"),
+    hot = sig.groupBy("sig").count().filter(F.col("count") >= 2).select("sig")
+    candidates = sig.join(F.broadcast(hot), "sig", "left_semi")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype="int64"),
+                "vec_b": np.array([], dtype="int64"),
+                "cos": np.array([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        cosm = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        cos = np.round(cosm[ia, ib], 4)
+        keep = cos >= min_cos
+        if not keep.any():
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos": cos[keep]}
+        )
+
+    return candidates.groupBy("sig").applyInPandas(
+        verify, "vec_a bigint, vec_b bigint, cos double"
     )
-    return pairs.filter(F.col("cos") >= min_cos)
 
 
 def quantize_int8(emb: DataFrame) -> DataFrame:
