@@ -108,3 +108,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Write parquet clustered on `cluster_by`: range-repartition on the
+    cluster keys, sort within partitions, then write.  Each output file /
+    row group then covers a narrow, near-disjoint range of the cluster
+    keys, so parquet min/max statistics let later scans with predicates on
+    those keys skip whole row groups (the poor-man's Z-order a 100 TB
+    table needs before anyone queries it).  `partition_by` adds directory
+    partitioning on top (partition pruning before stats pruning);
+    `max_records_per_file` bounds file size for parallel downstream reads.
+
+    Range repartition (vs hash) is what makes files key-DISJOINT: hash
+    scatters every key range across all files and the stats cover
+    everything -> no skipping.  `num_files` pins the range-partition count
+    (size output files to ~128-1024 MB); left None, Spark's default (and
+    AQE coalescing, which can collapse a small write to one file) applies."""
+    out = (
+        df.repartitionByRange(num_files, *cluster_by)
+        if num_files
+        else df.repartitionByRange(*cluster_by)
+    ).sortWithinPartitions(*cluster_by)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -150,3 +150,21 @@ def s7_orc_roundtrip(spark, sf_dir):
     )
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
+
+
+@register("s8_clustered_write", oracle=None, tier="R")
+def s8_clustered_write(spark, sf_dir):
+    """Cluster-on-write + pruned re-read (side-effecting -> R): events
+    range-clustered on user_id (io.write_clustered), then scanned with a
+    user_id range predicate — the predicate reaches parquet (PushedFilters)
+    and the clustered layout's tight row-group stats let the scan skip
+    every non-overlapping row group.  Layout disjointness is asserted from
+    parquet footers in tests/test_invariants.py."""
+    from google_analytics_dataframes_spark.io import write_clustered
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_clustered")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    write_clustered(ev, out, cluster_by=["user_id"], num_files=8)
+    back = spark.read.parquet(out)
+    return back.filter((F.col("user_id") >= 100) & (F.col("user_id") < 200))

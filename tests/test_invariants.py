@@ -228,3 +228,48 @@ def test_freq_topk_superset_of_true_heavy_hitters(spark):
     total = counts["count"].sum()
     truly_frequent = set(counts[counts["count"] > 0.1 * total]["event_type"])
     assert truly_frequent <= got
+
+
+def test_write_clustered_gives_prunable_row_groups(spark, tmp_path_factory):
+    """io.write_clustered must produce files whose parquet row-group
+    min/max stats on the cluster key are near-disjoint — the property that
+    lets a predicate scan skip row groups.  Checked from the parquet
+    footers via pyarrow: with range clustering, the total stat span per
+    file is ~|keyspace|/n_files; a hash-partitioned write would give every
+    file the full span."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from google_analytics_dataframes_spark.io import write_clustered
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    out = str(tmp_path_factory.mktemp("clustered"))
+    write_clustered(ev.repartition(8), out, cluster_by=["user_id"], num_files=8)
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 1  # range partitioner actually split the keyspace
+    spans, ranges = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "user_id":
+                    st = col.statistics
+                    fmin = st.min if fmin is None else min(fmin, st.min)
+                    fmax = st.max if fmax is None else max(fmax, st.max)
+        assert fmin is not None
+        spans.append(fmax - fmin)
+        ranges.append((fmin, fmax))
+    keyspace = hi - lo
+    # each file covers a narrow slice, and slices don't nest: a point
+    # predicate user_id = K overlaps at most 2 files' stat ranges
+    assert sum(spans) <= keyspace * 1.25
+    for k in (lo, (lo + hi) // 2, hi):
+        overlapping = [r for r in ranges if r[0] <= k <= r[1]]
+        assert len(overlapping) <= 2
+    # round-trip sanity: clustering must not lose or duplicate rows
+    assert spark.read.parquet(out).count() == ev.count()
