@@ -265,3 +265,31 @@ def rb8_pivot_report(spark, sf_dir):
         metrics={"sessions": "count"},
         pivot=("event_type", 3),
     )
+
+
+@register(
+    "rb9_ratio_metric",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           ({dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+            / nullif({dsum_sql('value')}, 0)) AS purchase_value_share
+    FROM events
+    GROUP BY day
+    """,
+)
+def rb9_ratio_metric(spark, sf_dir):
+    """GA v4 expression metrics [K] (`ga:goal1Completions/ga:sessions`
+    style): the `ratio:a/b` metric spec — sum(a)/sum(b) inside ONE
+    aggregate pass, exact-decimal accumulation on both sides of the
+    divide, NULL on a zero denominator (GA empty-cell convention)."""
+    ev = T(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)),
+    )
+    return report(
+        ev,
+        dimensions=[
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        ],
+        metrics={"purchase_value_share": "ratio:purchase_value/value"},
+    )

@@ -21,8 +21,10 @@ e.g. ``"event_type==view,event_type==click;value>10"``
 Metric strings mirror GA's aggregate metric types (SURVEY.md §1.1):
 ``count`` | ``sum:col`` | ``avg:col`` | ``min:col`` | ``max:col`` |
 ``users:col`` (count-distinct) | ``approx_users:col`` (HLL, the 100-TB
-path).  Sums/avgs accumulate in exact decimal (queries/_util.py) so report
-results are partition-order-independent.
+path) | ``ratio:a/b`` (GA v4 expression metrics, e.g.
+``ga:goal1Completions/ga:sessions`` — sum(a)/sum(b) in one pass,
+null-safe on a zero denominator).  Sums/avgs accumulate in exact decimal
+(queries/_util.py) so report results are partition-order-independent.
 """
 
 from __future__ import annotations
@@ -111,6 +113,14 @@ def _metric(name: str, spec: str) -> Column:
         return F.countDistinct(col).alias(name)
     if kind == "approx_users":
         return F.approx_count_distinct(col, 0.01).alias(name)
+    if kind == "ratio":
+        num, sep, den = col.partition("/")
+        if not sep or not num or not den:
+            raise ValueError(f"ratio spec needs 'a/b', got {spec!r} for {name!r}")
+        # sum(a)/sum(b) computed inside ONE aggregate pass (GA v4
+        # expression metrics); nullif keeps a zero denominator NULL, the
+        # GA empty-cell convention, instead of raising/Inf
+        return (dsum(num) / F.nullif(dsum(den), F.lit(0.0))).alias(name)
     raise ValueError(f"unknown metric spec {spec!r} for {name!r}")
 
 
