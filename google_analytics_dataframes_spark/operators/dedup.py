@@ -423,3 +423,53 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the
         .distinct()  # band-multiplicity dedup's shuffle to surviving pairs only
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (doc_id,
+    cluster_id) with cluster_id = min node id reachable — the step that
+    turns near-dup PAIRS (minhash/simhash/LSH output) into dedup CLUSTERS
+    a pipeline can pick canonical documents from.
+
+    Iterative min-label propagation: every round each node takes the min
+    of its own label and its neighbors'; a round that changes nothing
+    terminates the loop.  Each round is one shuffle-join of the label
+    table (|V| rows of 2 longs — only docs that appear in some pair, a
+    small fraction of the corpus) against the symmetrized edge list plus a
+    min-aggregate; the driver sees only a 1-row changed-count.  Rounds =
+    graph diameter: dup clusters are near-cliques, so 2-3 in practice
+    (the large-star/small-star variant wins only on long-chain graphs).
+    `localCheckpoint` truncates the per-round lineage so the plan does not
+    double every iteration."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -608,3 +608,53 @@ def l28_quantize_int8(spark, sf_dir):
     (operators/similarity.py quantize_int8) — the 4x storage path a 100-TB
     vector corpus takes before ANN indexing."""
     return S.quantize_int8(T(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "l29_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM docs5 d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def l29_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: l12's 3-gram-Jaccard near-dup pairs collapsed
+    into connected components (operators/dedup.py connected_components,
+    iterative min-label propagation); docs in no pair are their own
+    singleton cluster, cluster_id = min doc_id = the canonical-keeper
+    election.  The oracle runs the same graph via a recursive-CTE
+    transitive closure — an O-tier check of a genuinely iterative
+    distributed algorithm."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("source") == "src5")
+    grams = fanout(docs).select(
+        "doc_id", F.explode(D.char_ngrams("text", 3)).alias("item")
+    )
+    pairs = D.jaccard_pairs(grams, threshold_pct=60).select("doc_a", "doc_b")
+    cc = D.connected_components(pairs)
+    return docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )

@@ -172,3 +172,20 @@ def test_repetition_bounds_and_planted_dup(spark):
     # doc 2: all distinct -> 0; doc 3 short-doc collapse -> 1 shingle, 0
     assert got[2]["dup_ratio"] == 0.0
     assert got[3]["n_shingles"] == 1 and got[3]["dup_ratio"] == 0.0
+
+
+def test_connected_components_path_and_singleton(spark):
+    """A 6-node path (worst case for label propagation: diameter 5), a
+    2-clique, and an isolated pair-less node via the l29-style left join."""
+    from google_analytics_dataframes_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    cc = connected_components(edges).toPandas().set_index("doc_id")["cluster_id"]
+    assert cc.loc[[1, 2, 3, 4, 5, 6]].tolist() == [1] * 6
+    assert cc.loc[[10, 11]].tolist() == [10, 10]
+    assert 99 not in cc.index  # only nodes that appear in edges
