@@ -444,7 +444,12 @@ def connected_components(
     `localCheckpoint` truncates the per-round lineage so the plan does not
     double every iteration."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the (small) edge list once: it is re-joined every round,
+    # and without this the whole upstream pair-generation pipeline would
+    # re-execute per iteration (and again for each changed-count action)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
