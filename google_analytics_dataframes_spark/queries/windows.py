@@ -212,3 +212,47 @@ def w9_percent_rank(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "w10_rolling_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+    """,
+)
+def w10_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day active users per day (GA's 7-day-active-users /
+    WAU-style metric [K]).  COUNT(DISTINCT) over a sliding RANGE frame is
+    unsupported in any engine's window path — and a naive
+    collect_set-over-range window buffers every row of a day partition.
+    Scale shape instead: dedup to (day, user) pairs (one shuffle, pairs <<
+    events), calendar-EXPAND each pair to the 7 target days it keeps a
+    user active for (bounded 7x fanout of the small pair stream), restrict
+    to days present in the data via a broadcast semi-join (the day
+    dimension is calendar-bounded at any corpus size), then one
+    count-distinct aggregate per target day."""
+    ev = T(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("target_day"),
+        "user_id",
+    )
+    return (
+        expanded.join(
+            F.broadcast(days), expanded.target_day == days.day, "left_semi"
+        )
+        .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
