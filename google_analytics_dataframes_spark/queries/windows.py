@@ -256,3 +256,35 @@ def w10_rolling_distinct(spark, sf_dir):
         .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@register("w11_rolling_hll", oracle=None, tier="R")
+def w11_rolling_hll(spark, sf_dir):
+    """w10's rolling 7-day actives on the 100 TB path: one Datasketches
+    HLL sketch per day (`hll_sketch_agg`), each day's sketch calendar-
+    expanded to the 7 windows it belongs to, merged with `hll_union_agg`,
+    estimated.  After the per-day aggregate the data volume is ONE sketch
+    row per day — the rolling merge touches |days| x 7 rows regardless of
+    corpus size, where w10's exact shape re-shuffles every (day, user)
+    pair.  Estimator-specific output -> R-tier; tests bound the error vs
+    the exact w10 answer."""
+    ev = T(spark, sf_dir, "events")
+    day_sketch = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    days = day_sketch.select("day")
+    expanded = day_sketch.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("target_day"),
+        "sk",
+    )
+    return (
+        expanded.join(F.broadcast(days), expanded.target_day == days.day, "left_semi")
+        .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("active_7d_est"))
+    )

@@ -273,3 +273,15 @@ def test_write_clustered_gives_prunable_row_groups(spark, tmp_path_factory):
         assert len(overlapping) <= 2
     # round-trip sanity: clustering must not lose or duplicate rows
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_rolling_hll_tracks_exact_within_rsd(spark):
+    """w11 (per-day HLL sketches, 7-day union-merge) must track w10's
+    exact rolling distinct within HLL lgK=14 error (~0.8% rsd; allow 5%)."""
+    reg = registry()
+    exact = reg["w10_rolling_distinct"].fn(spark, SF_DIR).toPandas().set_index("day")
+    est = reg["w11_rolling_hll"].fn(spark, SF_DIR).toPandas().set_index("day")
+    j = exact.join(est)
+    assert len(j) == len(exact)
+    rel = (j["active_7d_est"] - j["active_7d"]).abs() / j["active_7d"]
+    assert (rel < 0.05).all()
