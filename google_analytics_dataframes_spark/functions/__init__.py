@@ -21,6 +21,11 @@ from google_analytics_dataframes_spark.operators.similarity import (
     cosine,
     dot,
 )
+from google_analytics_dataframes_spark.operators.dedup import (
+    char_ngrams,
+    tokens,
+    word_shingles,
+)
 
 __all__ = [
     "davg",
@@ -33,4 +38,7 @@ __all__ = [
     "as_double",
     "cosine",
     "dot",
+    "char_ngrams",
+    "tokens",
+    "word_shingles",
 ]
