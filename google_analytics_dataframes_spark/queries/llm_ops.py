@@ -658,3 +658,61 @@ def l29_dedup_clusters(spark, sf_dir):
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
+
+
+@register(
+    "l30_decontaminate",
+    oracle="""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+    ev AS (SELECT text FROM documents WHERE source = 'src2'),
+    trt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+    trp AS (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS p
+            FROM trt),
+    trs AS (SELECT DISTINCT doc_id,
+                   CASE WHEN len(w) >= 3 THEN array_to_string(w[p:p+2], ' ')
+                        ELSE array_to_string(w, ' ') END AS sh
+            FROM trp),
+    evt AS (SELECT string_split(text, ' ') AS w FROM ev),
+    evp AS (SELECT w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS p
+            FROM evt),
+    evs AS (SELECT DISTINCT
+                   CASE WHEN len(w) >= 3 THEN array_to_string(w[p:p+2], ' ')
+                        ELSE array_to_string(w, ' ') END AS sh
+            FROM evp),
+    shared AS (SELECT t.doc_id, COUNT(*) AS n_shared
+               FROM trs t JOIN evs e ON t.sh = e.sh GROUP BY t.doc_id)
+    SELECT tr.doc_id,
+           COALESCE(s.n_shared, 0) AS n_shared_shingles,
+           COALESCE(s.n_shared, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN shared s ON tr.doc_id = s.doc_id
+    """,
+)
+def l30_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (the n-gram-overlap hygiene step every LLM
+    training corpus runs): per training doc (source src1), the count of
+    distinct word-3-shingles also present anywhere in the eval slice
+    (src2), plus the contaminated flag.  Scale shape: the EVAL side
+    reduces to a distinct-shingle set (eval sets are tiny vs the corpus)
+    and broadcasts; the training shingle stream joins it map-side — no
+    corpus-sized shuffle.  Production uses 13-grams; 3 here because the
+    synthetic docs are ~54 tokens."""
+    docs = T(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("source") == "src1")
+    ev = docs.filter(F.col("source") == "src2")
+    tr_sh = (
+        fanout(tr)
+        .select("doc_id", F.explode(D.word_shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    ev_sh = ev.select(F.explode(D.word_shingles("text", 3)).alias("sh")).distinct()
+    shared = (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return tr.select("doc_id").join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared_shingles"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
