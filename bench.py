@@ -54,13 +54,53 @@ def main() -> None:
             print(f"# bench error {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    # Full per-query detail goes to a FILE (132 entries overran the driver's
+    # stdout-capture window in round 1 -> "parsed": null); the stdout JSON
+    # line stays compact: totals, per-family rollups, and the slowest tail.
+    detail = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    import re
+    from statistics import median
+
+    families: dict[str, list[float]] = {}
+    for name, t in times.items():
+        if t < 0:
+            continue
+        fam = re.match(r"[a-z]+", name).group(0)
+        families.setdefault(fam, []).append(t)
+    fam_stats = {
+        f"{fam}_total": round(sum(ts), 2) for fam, ts in sorted(families.items())
+    }
+    fam_stats.update(
+        {f"{fam}_median": round(median(ts), 3) for fam, ts in sorted(families.items())}
+    )
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in times.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
+                "n_queries": len(times),
+                "n_errors": sum(1 for t in times.values() if t < 0),
+                "families": fam_stats,
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

@@ -74,9 +74,29 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_partitions:
+    n = _narrow_partition_count(df)
+    if n is None or n >= min_partitions:
         return df
     return df.repartition(min_partitions)
+
+
+def _narrow_partition_count(df: DataFrame) -> int | None:
+    """Partition count of ``df`` when probing it is free, else ``None``.
+
+    ``df.rdd.getNumPartitions()`` is only safe on exchange-free (narrow)
+    plans: under AQE, converting a post-shuffle DataFrame to an RDD forces
+    ``getFinalPhysicalPlan()`` which EXECUTES the upstream query stages — a
+    plan-build-time probe would silently run real jobs.  A plan that already
+    contains an Exchange has ~``spark.sql.shuffle.partitions`` partitions (or
+    AQE-coalesced better), so the fanout floor is moot there anyway: return
+    None and let callers treat the input as already-wide."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - py4j surface drift
+        return None
+    if "Exchange" in plan:
+        return None
+    return df.rdd.getNumPartitions()
 
 
 def fanout_by(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
@@ -95,7 +115,12 @@ def fanout_by(df: DataFrame, *cols: str, min_partitions: int | None = None) -> D
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    n = max(min_partitions, df.rdd.getNumPartitions())
+    cur = _narrow_partition_count(df)
+    if cur is None:
+        # post-exchange input: partition count is governed by
+        # spark.sql.shuffle.partitions already; keep at least that.
+        cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = max(min_partitions, cur)
     return df.repartition(n, *[F.col(c) for c in cols])
 
 

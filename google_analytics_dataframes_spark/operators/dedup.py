@@ -142,6 +142,8 @@ def jaccard_pairs(
     threshold_pct: int,
     max_bitmask_vocab: int = 512,
     prefix_min_items: int = 2_000_000,
+    max_bitmask_items: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Set-similarity join (PAPERS.md:6): `items` is (doc_id, item) with
     DISTINCT items per doc; emits pairs with |I|/|U| >= threshold_pct/100.
@@ -149,7 +151,8 @@ def jaccard_pairs(
 
     Adaptive physical strategy (AQE-style, driven by a cheap stat):
 
-    * **small vocabulary** (distinct items <= max_bitmask_vocab): dictionary-
+    * **small vocabulary AND bounded corpus** (distinct items <=
+      max_bitmask_vocab and item rows <= max_bitmask_items): dictionary-
       encode items and pack each doc's set into ceil(V/64) longs; candidate
       pairs come from a broadcast nested-loop self-join and |I| is
       ``bit_count(a & b)`` per word — O(V/64) per pair.  When the vocabulary
@@ -157,7 +160,10 @@ def jaccard_pairs(
       Theta(n^2) rows ANYWAY (every frequent item pairs most docs), so the
       bitmask form does the same asymptotic pair work at ~100x smaller
       constant and with no 10^7-row shuffle/aggregate (measured 9.5s -> <1s
-      on the 31-token sf0.1 corpus).
+      on the 31-token sf0.1 corpus).  The item-count gate bounds the
+      BROADCAST side — the (doc_id, sz, masks) table grows O(n_docs) and
+      must fit in executor memory, so past ~1M item rows the strategy falls
+      through to the shuffle-based paths below regardless of vocabulary.
     * **large vocabulary, large input**: prefix-filtered index join
       (:func:`_jaccard_pairs_prefix`, ppjoin-style) — each doc indexes only
       its ``sz - ceil(t*sz) + 1`` globally-rarest items, which provably
@@ -174,14 +180,35 @@ def jaccard_pairs(
     `items` is hash-partitioned on doc_id up front: per-doc sizes, the
     collect_list token sets, the prefix-ranking window, and the bitmask
     encode all cluster on doc_id, so they share this single exchange.
+
+    Stat probes: strategy choice needs (n_items, vocab) — two bounded Spark
+    jobs at plan-build time.  `items` is persisted first so the probes AND
+    the multi-pass pair pipeline (sizes / index sides / verify sets all
+    re-read it) share one materialization instead of re-running the upstream
+    explode per pass.  Callers that need a fully LAZY plan pass
+    ``stats={"n_items": ..., "vocab": [...] | None}`` (e.g. from catalog
+    metadata or a prior pass) and no job runs here.
     """
     items = fanout_by(items, "doc_id")
-    vocab_rows = items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
-    if len(vocab_rows) <= max_bitmask_vocab:
-        return _jaccard_pairs_bitmask(
-            items, threshold_pct, sorted(r["item"] for r in vocab_rows)
+    if stats is None:
+        items = items.persist()
+        n_items = items.count()
+        vocab_rows = (
+            items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
         )
-    if threshold_pct > 0 and items.count() >= prefix_min_items:
+        vocab = (
+            sorted(r["item"] for r in vocab_rows)
+            if len(vocab_rows) <= max_bitmask_vocab
+            else None
+        )
+    else:
+        n_items = stats["n_items"]
+        vocab = stats.get("vocab")
+        if vocab is not None and len(vocab) > max_bitmask_vocab:
+            vocab = None
+    if vocab is not None and n_items <= max_bitmask_items:
+        return _jaccard_pairs_bitmask(items, threshold_pct, vocab)
+    if threshold_pct > 0 and n_items >= prefix_min_items:
         return _jaccard_pairs_prefix(items, threshold_pct)
     return _jaccard_pairs_index(items, threshold_pct)
 
@@ -442,7 +469,12 @@ def connected_components(
     graph diameter: dup clusters are near-cliques, so 2-3 in practice
     (the large-star/small-star variant wins only on long-chain graphs).
     `localCheckpoint` truncates the per-round lineage so the plan does not
-    double every iteration."""
+    double every iteration.
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds — returning silently would hand the caller partially-converged
+    (wrong) cluster ids.  A diameter > 50 means the input is a long chain,
+    not a dup cluster; raise, don't guess."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the (small) edge list once: it is re-joined every round,
     # and without this the whole upstream pair-generation pipeline would
@@ -475,6 +507,12 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph diameter exceeds "
+            "max_iter — raise max_iter or pre-contract the chains"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -222,23 +222,59 @@ def sequence_pack(
 ) -> DataFrame:
     """Pack documents into ~budget_tokens training sequences: running token
     sum over a deterministic document order, bin = floor(cumsum_before /
-    budget).  The distributed form of greedy packing — no sequential state,
-    one window over the chosen order; bins can overflow by at most one
-    document, the standard approximation when packing at corpus scale.
+    budget).  The distributed form of greedy packing; bins can overflow by at
+    most one document, the standard approximation when packing at corpus
+    scale.
 
-    At 100 TB the order column is a partition-friendly key (shard id, hash
-    prefix) so the window runs per shard; here a single global order keeps
-    the oracle exact."""
+    Two-phase distributed prefix sum — NO global partition-less window (a
+    single `OVER (ORDER BY ...)` would pull the whole corpus onto one task):
+
+    1. `repartitionByRange(order_col)` gives contiguous, globally ordered key
+       ranges; `spark_partition_id()` is then monotone in the order, so a
+       window partitioned by pid computes each partition's LOCAL running sum
+       in parallel.
+    2. Per-partition token subtotals (one row per partition — cluster-sized,
+       not data-sized) get their exclusive prefix via a broadcast triangle
+       join (b.pid < a.pid), and the offsets broadcast back onto the local
+       sums.  Fully lazy: no driver-side action, no partition-less window
+       anywhere in the plan.
+
+    Requires `order_col` values to be unique (a range partitioner may split
+    ties across partitions, which would make pid order ambiguous); doc ids
+    are.  Global bins are identical to the single-window formulation, so the
+    exact SQL oracle still holds."""
     from pyspark.sql import Window
 
     toks = F.size(tokens("text")).cast("long")
-    w = Window.orderBy(F.col(order_col))
-    cum_before = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("long"),
-    )
-    return (
+    ranged = (
         fanout(docs)
         .select(F.col(order_col), toks.alias("n_tokens"))
+        .repartitionByRange(F.col(order_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    # Phase 1: local exclusive running sum within each range partition.
+    w_local = Window.partitionBy("pid").orderBy(F.col(order_col))
+    local_before = F.coalesce(
+        F.sum("n_tokens").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    staged = ranged.withColumn("local_before", local_before)
+
+    # Phase 2: exclusive prefix over the per-partition subtotals (tiny).
+    subtot = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("part_tokens"))
+    a, b = subtot.alias("a"), subtot.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.part_tokens"), F.lit(0).cast("long")).alias("offset")
+        )
+    )
+
+    cum_before = F.col("local_before") + F.col("offset")
+    return (
+        staged.join(F.broadcast(offsets), "pid")
         .withColumn("bin", F.floor(cum_before / budget_tokens).cast("long"))
+        .select(order_col, "n_tokens", "bin")
     )

@@ -376,12 +376,19 @@ def a17_approx_percentile(spark, sf_dir):
     group and a mergeable partial-agg buffer, where exact `percentile`
     buffers every value through the shuffle.  Sketch merge order is not
     pinned by the plan -> R-tier; tests cross-check vs exact within the
-    1/accuracy rank error."""
+    1/accuracy rank error.  Output flattened to scalar q25/q50/q75 columns
+    (not one array column) so order-insensitive canonicalizers can sort and
+    hash the rows."""
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-        ).alias("approx_q")
+        ).alias("_q")
+    ).select(
+        "l_returnflag",
+        F.element_at("_q", 1).cast("double").alias("q25"),
+        F.element_at("_q", 2).cast("double").alias("q50"),
+        F.element_at("_q", 3).cast("double").alias("q75"),
     )
 
 
@@ -391,9 +398,12 @@ def a18_freq_topk(spark, sf_dir):
     a count-sketch variant): candidate items with frequency > 10% of rows,
     without the full groupBy+sort a o5-style exact top-k pays.  Output is a
     superset of the true frequent items (algorithm guarantee); order within
-    the array is engine-defined -> sorted here for stability, R-tier."""
+    the array is engine-defined -> sorted + joined to one scalar string for
+    stability (scalar columns keep canonicalizers array-free), R-tier."""
     ev = T(spark, sf_dir, "events")
     out = ev.freqItems(["event_type"], support=0.1)
     return out.select(
-        F.sort_array(F.col("event_type_freqItems")).alias("frequent_event_types")
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("frequent_event_types")
     )

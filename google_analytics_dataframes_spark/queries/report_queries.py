@@ -218,7 +218,8 @@ def rb6_channel_having(spark, sf_dir):
           UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
     SELECT step, step_name, users,
            CASE WHEN lag(users) OVER (ORDER BY step) IS NULL THEN 1.0
-                ELSE round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 6)
+                ELSE round(CAST(users AS DOUBLE)
+                           / nullif(lag(users) OVER (ORDER BY step), 0), 6)
            END AS conversion
     FROM c
     """,

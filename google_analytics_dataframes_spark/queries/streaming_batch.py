@@ -140,3 +140,146 @@ def st3_sessionize(spark, sf_dir):
             "duration_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# st9/st10 — REAL streaming execution, driver-visible.
+#
+# Unlike st1-st3 (batch formulations of streaming shapes), these two run the
+# actual Structured Streaming jobs from streaming/jobs.py inside the query
+# fn: stage events.parquet into a multi-file source directory, execute with
+# Trigger.AvailableNow into a memory sink, and return the sink table.  The
+# oracle is the equivalent batch join, so the driver's comparison IS the
+# stream==batch equivalence proof (previously only asserted in pytest).
+# The eager execution inside the fn is deliberate and documented: a stream
+# has to run before its result exists.
+# ---------------------------------------------------------------------------
+
+
+def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
+    """Copy events.parquet into a directory of 4 files (FileStreamSource
+    wants a directory).  ``ordered=True`` range-partitions on ts and stamps
+    ascending mtimes so the initial listing replays files in event-time
+    order — required for watermarked stream-stream joins (a random split
+    would evict state still needed by older rows arriving later)."""
+    import os
+    import tempfile
+
+    from google_analytics_dataframes_spark.io import load_table
+
+    tag = "ord" if ordered else "raw"
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}_{sf_tag}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000  # back to raw ns LONG wire format
+    )
+    if ordered:
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            t = 1_700_000_000 + i * 60
+            os.utime(os.path.join(d, fname), (t, t))
+    else:
+        ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _few_state_partitions(spark, n: int = 8):
+    """Run a stateful streaming job with few shuffle (= state store)
+    partitions, restoring the session conf after.  Stateful microbatches
+    pay per-state-partition overhead (store open/commit/checkpoint) every
+    batch and AQE is disabled for them, so 32 partitions x 4 batches of
+    tiny state is pure fixed cost: 25s -> a few seconds at sf0.01.  At
+    real scale the caller sizes this to state volume instead."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@register(
+    "st9_stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+           b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.event_type = 'view' AND b.event_type = 'purchase'
+     AND a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def st9_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join, EXECUTED as a stream:
+    attribute purchases to same-user views in the preceding hour
+    (streaming/jobs.py st9_attribution_join; j10's bounds).  Inner join +
+    append mode + availableNow => the final memory table is the complete
+    join result, so the batch SQL twin is an exact oracle."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir(spark, sf_dir, ordered=True)
+    stream = jobs.read_event_stream(spark, src)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st9_attribution_join(stream),
+            f"st9_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        "purchase_value",
+    )
+
+
+@register(
+    "st10_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           e.event_type, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st10_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment, EXECUTED as a stream: the event
+    stream joins a static customer dimension per microbatch
+    (streaming/jobs.py st10_stream_static_enrich).  Stateless — no
+    watermark, no join state; file order is irrelevant, so the staged
+    source is a plain 4-way split."""
+    import uuid
+
+    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir(spark, sf_dir, ordered=False)
+    stream = jobs.read_event_stream(spark, src)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = jobs.run_available_now(
+        jobs.st10_stream_static_enrich(stream, dim),
+        f"st10_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+        "c_mktsegment",
+    )

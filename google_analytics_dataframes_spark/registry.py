@@ -48,11 +48,44 @@ def register(name: str, oracle: str | None = None, tier: str = "O", doc: str = "
     return deco
 
 
+_PRIORITY: list[str] = []
+
+
+def set_priority_order(prefixes: list[str]) -> None:
+    """Declare the registry iteration order as a prefix priority list.
+
+    External sweeps iterate the registry dict in insertion order and may stop
+    on a count/time budget, so the order decides which queries get recorded
+    evidence.  Each entry is matched as an exact name first, then as a name
+    prefix (longest-prefix wins, so "w10" beats "w1"); unmatched queries keep
+    their registration order after all matched ones.
+    """
+    global _PRIORITY
+    _PRIORITY = list(prefixes)
+
+
+def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
+    if not _PRIORITY:
+        return dict(reg)
+
+    def rank(name: str) -> tuple[int, int]:
+        best = len(_PRIORITY)  # unmatched sorts after every priority bucket
+        best_len = -1
+        for i, p in enumerate(_PRIORITY):
+            if name == p or name.startswith(p):
+                if len(p) > best_len:
+                    best, best_len = i, len(p)
+        return (best, 0)
+
+    indexed = sorted(enumerate(reg), key=lambda t: (rank(t[1]), t[0]))
+    return {n: reg[n] for _, n in indexed}
+
+
 def registry() -> dict[str, Query]:
     """All registered queries (importing the queries package populates it)."""
     import google_analytics_dataframes_spark.queries  # noqa: F401  (side-effect: registration)
 
-    return dict(_REGISTRY)
+    return _ordered(_REGISTRY)
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -364,8 +364,6 @@ def funnel_report(
     recompute); this shape scans the fact table exactly once.  Per-entity
     event lists must fit in memory — the same bound as any
     sessionization/collect_list over an entity's history."""
-    from pyspark.sql import Window
-
     n_steps = len(steps)
     lit_steps = F.array(*[F.lit(s) for s in steps])
     per_entity = (
@@ -410,16 +408,40 @@ def funnel_report(
         .groupBy("_i")
         .agg(F.count("_t").alias("users"))  # count() skips NULLs = not reached
     )
-    step_names = F.element_at(lit_steps, F.col("_i") + 1)
-    rows = counts.select(
-        (F.col("_i") + 1).cast("int").alias("step"),
-        step_names.alias("step_name"),
-        "users",
+    # Left-join against a static 1..n_steps frame so the report ALWAYS emits
+    # one row per funnel step — with no qualifying events at all, `counts` is
+    # empty and a bare select would return zero rows instead of zero counts.
+    spark = df.sparkSession
+    step_frame = spark.range(1, n_steps + 1).select(F.col("id").cast("int").alias("step"))
+    rows = (
+        step_frame.join(
+            counts.select((F.col("_i") + 1).cast("int").alias("step"), "users"),
+            "step",
+            "left",
+        )
+        .select(
+            "step",
+            F.element_at(lit_steps, F.col("step")).alias("step_name"),
+            F.coalesce(F.col("users"), F.lit(0).cast("long")).alias("users"),
+        )
     )
-    prev = F.lag("users").over(Window.orderBy("step"))
-    return rows.withColumn(
-        "conversion",
-        F.when(prev.isNull(), F.lit(1.0)).otherwise(
-            F.round(F.col("users") / prev, 6)
-        ),
+    # prev-step users via a broadcast self-join on step-1 (the frame is
+    # n_steps rows — a lag() window would plan a partition-less WindowExec
+    # and warn on every run, even though it's bounded here).  nullif guards
+    # the 0-user intermediate step: conversion is NULL, not an
+    # engine-dependent div-by-zero artifact.
+    prev_frame = rows.select(
+        (F.col("step") + 1).alias("step"), F.col("users").alias("_prev")
+    )
+    return (
+        rows.join(F.broadcast(prev_frame), "step", "left")
+        .withColumn(
+            "conversion",
+            F.when(F.col("_prev").isNull() & (F.col("step") == 1), F.lit(1.0)).otherwise(
+                F.round(
+                    F.col("users") / F.nullif(F.col("_prev"), F.lit(0).cast("long")), 6
+                )
+            ),
+        )
+        .select("step", "step_name", "users", "conversion")
     )

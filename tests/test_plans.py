@@ -152,3 +152,23 @@ def test_fanout_raises_but_never_reduces_partitions(spark):
     assert fanout(wide) is wide
     # row preservation
     assert fanout(docs).count() == docs.count()
+
+
+def test_sequence_pack_has_no_global_window(spark):
+    """l27 must never plan a partition-less WindowExec (it pulls the whole
+    corpus onto ONE task — the classic 100 TB scale-killer).  The two-phase
+    prefix sum keeps every Window partitioned; `windowspecdefinition(...)`
+    with no leading partition expressions shows up in the formatted plan as
+    a spec whose first argument is the ORDER BY column itself."""
+    df = registry()["l27_sequence_pack"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" not in line:
+            continue
+        if "windowspecdefinition" in line:
+            # a partitioned spec reads windowspecdefinition(pid#.., doc_id#.. ASC
+            # a global one starts straight at the sort spec: (doc_id#.. ASC
+            assert "windowspecdefinition(doc_id" not in line.replace(" ", ""), line
+    # and the result must still be the exact global packing
+    got = df.orderBy("doc_id").limit(5).collect()
+    assert got[0]["bin"] == 0

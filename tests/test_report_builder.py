@@ -241,3 +241,25 @@ def test_pivot_group_ranking_and_zero_fill(spark):
         & (F.col("event_type") == top2[0])
     ).count()
     assert int(pdf.set_index("day").loc[day0, f"{top2[0]}_sessions"]) == direct
+
+
+def test_funnel_emits_all_steps_on_degenerate_data(spark):
+    """With NO qualifying events the funnel must still report one zero-count
+    row per step (matching the oracle's COUNT(*)-over-empty-CTE shape), and
+    a 0-user intermediate step must yield NULL conversion, not a
+    div-by-zero artifact."""
+    from google_analytics_dataframes_spark.report import funnel_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = funnel_report(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        step_col="event_type",
+        steps=["no_such_step_a", "no_such_step_b", "no_such_step_c"],
+    ).orderBy("step")
+    rows = out.collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert [r["users"] for r in rows] == [0, 0, 0]
+    assert rows[0]["conversion"] == 1.0  # first step has no predecessor
+    assert rows[1]["conversion"] is None and rows[2]["conversion"] is None
