@@ -716,3 +716,177 @@ def l30_decontaminate(spark, sf_dir):
         F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared_shingles"),
         (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ------------------------------------------------- round-2 additions ----
+
+
+@register(
+    "l31_chunk_split",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 unnest(range(0, CAST(ceil(n / 512.0) AS BIGINT))) AS chunk_id
+          FROM t)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(512, n - chunk_id * 512) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+)
+def l31_chunk_split(spark, sf_dir):
+    """Max-length chunking: split each document into consecutive <=512-token
+    training chunks (the overflow-chunking step a tokenize-and-pack pipeline
+    runs before l27's bin packing).  explode(sequence(...)) is a NARROW
+    fan-out — chunk rows are emitted where the doc row lives, no shuffle at
+    any corpus size."""
+    docs = fanout(T(spark, sf_dir, "documents"))
+    n = F.size(X.tokens("text")).cast("long")
+    n_chunks = F.ceil(n / F.lit(512.0)).cast("long")
+    return (
+        docs.select("doc_id", n.alias("n"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(F.lit(512).cast("long"), F.col("n") - F.col("chunk_id") * 512).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "l32_domain_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def l32_domain_quota(spark, sf_dir):
+    """Per-domain quota capping (the CommonCrawl "max N pages per host"
+    step): keep at most 50 docs per source, chosen by deterministic hash
+    order (md5 of doc_id — an unbiased, re-run-stable sample, unlike "first
+    50 by id" which biases toward old pages).  The rank<=50 filter adjacent
+    to row_number lets Spark plan a WindowGroupLimit: each partition keeps a
+    50-row heap per source instead of sorting whole domains — the difference
+    between O(quota) and O(domain size) state on a 10^9-page host."""
+    docs = fanout(T(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@register(
+    "l33_dedup_apply",
+    oracle="""
+    WITH RECURSIVE docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    labeled AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                FROM docs5 d LEFT JOIN comp c USING (doc_id))
+    SELECT cluster_id AS keep_id, COUNT(*) AS cluster_size
+    FROM labeled GROUP BY cluster_id
+    """,
+)
+def l33_dedup_apply(spark, sf_dir):
+    """The last step of the dedup cascade: apply l29's cluster election to
+    the corpus — one surviving document per near-dup cluster (the min
+    doc_id keeper) with its cluster size.  Downstream a training run
+    anti-joins the corpus against the non-keeper ids; here the keeper list
+    itself is the checkable output."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("source") == "src5")
+    grams = fanout(docs).select(
+        "doc_id", F.explode(D.char_ngrams("text", 3)).alias("item")
+    )
+    pairs = D.jaccard_pairs(grams, threshold_pct=60).select("doc_a", "doc_b")
+    cc = D.connected_components(pairs)
+    labeled = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return labeled.groupBy(F.col("cluster_id").alias("keep_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
+@register(
+    "l34_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(ln(f.n / CAST(tot.total AS DOUBLE))), 6) AS avg_logprob
+    FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def l34_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (the cheap perplexity proxy used for corpus
+    filtering): avg log p(token) per document under the corpus's own
+    unigram distribution — low scores flag gibberish / rare-token spam.
+    The frequency table is vocabulary-sized -> broadcast; the token stream
+    is never shuffled (fanout_by pre-partitions on doc_id so the final
+    per-doc aggregation is exchange-free)."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -168,3 +168,79 @@ def s8_clustered_write(spark, sf_dir):
     write_clustered(ev, out, cluster_by=["user_id"], num_files=8)
     back = spark.read.parquet(out)
     return back.filter((F.col("user_id") >= 100) & (F.col("user_id") < 200))
+
+
+@register(
+    "s9_binaryfile_source",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def s9_binaryfile_source(spark, sf_dir):
+    """`binaryFile` source — the ingestion path for opaque multimodal blobs
+    (images/audio/video land as whole-file rows before l19/l25/l26 decode
+    plumbing).  Column pruning matters here: selecting only path+length
+    reads FILE METADATA, not the bytes — at 100 TB of media that is the
+    difference between an ls and a full scan.  Oracle reads the same files
+    via DuckDB's read_blob; like rb8, the oracle's literal path pins the
+    sf0.01 check directory (static SQL cannot take the sf_dir parameter)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
+@register(
+    "s10_partitioned_read",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+    """,
+)
+def s10_partitioned_read(spark, sf_dir):
+    """Hive-style partitioned table round-trip with PARTITION PRUNING: write
+    events partitioned by day, read back one day — the scan must touch one
+    directory, not the table (the plan's PartitionFilters line, asserted in
+    tests/test_plans.py).  This is the layout a 100 TB event table actually
+    ships in: day partitions + pruning turn a full scan into a 1/365 scan
+    before any I/O happens."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_partitioned_events_{sf_tag}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        # one file per day-partition: repartition on the partition column so
+        # each task writes one directory, not |tasks| x |days| small files
+        ev.repartition(F.col("day")).write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-15")
+    return back.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+        F.col("day").cast("string").alias("day"),
+    )

@@ -172,3 +172,23 @@ def test_sequence_pack_has_no_global_window(spark):
     # and the result must still be the exact global packing
     got = df.orderBy("doc_id").limit(5).collect()
     assert got[0]["bin"] == 0
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """s10's day filter must reach the scan as a PartitionFilter (directory
+    pruning before I/O), not a post-scan Filter over all partitions."""
+    df = registry()["s10_partitioned_read"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # the day predicate sits in PartitionFilters, and pruning leaves exactly
+    # one of the staged day-partitions to read
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("day" in l and "2024-01-15" in l for l in pf_lines), pf_lines
+
+
+def test_domain_quota_uses_window_group_limit(spark):
+    """l32's rank<=50 filter adjacent to row_number must plan a
+    WindowGroupLimit (per-group bounded heap) — without it a 10^9-page
+    domain buffers the whole group in the window sort."""
+    df = registry()["l32_domain_quota"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in audit.node_names(df), audit.formatted_plan(df)
