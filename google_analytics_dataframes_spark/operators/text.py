@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from google_analytics_dataframes_spark.io import fanout, fanout_by
 from google_analytics_dataframes_spark.operators.dedup import tokens, word_shingles
@@ -229,40 +230,66 @@ def sequence_pack(
     Two-phase distributed prefix sum — NO global partition-less window (a
     single `OVER (ORDER BY ...)` would pull the whole corpus onto one task):
 
-    1. `repartitionByRange(order_col)` gives contiguous, globally ordered key
-       ranges; `spark_partition_id()` is then monotone in the order, so a
-       window partitioned by pid computes each partition's LOCAL running sum
-       in parallel.
+    1. `repartitionByRange(order_col)` + `sortWithinPartitions` gives
+       contiguous, globally ordered key ranges; an Arrow-batched
+       `mapInPandas` scan then computes each partition's LOCAL exclusive
+       running sum with NO further shuffle (a window partitioned by
+       `spark_partition_id()` would be pure-JVM but forces a second
+       corpus-sized hash exchange — Catalyst can't prove the range layout
+       satisfies it; the per-partition linear scan is precisely the
+       semantics built-in operators can't express in place).
     2. Per-partition token subtotals (one row per partition — cluster-sized,
        not data-sized) get their exclusive prefix via a broadcast triangle
        join (b.pid < a.pid), and the offsets broadcast back onto the local
        sums.  Fully lazy: no driver-side action, no partition-less window
-       anywhere in the plan.
+       anywhere in the plan, ONE corpus-sized shuffle total (the range
+       partitioning).
 
     Requires `order_col` values to be unique (a range partitioner may split
     ties across partitions, which would make pid order ambiguous); doc ids
     are.  Global bins are identical to the single-window formulation, so the
     exact SQL oracle still holds."""
-    from pyspark.sql import Window
-
     toks = F.size(tokens("text")).cast("long")
     ranged = (
         fanout(docs)
         .select(F.col(order_col), toks.alias("n_tokens"))
         .repartitionByRange(F.col(order_col))
-        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions(F.col(order_col))
+    )
+    order_field = ranged.schema[order_col]
+
+    # Phase 1: local exclusive running sum, one sequential Arrow scan per
+    # partition; state carries across batches inside a partition.
+    out_schema = StructType(
+        [
+            order_field,
+            StructField("n_tokens", LongType()),
+            StructField("pid", IntegerType()),
+            StructField("local_before", LongType()),
+        ]
     )
 
-    # Phase 1: local exclusive running sum within each range partition.
-    w_local = Window.partitionBy("pid").orderBy(F.col(order_col))
-    local_before = F.coalesce(
-        F.sum("n_tokens").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("long"),
-    )
-    staged = ranged.withColumn("local_before", local_before)
+    def _local_scan(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = 0
+        for pdf in iterator:
+            n = pdf["n_tokens"].astype("int64")
+            pdf["pid"] = pid
+            pdf["local_before"] = n.cumsum() - n + running
+            running += int(n.sum())
+            yield pdf
+
+    # `staged` has three consumers (both triangle-join sides derive the
+    # subtotals from it, plus the final join): persist — lazily, no job here
+    # — so the range shuffle + Python scan materialize ONCE and the other
+    # consumers read the (order_col, n_tokens, pid, local_before) cache,
+    # ~28 B/row, spilling to disk if needed.
+    staged = ranged.mapInPandas(_local_scan, schema=out_schema).persist()
 
     # Phase 2: exclusive prefix over the per-partition subtotals (tiny).
-    subtot = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("part_tokens"))
+    subtot = staged.groupBy("pid").agg(F.sum("n_tokens").alias("part_tokens"))
     a, b = subtot.alias("a"), subtot.alias("b")
     offsets = (
         a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
