@@ -180,7 +180,9 @@ def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
             t = 1_700_000_000 + i * 60
             os.utime(os.path.join(d, fname), (t, t))
     else:
-        ev.repartition(4).write.mode("overwrite").parquet(d)
+        # 2 files -> 2 microbatches: enough to prove per-batch replanning of
+        # the static side without paying 4 batch fixed costs per sweep
+        ev.repartition(2).write.mode("overwrite").parquet(d)
     return d
 
 
