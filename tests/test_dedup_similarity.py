@@ -72,6 +72,39 @@ def test_jaccard_pairs_exact_math(spark):
     assert (1, 3) not in rows and (2, 3) not in rows
 
 
+def test_jaccard_strategies_agree_and_bitmask_gates_on_corpus_size(spark):
+    """The three physical strategies (bitmask / prefix / index) must produce
+    identical pairs, and the bitmask path must REFUSE oversized corpora —
+    its broadcast side grows O(n_docs) and would stop fitting in executor
+    memory long before 100 TB, so `max_bitmask_items` forces the fallback
+    even when the vocabulary is tiny."""
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 1, 2, 2, 2, 3, 3, 4],
+                "item": ["a", "b", "c", "b", "c", "d", "a", "b", "e"],
+            }
+        )
+    )
+
+    def pairset(df):
+        return {
+            (r.doc_a, r.doc_b, r.inter, r.uni) for r in df.collect()
+        }
+
+    bitmask = pairset(D.jaccard_pairs(items, 40))  # vocab 5 <= 512 -> bitmask
+    gated = D.jaccard_pairs(items, 40, max_bitmask_items=1)  # forced fallback
+    index_path = pairset(gated)
+    prefix = pairset(
+        D.jaccard_pairs(items, 40, max_bitmask_items=1, prefix_min_items=1)
+    )
+    assert bitmask == index_path == prefix and bitmask
+    # the gated plan must not contain the broadcast nested-loop of masks
+    from google_analytics_dataframes_spark.plans import audit
+
+    assert "BroadcastNestedLoopJoin" not in audit.formatted_plan(gated)
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
