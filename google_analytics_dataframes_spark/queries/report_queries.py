@@ -294,3 +294,101 @@ def rb9_ratio_metric(spark, sf_dir):
         ],
         metrics={"purchase_value_share": "ratio:purchase_value/value"},
     )
+
+
+@register(
+    "rb10_sampled_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ga-sample'), 1, 8))
+                 AS BIGINT) % 100 < 50)
+    SELECT event_type,
+           COUNT(*) * 2 AS est_sessions,
+           COUNT(*) AS sampled_sessions,
+           0.5 AS sample_rate
+    FROM s GROUP BY event_type
+    """,
+)
+def rb10_sampled_report(spark, sf_dir):
+    """GA sampling semantics [K] (`samplingLevel`, `containsSampledData`,
+    `sampleSize`/`sampleSpace`): above a session threshold GA computes the
+    report on a user-level sample and scales the estimates.  This is also
+    THE interactive-query strategy at 100 TB — a deterministic hash sample
+    of the USER population (not rows: sampling users keeps per-user
+    structure intact for session metrics) is a pushed-down filter that
+    prunes before any shuffle; estimates scale by the inverse rate.  The
+    md5-bucket sample is the same re-shard-stable arithmetic as l22's
+    split, so the sampled population never drifts across runs or
+    partitionings."""
+    ev = T(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ga-sample"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sampled = ev.filter(bucket < 50)
+    return sampled.groupBy("event_type").agg(
+        (F.count("*") * 2).alias("est_sessions"),
+        F.count("*").alias("sampled_sessions"),
+        F.lit(0.5).alias("sample_rate"),
+    )
+
+
+@register(
+    "rb11_rollup_reuse",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(1) AS BIGINT) AS sessions,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY event_type
+    """,
+)
+def rb11_rollup_reuse(spark, sf_dir):
+    """Pre-aggregated rollup reuse — the materialized-view pattern every
+    100 TB analytics store lives on: a day x event_type rollup (day-count
+    sized, ~10^3 smaller than the event log) is materialized ONCE, and the
+    month query re-aggregates the rollup instead of the raw events.
+    Correctness requires the rollup metrics to be re-aggregable (counts and
+    exact-decimal sums are; distincts are NOT — those need sketches, see
+    w11).  The oracle computes the same answer from the raw table, so the
+    driver check proves rollup == raw."""
+    import os
+    import shutil
+    import tempfile
+
+    from google_analytics_dataframes_spark.queries._util import dsum
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_day_{sf_tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev = T(spark, sf_dir, "events")
+        (
+            ev.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("sessions"),
+                dsum("value").cast("decimal(30,6)").alias("total_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    roll = spark.read.parquet(out).filter(
+        (F.col("day") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("day") < F.lit("2024-02-01").cast("timestamp"))
+    )
+    return roll.groupBy("event_type").agg(
+        F.sum("sessions").alias("sessions"),
+        F.sum("total_value")
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
