@@ -42,6 +42,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Short stable fingerprint of a table's source bytes (relative paths +
+    sizes + mtimes, hashed).  Cache keys derived from a dataset MUST include
+    this: a path-only key (e.g. the sf tag) silently serves stale results
+    when the dataset is regenerated in place under the same directory."""
+    import hashlib
+
+    path = table_path(sf_dir, name)
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a lazy DataFrame (schema from Parquet footer).
 
@@ -83,18 +104,34 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 def _narrow_partition_count(df: DataFrame) -> int | None:
     """Partition count of ``df`` when probing it is free, else ``None``.
 
-    ``df.rdd.getNumPartitions()`` is only safe on exchange-free (narrow)
-    plans: under AQE, converting a post-shuffle DataFrame to an RDD forces
+    ``df.rdd.getNumPartitions()`` is only safe on shuffle-free plans: under
+    AQE, converting a post-shuffle DataFrame to an RDD forces
     ``getFinalPhysicalPlan()`` which EXECUTES the upstream query stages — a
     plan-build-time probe would silently run real jobs.  A plan that already
-    contains an Exchange has ~``spark.sql.shuffle.partitions`` partitions (or
-    AQE-coalesced better), so the fanout floor is moot there anyway: return
-    None and let callers treat the input as already-wide."""
+    contains a SHUFFLE exchange has ~``spark.sql.shuffle.partitions``
+    partitions (or AQE-coalesced better), so the fanout floor is moot there:
+    return None and let callers treat the input as already-wide.
+
+    A *broadcast* exchange does NOT widen the probe side — a broadcast-join
+    plan over a single-row-group scan still runs on one core — so only
+    shuffle markers (``Exchange hashpartitioning`` / ``rangepartitioning`` /
+    ``roundrobin`` / ``AQEShuffleRead``) disable the probe, not the bare
+    substring ``Exchange`` (which would also match ``BroadcastExchange`` and
+    silently turn fanout() into a no-op on narrow broadcast-join inputs).
+    BroadcastExchange itself is driver-materialized lazily at execution, not
+    by ``.rdd`` conversion of the probe side, so the probe stays free."""
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:  # pragma: no cover - py4j surface drift
         return None
-    if "Exchange" in plan:
+    shuffle_markers = (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Exchange RoundRobinPartitioning",
+        "Exchange SinglePartition",
+        "AQEShuffleRead",
+    )
+    if any(m in plan for m in shuffle_markers):
         return None
     return df.rdd.getNumPartitions()
 

@@ -144,6 +144,7 @@ def jaccard_pairs(
     prefix_min_items: int = 2_000_000,
     max_bitmask_items: int = 1_000_000,
     stats: dict | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Set-similarity join (PAPERS.md:6): `items` is (doc_id, item) with
     DISTINCT items per doc; emits pairs with |I|/|U| >= threshold_pct/100.
@@ -188,10 +189,22 @@ def jaccard_pairs(
     explode per pass.  Callers that need a fully LAZY plan pass
     ``stats={"n_items": ..., "vocab": [...] | None}`` (e.g. from catalog
     metadata or a prior pass) and no job runs here.
+
+    Persist lifecycle: with ``materialize=True`` the pair pipeline executes
+    eagerly (``localCheckpoint``), the probe persist is released before
+    returning, and the caller gets a lineage-free frame it can re-join or
+    cache without re-running anything — the right mode when the pairs feed
+    several downstream consumers (clustering, keeper election).  With the
+    default lazy mode the probe persist stays alive for the eventual
+    execution (unpersisting here would re-run the upstream explode for each
+    of the pipeline's multi-pass reads); a long-lived session issuing many
+    distinct lazy pair plans should prefer ``materialize=True`` to avoid
+    accumulating cached probe blocks.
     """
+    persisted = None
     items = fanout_by(items, "doc_id")
     if stats is None:
-        items = items.persist()
+        persisted = items = items.persist()
         n_items = items.count()
         vocab_rows = (
             items.select("item").distinct().limit(max_bitmask_vocab + 1).collect()
@@ -207,10 +220,16 @@ def jaccard_pairs(
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
     if vocab is not None and n_items <= max_bitmask_items:
-        return _jaccard_pairs_bitmask(items, threshold_pct, vocab)
-    if threshold_pct > 0 and n_items >= prefix_min_items:
-        return _jaccard_pairs_prefix(items, threshold_pct)
-    return _jaccard_pairs_index(items, threshold_pct)
+        out = _jaccard_pairs_bitmask(items, threshold_pct, vocab)
+    elif threshold_pct > 0 and n_items >= prefix_min_items:
+        out = _jaccard_pairs_prefix(items, threshold_pct)
+    else:
+        out = _jaccard_pairs_index(items, threshold_pct)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        if persisted is not None:
+            persisted.unpersist()
+    return out
 
 
 def _jaccard_pairs_index(items: DataFrame, threshold_pct: int) -> DataFrame:
@@ -473,10 +492,16 @@ def connected_components(
     `localCheckpoint` truncates the per-round lineage so the plan does not
     double every iteration.
 
+    ``max_iter`` counts ROUNDS, each applying two propagation steps, so the
+    reachable diameter is ``2 * max_iter`` (callers tuning for a known
+    diameter d should pass ``ceil(d / 2)``).  Must be >= 1.
+
     Raises ``RuntimeError`` if labels are still changing after ``max_iter``
     rounds — returning silently would hand the caller partially-converged
-    (wrong) cluster ids.  A diameter > 50 means the input is a long chain,
+    (wrong) cluster ids.  A diameter > 100 means the input is a long chain,
     not a dup cluster; raise, don't guess."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the (small) edge list once: it is re-joined every round,
     # and without this the whole upstream pair-generation pipeline would

@@ -219,7 +219,10 @@ def hash_split(
 
 
 def sequence_pack(
-    docs: DataFrame, budget_tokens: int = 2048, order_col: str = "doc_id"
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    order_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Pack documents into ~budget_tokens training sequences: running token
     sum over a deterministic document order, bin = floor(cumsum_before /
@@ -282,11 +285,16 @@ def sequence_pack(
             yield pdf
 
     # `staged` has three consumers (both triangle-join sides derive the
-    # subtotals from it, plus the final join): persist — lazily, no job here
-    # — so the range shuffle + Python scan materialize ONCE and the other
-    # consumers read the (order_col, n_tokens, pid, local_before) cache,
-    # ~28 B/row, spilling to disk if needed.
-    staged = ranged.mapInPandas(_local_scan, schema=out_schema).persist()
+    # subtotals from it, plus the final join), so the range shuffle + Python
+    # scan must materialize ONCE and the other consumers read the
+    # (order_col, n_tokens, pid, local_before) rows, ~28 B/row.  With
+    # `materialize=True` that is an eager lineage-free localCheckpoint (no
+    # persist registered, nothing accumulates across calls in a long-lived
+    # session — prefer this for one-shot pipeline runs); the lazy default
+    # persists instead, with the cache's lifetime owned by the returned
+    # frame (dropped when the caller releases it).
+    staged = ranged.mapInPandas(_local_scan, schema=out_schema)
+    staged = staged.localCheckpoint(eager=True) if materialize else staged.persist()
 
     # Phase 2: exclusive prefix over the per-partition subtotals (tiny).
     subtot = staged.groupBy("pid").agg(F.sum("n_tokens").alias("part_tokens"))

@@ -362,10 +362,19 @@ def rb11_rollup_reuse(spark, sf_dir):
     import shutil
     import tempfile
 
+    from google_analytics_dataframes_spark.io import table_fingerprint
     from google_analytics_dataframes_spark.queries._util import dsum
 
+    # Cache path includes a content fingerprint of the source table: a
+    # dataset regenerated in place under the same sf tag gets a NEW rollup
+    # path (the stale one's _SUCCESS marker can no longer be served), which
+    # is the materialized-view invalidation rule a real metastore enforces
+    # via snapshot ids.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_day_{sf_tag}")
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rollup_day_{sf_tag}_{fp}"
+    )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)

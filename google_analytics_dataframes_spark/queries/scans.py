@@ -215,9 +215,14 @@ def s10_partitioned_read(spark, sf_dir):
     tests/test_plans.py).  This is the layout a 100 TB event table actually
     ships in: day partitions + pruning turn a full scan into a 1/365 scan
     before any I/O happens."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    # fingerprint in the cache path: a regenerated source dataset under the
+    # same sf tag must re-materialize, not serve the stale partitioned copy
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_partitioned_events_{sf_tag}"
+        tempfile.gettempdir(), f"spark_graft_partitioned_events_{sf_tag}_{fp}"
     )
     marker = os.path.join(out, "_SUCCESS")
     ev = T(spark, sf_dir, "events").select(

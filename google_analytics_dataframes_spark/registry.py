@@ -48,30 +48,24 @@ def register(name: str, oracle: str | None = None, tier: str = "O", doc: str = "
     return deco
 
 
-_PRIORITY: list[str] = []
+def ordered_by_priority(reg: dict[str, Query], prefixes: list[str]) -> dict[str, Query]:
+    """Return ``reg`` reordered by a prefix priority list (pure function).
 
-
-def set_priority_order(prefixes: list[str]) -> None:
-    """Declare the registry iteration order as a prefix priority list.
-
-    External sweeps iterate the registry dict in insertion order and may stop
-    on a count/time budget, so the order decides which queries get recorded
-    evidence.  Each entry is matched as an exact name first, then as a name
-    prefix (longest-prefix wins, so "w10" beats "w1"); unmatched queries keep
-    their registration order after all matched ones.
+    Each entry is matched as an exact name first, then as a name prefix
+    (longest-prefix wins, so "w10" beats "w1"); unmatched queries keep their
+    registration order after all matched ones.  This exists ONLY for the
+    external correctness sweep, which walks the returned dict in order and
+    may truncate on a count/time budget — the order decides which queries
+    get recorded evidence.  Every other consumer (bench, tests, docs) uses
+    ``registry()``'s canonical registration order.
     """
-    global _PRIORITY
-    _PRIORITY = list(prefixes)
-
-
-def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
-    if not _PRIORITY:
+    if not prefixes:
         return dict(reg)
 
     def rank(name: str) -> tuple[int, int]:
-        best = len(_PRIORITY)  # unmatched sorts after every priority bucket
+        best = len(prefixes)  # unmatched sorts after every priority bucket
         best_len = -1
-        for i, p in enumerate(_PRIORITY):
+        for i, p in enumerate(prefixes):
             if name == p or name.startswith(p):
                 if len(p) > best_len:
                     best, best_len = i, len(p)
@@ -82,15 +76,27 @@ def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
 
 
 def registry() -> dict[str, Query]:
-    """All registered queries (importing the queries package populates it)."""
+    """All registered queries in canonical registration order (importing the
+    queries package populates it)."""
     import google_analytics_dataframes_spark.queries  # noqa: F401  (side-effect: registration)
 
-    return _ordered(_REGISTRY)
+    return dict(_REGISTRY)
+
+
+def sweep_registry() -> dict[str, Query]:
+    """Registry in the external-sweep priority order (queries.SWEEP_PRIORITY).
+
+    Only ``__spark_entry__.py`` consumes this — the driver's budget-truncated
+    correctness sweep iterates it in order, so unverified families go first.
+    """
+    import google_analytics_dataframes_spark.queries as q  # lazy: avoids import cycle
+
+    return ordered_by_priority(registry(), q.SWEEP_PRIORITY)
 
 
 def query_fns() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in registry().items()}
+    return {name: q.fn for name, q in sweep_registry().items()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}
+    return {name: q.oracle for name, q in sweep_registry().items() if q.oracle is not None}

@@ -158,6 +158,19 @@ def test_hyperplane_lsh_recalls_planted_pair(spark, planted_vectors):
     assert (3, 100003) in found and (11, 100011) in found
 
 
+def test_l13_query_emits_planted_probe_pairs(spark):
+    """The registered l13 query plants 4 scaled clones (negative ids) so its
+    R-tier driver row records nonzero recall; each probe must pair with its
+    source at cos 1.0 and no real-corpus false positives below min_cos."""
+    from google_analytics_dataframes_spark.registry import registry
+
+    rows = registry()["l13_embed_neardup"].fn(spark, SF_DIR).collect()
+    got = {(r.vec_a, r.vec_b): r.cos for r in rows}
+    for vid in range(4):
+        assert got.get((-vid - 1, vid)) == pytest.approx(1.0)
+    assert all(c >= 0.9 for c in got.values())
+
+
 def test_knn_join_neighbors_within_label(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     knn = S.knn_join_blocked(emb, k=3)
