@@ -75,8 +75,10 @@ def fake_decode_features(blobs: DataFrame) -> DataFrame:
 
 
 #: Plumbing contract of the resize stage: fixed-size feature payload + the
-#: dimensions a real image resize would target.
-RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+#: dimensions a real image resize would target; px_checksum (mod-997 byte
+#: sum of the payload) makes the sampled bytes themselves oracle-checkable
+#: without hashing raw binary across engines.
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary, px_checksum bigint"
 
 #: Plumbing contract of frame sampling: one row per sampled frame.
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame binary"
@@ -101,8 +103,12 @@ def fake_resize(blobs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
                 else:
                     idx = (np.arange(n_out) * arr.size) // n_out
                     out = arr[idx]
-                rows.append((int(doc_id), width, height, out.tobytes()))
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixels"])
+                rows.append(
+                    (int(doc_id), width, height, out.tobytes(), int(out.sum() % 997))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixels", "px_checksum"]
+            )
 
     return fanout(blobs.select("doc_id", "blob")).mapInPandas(per_batch, RESIZE_SCHEMA)
 

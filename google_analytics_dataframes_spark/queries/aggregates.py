@@ -101,7 +101,9 @@ def a4_approx_distinct(spark, sf_dir):
     """Approximate distinct via HyperLogLog++ (GA `samplingLevel` tolerance
     analog [K]; the scale path for `users` at 100 TB — constant memory per
     group vs expand-shuffle for exact).  Estimator differs from DuckDB's HLL
-    so this is R-tier; self-tests cross-check vs exact within rsd."""
+    so this is R-tier.  Verified invariant: estimate within the 1% rsd of the
+    exact per-group distinct count (tests/test_invariants.py
+    test_approx_distinct_within_rsd)."""
     return (
         T(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -375,8 +377,9 @@ def a17_approx_percentile(spark, sf_dir):
     (`approx_percentile`) — the 100 TB path for a14: constant memory per
     group and a mergeable partial-agg buffer, where exact `percentile`
     buffers every value through the shuffle.  Sketch merge order is not
-    pinned by the plan -> R-tier; tests cross-check vs exact within the
-    1/accuracy rank error.  Output flattened to scalar q25/q50/q75 columns
+    pinned by the plan -> R-tier.  Verified invariant: every reported
+    quantile lies inside the exact-value bracket at +/- 1/accuracy rank
+    error (tests/test_invariants.py test_approx_percentile_within_rank_error).  Output flattened to scalar q25/q50/q75 columns
     (not one array column) so order-insensitive canonicalizers can sort and
     hash the rows."""
     li = T(spark, sf_dir, "lineitem")
@@ -399,7 +402,10 @@ def a18_freq_topk(spark, sf_dir):
     without the full groupBy+sort a o5-style exact top-k pays.  Output is a
     superset of the true frequent items (algorithm guarantee); order within
     the array is engine-defined -> sorted + joined to one scalar string for
-    stability (scalar columns keep canonicalizers array-free), R-tier."""
+    stability (scalar columns keep canonicalizers array-free), R-tier.
+    Verified invariant: the candidate set contains EVERY item with true
+    frequency > support (tests/test_invariants.py
+    test_freq_topk_superset_of_true_heavy_hitters)."""
     ev = T(spark, sf_dir, "events")
     out = ev.freqItems(["event_type"], support=0.1)
     return out.select(

@@ -92,14 +92,20 @@ def l1_exact_dedup(spark, sf_dir):
 @register("l2_near_dedup_minhash", oracle=None, tier="R")
 def l2_near_dedup_minhash(spark, sf_dir):
     """MinHash(32 perms)/LSH(8 bands) near-dup pairs, exact-Jaccard
-    verified at >=30% (operators/dedup.py).  Algorithm-defined -> R-tier;
-    planted-duplicate recall is asserted in tests/test_dedup.py."""
+    verified at >=30% (operators/dedup.py).  Algorithm-defined -> R-tier.
+    Verified invariant: planted near-duplicates are recalled and unrelated
+    short-overlap docs rejected (tests/test_dedup_similarity.py
+    test_minhash_lsh_recalls_planted_neardups /
+    test_minhash_rejects_unrelated_short_overlap)."""
     return D.minhash_lsh_pairs(T(spark, sf_dir, "documents"))
 
 
 @register("l11_simhash_neardup", oracle=None, tier="R")
 def l11_simhash_neardup(spark, sf_dir):
-    """SimHash-64 near-dup candidates (16-bit band join, hamming<=8)."""
+    """SimHash-64 near-dup candidates (16-bit band join, hamming<=8).
+    Verified invariant: identical docs pair at hamming 0 and dissimilar
+    docs are excluded (tests/test_dedup_similarity.py
+    test_simhash_identical_docs_zero_hamming)."""
     return D.simhash_pairs(T(spark, sf_dir, "documents"))
 
 
@@ -151,7 +157,10 @@ def l13_embed_neardup(spark, sf_dir):
     exactly, so each probe provably lands in its source's bucket and
     verifies at cos 1.0 — the recorded rows ARE the operator's recall on
     known positives, not fixture echoes.  Planted via DataFrame transforms
-    on the real table (nothing hand-written), deterministic at every sf."""
+    on the real table (nothing hand-written), deterministic at every sf.
+    Verified invariant: all four probe pairs recalled at cos 1.0, no
+    false positives below min_cos (tests/test_dedup_similarity.py
+    test_l13_query_emits_planted_probe_pairs)."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 4).select(
         (-F.col("vec_id") - 1).alias("vec_id"),
@@ -187,14 +196,49 @@ def l3_topk_cosine(spark, sf_dir):
 @register("l4_knn_join", oracle=None, tier="R")
 def l4_knn_join(spark, sf_dir):
     """Blocked k-NN self-join (numpy matmul per label block via
-    applyInPandas); brute-force-vs-block recall asserted in tests."""
+    applyInPandas).  Verified invariant: neighbors stay within the blocking
+    label, rank <= k, no self-pairs (tests/test_dedup_similarity.py
+    test_knn_join_neighbors_within_label); planted-nearest recall via
+    test_brute_force_topk_finds_planted_nearest."""
     return S.knn_join_blocked(T(spark, sf_dir, "embeddings"), k=3)
 
 
-@register("l14_ann_ivf", oracle=None, tier="R")
+@register(
+    "l14_ann_ivf",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 7),
+    cells AS (SELECT label, unnest(range(0, 64)) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings),
+    cent AS (SELECT label, dim,
+                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+             FROM cells GROUP BY label, dim),
+    cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cent GROUP BY label),
+    probe AS (SELECT label
+              FROM cvec CROSS JOIN q
+              ORDER BY list_dot_product(centroid, q.qv)
+                       / (sqrt(list_dot_product(centroid, centroid))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC, label
+              LIMIT 2),
+    cand AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+             FROM embeddings e SEMI JOIN probe p ON e.label = p.label)
+    SELECT vec_id, label,
+           round(list_dot_product(v, q.qv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+    FROM cand CROSS JOIN q
+    ORDER BY cos DESC, vec_id
+    LIMIT 5
+    """,
+)
 def l14_ann_ivf(spark, sf_dir):
     """IVF-style ANN: label-centroid coarse quantizer, nprobe=2 cells,
-    exact rerank inside probed cells."""
+    exact rerank inside probed cells.  O-tier: unlike the LSH families,
+    every step is deterministic — exact-decimal centroids, sequential-fold
+    cosine (matches DuckDB list_dot_product order, same contract l3 relies
+    on), total (ccos, label) / (cos, vec_id) orderings — so the full probe
+    + rerank pipeline has an exact SQL twin."""
     return S.ivf_topk(T(spark, sf_dir, "embeddings"), query_vec_id=7, k=5, nprobe=2)
 
 
@@ -473,11 +517,27 @@ def l18_fingerprint(spark, sf_dir):
 # ----------------------------------------------------------- multimodal ----
 
 
-@register("l19_multimodal_stub", oracle=None, tier="R")
+@register(
+    "l19_multimodal_stub",
+    oracle="""
+    WITH pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS p
+                 FROM documents),
+    sums AS (SELECT doc_id, SUM(ord(substr(text, CAST(p AS INTEGER), 1))) AS s
+             FROM pos GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN len(d.text) = 0 THEN -1
+                     ELSE ord(substr(d.text, 1, 1)) END AS INTEGER) AS first_byte,
+           CAST(COALESCE(s.s, 0) % 997 AS BIGINT) AS checksum
+    FROM documents d LEFT JOIN sums s USING (doc_id)
+    """,
+)
 def l19_multimodal_stub(spark, sf_dir):
     """Multimodal plumbing: text -> binary blob + metadata struct ->
     Arrow-batched 'decode' (deterministic fake features; real codec point
-    stubbed with NotImplementedError — operators/multimodal.py)."""
+    stubbed with NotImplementedError — operators/multimodal.py).  O-tier:
+    the corpus is pure ASCII, so the fake byte-features (length, first
+    byte, mod-997 byte checksum) have exact SQL twins over code points —
+    the oracle checks the whole blob->Arrow->features pipeline per doc."""
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     return M.fake_decode_features(blobs)
 
@@ -592,7 +652,11 @@ def l23_mixture_sample(spark, sf_dir):
 @register("l24_stratified_sample", oracle=None, tier="R")
 def l24_stratified_sample(spark, sf_dir):
     """Native seeded per-stratum Bernoulli sampling (sampleBy) — engine-RNG-
-    specific, hence R-tier; the deterministic path is l23."""
+    specific, hence R-tier; the deterministic path is l23.  Verified
+    invariant: the sample is a subset of the source, reproducible under the
+    fixed seed, and each stratum's rate is within binomial tolerance of its
+    requested fraction (tests/test_invariants.py
+    test_stratified_sample_subset_reproducible_proportional)."""
     from google_analytics_dataframes_spark.operators.sampling import stratified_sample
 
     docs = T(spark, sf_dir, "documents")
@@ -602,22 +666,52 @@ def l24_stratified_sample(spark, sf_dir):
     return s.groupBy("lang").agg(F.count("*").alias("kept"))
 
 
-@register("l25_multimodal_resize", oracle=None, tier="R")
+@register(
+    "l25_multimodal_resize",
+    oracle="""
+    WITH j AS (SELECT doc_id, text, unnest(range(0, 64)) AS j FROM documents),
+    px AS (SELECT doc_id, j,
+                  CASE WHEN len(text) = 0 THEN 0
+                       ELSE ord(substr(text,
+                                CAST((j * len(text)) // 64 + 1 AS INTEGER), 1))
+                  END AS b
+           FROM j)
+    SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_bytes, CAST(SUM(b) % 997 AS BIGINT) AS px_checksum
+    FROM px GROUP BY doc_id
+    """,
+)
 def l25_multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing: blob -> fixed 8x8 byte payload via
-    strided sampling (real PIL resize stubbed; operators/multimodal.py)."""
+    strided sampling (real PIL resize stubbed; operators/multimodal.py).
+    O-tier: the corpus is pure ASCII, so the oracle recomputes the strided
+    sample positions `(j*size)//64` over code points and checks the payload
+    size AND the mod-997 checksum of the sampled bytes per doc — the
+    sampling arithmetic itself is driver-verified, not just cardinality."""
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     out = M.fake_resize(blobs)
-    return out.groupBy("width", "height").agg(
-        F.count("*").alias("n"),
-        F.sum(F.octet_length("pixels")).alias("total_bytes"),
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("n_bytes"),
+        "px_checksum",
     )
 
 
-@register("l26_multimodal_frames", oracle=None, tier="R")
+@register(
+    "l26_multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST((len(text) // 16 + 3) // 4 AS BIGINT) AS n_frames
+    FROM documents WHERE len(text) >= 16
+    """,
+)
 def l26_multimodal_frames(spark, sf_dir):
     """Multimodal frame sampling plumbing: blob -> every-4th 16-byte frame,
-    one row per frame (the fan-out shape of a real ffmpeg sampler)."""
+    one row per frame (the fan-out shape of a real ffmpeg sampler).
+    O-tier: per-doc sampled-frame count has a closed form over the ASCII
+    byte length — ceil((len//16)/4) for docs with at least one frame — so
+    the fan-out cardinality is driver-verified per doc."""
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     frames = M.fake_frame_sample(blobs)
     return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))

@@ -398,7 +398,9 @@ def sf14_hash_fns(spark, sf_dir):
 @register("sf14b_xxhash", oracle=None, tier="R")
 def sf14b_xxhash(spark, sf_dir):
     """xxhash64 — Spark's cheap 64-bit content key (the workhorse for
-    MinHash perms in l2).  No DuckDB twin -> rows-only; self-tests pin
-    stability across runs."""
+    MinHash perms in l2).  No DuckDB twin -> rows-only.  Verified invariant:
+    hashes are identical across independent runs/partitionings and
+    collision-free on distinct texts at this sf (tests/test_invariants.py
+    test_xxhash_stable_across_runs)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", F.xxhash64("text").alias("h_xx"))

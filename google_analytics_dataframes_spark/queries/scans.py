@@ -81,12 +81,22 @@ def s3_json_props(spark, sf_dir):
     )
 
 
-@register("s4_sink_parquet", oracle=None, tier="R")
+@register(
+    "s4_sink_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_returnflag AS VARCHAR) AS l_returnflag, l_quantity
+    FROM lineitem
+    """,
+)
 def s4_sink_parquet(spark, sf_dir):
-    """Partitioned parquet sink + re-read round-trip (side-effecting -> R).
+    """Partitioned parquet sink + re-read round-trip (side-effecting).
 
     Partitioning by `l_returnflag` gives downstream partition pruning; at
     scale the same write would also bucket by join key (SURVEY.md §4.2).
+    O-tier: the oracle is the SOURCE slice, so the driver hash proves the
+    write+read round-trip is value-exact (parquet is lossless for these
+    types), including the partition column recovered from directory names.
     """
     out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_parquet")
     shutil.rmtree(out, ignore_errors=True)
@@ -105,12 +115,23 @@ def s4_sink_parquet(spark, sf_dir):
     )
 
 
-@register("s5_csv_json_io", oracle=None, tier="R")
+@register(
+    "s5_csv_json_io",
+    oracle="""
+    WITH slice AS (SELECT event_id, user_id, event_type, value
+                   FROM events ORDER BY event_id LIMIT 1000)
+    SELECT * FROM slice UNION ALL SELECT * FROM slice
+    """,
+)
 def s5_csv_json_io(spark, sf_dir):
     """CSV + JSON read with explicit schema (GA wire format is JSON [K]).
 
     Round-trips a 1000-row slice of `events` through both formats and unions
-    them — checks schema-declared reads, not inference.
+    them — checks schema-declared reads, not inference.  O-tier: the oracle
+    is the source slice twice over, so the driver hash proves BOTH text
+    round-trips are value-exact (doubles survive because Spark writes
+    shortest-round-trip decimal forms; event_id order is total, so the
+    LIMIT rowset is deterministic).
     """
     base = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     shutil.rmtree(base, ignore_errors=True)
@@ -135,14 +156,21 @@ def s5_csv_json_io(spark, sf_dir):
     return j.unionByName(c)
 
 
-@register("s7_orc_roundtrip", oracle=None, tier="R")
+@register(
+    "s7_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
 def s7_orc_roundtrip(spark, sf_dir):
     """ORC sink + re-read round-trip (the other built-in columnar format;
-    side-effecting -> R).  Same predicate-pushdown/column-pruning contract
+    side-effecting).  Same predicate-pushdown/column-pruning contract
     as parquet: the re-read applies a filter that ORC serves from stripe
-    statistics.  Avro is deliberately absent: spark-avro is an external
-    jar, and this engine gates optional formats at import time rather than
-    assuming cluster jars."""
+    statistics.  O-tier: the oracle filters the SOURCE table, so the hash
+    proves the ORC round-trip value-exact.  Avro is deliberately absent:
+    spark-avro is an external jar, and this engine gates optional formats
+    at import time rather than assuming cluster jars."""
     out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_orc")
     shutil.rmtree(out, ignore_errors=True)
     o = T(spark, sf_dir, "orders").select(
@@ -152,14 +180,22 @@ def s7_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
 
 
-@register("s8_clustered_write", oracle=None, tier="R")
+@register(
+    "s8_clustered_write",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id >= 100 AND user_id < 200
+    """,
+)
 def s8_clustered_write(spark, sf_dir):
-    """Cluster-on-write + pruned re-read (side-effecting -> R): events
+    """Cluster-on-write + pruned re-read (side-effecting): events
     range-clustered on user_id (io.write_clustered), then scanned with a
     user_id range predicate — the predicate reaches parquet (PushedFilters)
     and the clustered layout's tight row-group stats let the scan skip
-    every non-overlapping row group.  Layout disjointness is asserted from
-    parquet footers in tests/test_invariants.py."""
+    every non-overlapping row group.  O-tier: the oracle filters the SOURCE
+    table, so the hash proves the clustered copy loses/duplicates nothing.
+    Layout disjointness is asserted from parquet footers in
+    tests/test_invariants.py (test_write_clustered_gives_prunable_row_groups)."""
     from google_analytics_dataframes_spark.io import write_clustered
 
     out = os.path.join(tempfile.gettempdir(), "spark_graft_clustered")

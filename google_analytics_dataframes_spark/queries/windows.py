@@ -266,7 +266,9 @@ def w11_rolling_hll(spark, sf_dir):
     estimated.  After the per-day aggregate the data volume is ONE sketch
     row per day — the rolling merge touches |days| x 7 rows regardless of
     corpus size, where w10's exact shape re-shuffles every (day, user)
-    pair.  Estimator-specific output -> R-tier; tests bound the error vs
+    pair.  Estimator-specific output -> R-tier.  Verified invariant: every
+    window's HLL estimate tracks w10's exact rolling distinct within the
+    sketch rsd (tests/test_invariants.py test_rolling_hll_tracks_exact_within_rsd) vs
     the exact w10 answer."""
     ev = T(spark, sf_dir, "events")
     day_sketch = (

@@ -150,8 +150,12 @@ def st8_stateful_funnel_tws(events: DataFrame) -> DataFrame:
 
     Runtime requirement: the TWS Python state server speaks protobuf, so
     executing this plan needs the `protobuf` wheel; the test suite
-    importorskips when it is absent (this container).  Plan construction
-    itself has no such dependency."""
+    importorskips when it is absent (this container).  A vendored fallback
+    was evaluated and rejected: pyspark ships only the GENERATED
+    StateMessage_pb2 module, which requires the full google.protobuf
+    runtime (~30k LoC of descriptor/wire-format machinery) — stubbing it
+    would mean re-implementing protobuf serialization, far riskier than an
+    honest skip.  Plan construction itself has no such dependency."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -169,6 +169,7 @@ def test_multimodal_resize_and_frames_shapes(spark):
     resized = M.fake_resize(blobs, width=8, height=8).collect()
     assert len(resized) == 50
     assert all(len(r["pixels"]) == 64 for r in resized)
+    assert all(sum(r["pixels"]) % 997 == r["px_checksum"] for r in resized)
     frames = M.fake_frame_sample(blobs, frame_bytes=16, every_nth=4)
     got = frames.collect()
     # every sampled frame is full-size and indices step by 4
@@ -229,6 +230,30 @@ def test_freq_topk_superset_of_true_heavy_hitters(spark):
     total = counts["count"].sum()
     truly_frequent = set(counts[counts["count"] > 0.1 * total]["event_type"])
     assert truly_frequent <= got
+
+
+def test_stratified_sample_subset_reproducible_proportional(spark):
+    """l24's R-tier invariant: sampleBy output is a subset of the source,
+    bit-reproducible under the fixed seed, and each stratum's realized rate
+    is within 4 binomial sigma of its requested fraction."""
+    from google_analytics_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fracs = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    s1 = stratified_sample(docs, "lang", fracs).select("doc_id", "lang").toPandas()
+    s2 = stratified_sample(docs, "lang", fracs).select("doc_id", "lang").toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)  # seed-reproducible
+    src = docs.select("doc_id", "lang").toPandas()
+    assert set(s1.doc_id) <= set(src.doc_id)  # subset
+    per_src = src.groupby("lang").size()
+    per_samp = s1.groupby("lang").size()
+    for lang, p in fracs.items():
+        n = per_src.get(lang, 0)
+        if n == 0:
+            continue
+        got = per_samp.get(lang, 0)
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(got - n * p) <= 4 * sigma + 1, (lang, got, n * p)
 
 
 def test_write_clustered_gives_prunable_row_groups(spark, tmp_path_factory):
