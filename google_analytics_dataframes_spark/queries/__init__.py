@@ -40,7 +40,8 @@ SWEEP_PRIORITY: list[str] = [
     "s9", "s10",
     "rb4", "rb5", "rb6", "rb7", "rb8", "rb9", "rb10", "rb11",
     "l",
-    # re-verification rotation for round-1-evidenced families (slots 45+)
+    "st11",  # new this round: no driver row yet
+    # re-verification rotation for round-1-evidenced families (slots 46+)
     "j11", "a6", "f8", "s3", "p2", "w1_",
     # deterministic tail
     "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st", "rb",

@@ -186,6 +186,42 @@ def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
     return d
 
 
+def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
+    """Stage events as an AT-LEAST-ONCE stream: file 1 is the complete
+    table, file 2 replays every 5th event (the redelivery a real bus
+    produces on ack timeout / consumer restart).  Ascending mtimes make the
+    initial listing deliver the full pass before the replays, so the replay
+    batch exercises the dedup state rather than racing it."""
+    import os
+    import shutil
+    import tempfile
+
+    from google_analytics_dataframes_spark.io import load_table
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_dup_{sf_tag}")
+    stage = d + "_stage"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000  # raw ns LONG wire format
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "full"))
+    ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "replay"))
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i, sub in enumerate(("full", "replay")):
+        [part] = [
+            f for f in os.listdir(os.path.join(stage, sub)) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(d, f"{i}_{sub}.parquet")
+        shutil.copyfile(os.path.join(stage, sub, part), dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
 from contextlib import contextmanager
 
 
@@ -284,4 +320,42 @@ def st10_stream_static_enrich(spark, sf_dir):
         "event_type",
         "value",
         "c_mktsegment",
+    )
+
+
+@register(
+    "st11_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value
+    FROM events
+    """,
+)
+def st11_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup, EXECUTED as a stream: the staged source is
+    AT-LEAST-ONCE (file 2 replays every 5th event — bus redelivery), and
+    `dropDuplicatesWithinWatermark` on event_id must restore exactly-once
+    (streaming/jobs.py st11_stream_dedup).  Append mode + availableNow =>
+    the memory table is the full deduped stream, so the plain batch table
+    (event_id is unique there) is an exact oracle: every original event
+    exactly once, every replay dropped."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir_with_replays(spark, sf_dir)
+    stream = jobs.read_event_stream(spark, src)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st11_stream_dedup(stream),
+            f"st11_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
     )

@@ -244,6 +244,24 @@ def st10_stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     ).select("event_id", "user_id", "ts", "event_type", "value", "c_mktsegment")
 
 
+def st11_stream_dedup(events: DataFrame, lateness: str = "90 days") -> DataFrame:
+    """Streaming exactly-once restoration over an at-least-once source:
+    drop replayed events by key with `dropDuplicatesWithinWatermark` — the
+    ingest-dedup every streaming pipeline (and every streaming LLM-corpus
+    ingest) runs in front of stateful consumers.
+
+    State is one entry per event_id seen within `lateness` of the watermark;
+    older entries are evicted because a replay further apart than `lateness`
+    can no longer arrive (the at-least-once window of real buses — Kafka
+    redelivery, file-source re-listing — is minutes, not days).  `lateness`
+    here exceeds the test data's whole span so the batch DISTINCT is an
+    exact oracle; at scale it is sized to the bus's redelivery horizon,
+    keeping state O(events per horizon) independent of stream length."""
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> DataFrame:

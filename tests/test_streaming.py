@@ -158,6 +158,18 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory):
     assert sorted(got["event_id"]) == [1, 2, 3]
 
 
+def test_stream_dedup_drops_replayed_file(spark):
+    """st11 (registered query): the staged at-least-once source replays
+    every 5th event in a second file; dropDuplicatesWithinWatermark must
+    emit each event exactly once — count equals the batch table and
+    event_id comes out unique."""
+    from google_analytics_dataframes_spark.registry import registry
+
+    got = registry()["st11_stream_dedup"].fn(spark, SF_DIR).toPandas()
+    assert len(got) == load_table(spark, SF_DIR, "events").count()
+    assert got["event_id"].is_unique
+
+
 def test_stateful_funnel_counts(spark, events_dir):
     stream = jobs.read_event_stream(spark, events_dir)
     out = jobs.run_available_now(
