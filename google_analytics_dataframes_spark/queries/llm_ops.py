@@ -1047,3 +1047,144 @@ def l34_unigram_logprob(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "l35_dup_ngram_fraction",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS p
+            FROM t),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 3 THEN array_to_string(w[p:p+2], ' ')
+                      ELSE array_to_string(w, ' ') END AS gram
+          FROM pos),
+    dg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+    df AS (SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY gram)
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN d.cnt ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(SUM(CASE WHEN f.n_docs >= 2 THEN d.cnt ELSE 0 END)
+                 / CAST(SUM(d.cnt) AS DOUBLE), 6) AS dup_frac
+    FROM dg d JOIN df f USING (gram)
+    GROUP BY d.doc_id
+    """,
+)
+def l35_dup_ngram_fraction(spark, sf_dir):
+    """Duplicated-text fraction (the RefinedWeb/Gopher "rep" quality
+    signal): per doc, the fraction of its word-3-gram windows whose gram
+    also occurs in at least one OTHER document — high values flag
+    boilerplate and templated spam before they dominate training batches.
+
+    Scale shape: the exploded window stream is first compressed to
+    (doc_id, gram, count) by a doc_id-clustered aggregate (fanout_by
+    pre-partitions on doc_id, so this pays no extra exchange), and only
+    that compressed stream — bounded by per-doc DISTINCT grams — shuffles
+    on gram to meet the document-frequency table.  The df table is
+    corpus-vocabulary-sized, so it joins shuffled, not broadcast; the final
+    per-doc rollup re-shuffles the (now df-annotated) compressed stream
+    once.  Word-3-grams (not the reference pipelines' 9/13-grams) because
+    the synthetic docs are ~54 tokens."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(D.word_shingles("text", 3)).alias("gram")
+    )
+    dg = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    df = dg.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    dup_cnt = F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
+    return (
+        dg.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            dup_cnt.alias("n_dup_windows"),
+            F.round(dup_cnt / F.sum("cnt"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "l36_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, substr(text, CAST(p AS INTEGER), 1) AS c
+                FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS p
+                      FROM documents)),
+    cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+    n AS (SELECT doc_id, SUM(cnt) AS n_chars FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id, CAST(ANY_VALUE(n.n_chars) AS BIGINT) AS n_chars,
+           round(-SUM((cnt / CAST(n.n_chars AS DOUBLE))
+                      * log2(cnt / CAST(n.n_chars AS DOUBLE))), 6) AS entropy
+    FROM cc JOIN n USING (doc_id)
+    GROUP BY cc.doc_id
+    """,
+)
+def l36_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap gibberish /
+    low-diversity detector (near-zero entropy = single-character spam, high
+    entropy = random bytes; natural text sits in a narrow band).  All
+    built-in expressions: explode to chars, (doc, char) counts, one
+    entropy fold — the char stream never shuffles because fanout_by
+    pre-partitions the compact doc stream on doc_id and both aggregates
+    cluster on it.  Terminal round(6) absorbs float-sum order differences
+    across the <=|alphabet| per-doc terms."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    cc = chars.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    n = cc.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars"))
+    p = F.col("cnt") / F.col("n_chars")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_chars").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "l37_zipf_slope",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+               FROM freq)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope
+    FROM ranked
+    """,
+)
+def l37_zipf_slope(spark, sf_dir):
+    """Corpus-level Zipf diagnostic: the least-squares slope of log(freq)
+    vs log(rank) over the token vocabulary (natural corpora sit near -1;
+    a flat slope flags synthetic/templated text, a cliff flags dominated
+    vocabularies).  The token stream reduces to a vocabulary-sized
+    frequency table before anything else happens, so the regression input
+    is tiny at any corpus size; rank ties break on (freq desc, token asc)
+    in both engines, making the fit deterministic up to the terminal
+    round(4)."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = fanout(docs).select(F.explode(X.tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(
+            F.regr_slope(F.log(F.col("n").cast("double")), F.log(F.col("r").cast("double"))), 4
+        ).alias("zipf_slope"),
+    )

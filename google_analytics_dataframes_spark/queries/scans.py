@@ -234,6 +234,31 @@ def s9_binaryfile_source(spark, sf_dir):
 
 
 @register(
+    "s11_text_source",
+    oracle="SELECT text AS value FROM documents",
+)
+def s11_text_source(spark, sf_dir):
+    """Plain-text corpus source (`spark.read.text`) — the rawest LLM-corpus
+    ingestion format: one document per line, no schema, no metadata.  The
+    corpus is staged from the documents table (its text contains no
+    newlines, so line = document exactly), read back as the single `value`
+    column, and the oracle is the source column itself — the driver hash
+    proves the text round-trip byte-exact.  At 100 TB this is the
+    `text/` + `wholeTextFiles`-free path: line-splittable, so every file
+    chunks into parallel read tasks."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_text_{sf_tag}_{fp}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        T(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out)
+
+
+@register(
     "s10_partitioned_read",
     oracle="""
     SELECT event_id, user_id,
