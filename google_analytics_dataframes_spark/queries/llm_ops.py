@@ -1027,15 +1027,30 @@ def l34_unigram_logprob(spark, sf_dir):
     unigram distribution — low scores flag gibberish / rare-token spam.
     The frequency table is vocabulary-sized -> broadcast; the token stream
     is never shuffled (fanout_by pre-partitions on doc_id so the final
-    per-doc aggregation is exchange-free)."""
+    per-doc aggregation is exchange-free).
+
+    Subtree economy (PLAN_AUDIT round-3 fix, 6 exchanges -> 4): Catalyst
+    re-expands every reference to an unmaterialized frame, so deriving
+    `total` from `freq` re-built the whole explode+groupBy token pipeline a
+    third time.  `total` is instead one exchange-free aggregate over the
+    BASE docs (sum of per-doc token counts — no explode), leaving exactly
+    two token-stream builds: the freq branch (shuffles compressed
+    token counts) and the per-doc join branch (never shuffles)."""
     from google_analytics_dataframes_spark.io import fanout_by
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     tok = fanout_by(docs, "doc_id").select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
-    tot = freq.agg(F.sum("n").alias("total"))
+    freq = (
+        fanout(docs)
+        .select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = docs.agg(
+        F.sum(F.size(X.tokens("text"))).cast("long").alias("total")
+    )
     return (
         tok.join(F.broadcast(freq), "token")
         .join(F.broadcast(tot))

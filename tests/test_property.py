@@ -53,6 +53,57 @@ def test_all_jaccard_strategies_agree(spark, corpus, pct):
     assert seen["bitmask"] == seen["index"] == seen["prefix"]
 
 
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=_edges)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """The iterative min-label propagation must produce exactly the
+    components a sequential union-find does on arbitrary graphs — chains,
+    stars, cycles, self-dups — with cluster_id = min member id."""
+    from google_analytics_dataframes_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in groups.values() for n in members}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
 @given(
     lo=st.integers(min_value=0, max_value=200),
     hi=st.integers(min_value=201, max_value=600),
