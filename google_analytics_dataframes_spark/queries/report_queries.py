@@ -401,3 +401,30 @@ def rb11_rollup_reuse(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "rb12_report_totals",
+    oracle=f"""
+    SELECT COALESCE(event_type, 'RESERVED_TOTAL') AS event_type,
+           COUNT(*) AS sessions, {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def rb12_report_totals(spark, sf_dir):
+    """GA v4 `metricAggregations`: the report's detail rows PLUS the
+    grand-total row, dimension cells carrying GA's literal RESERVED_TOTAL
+    marker — one Expand pass over the date-windowed events, not a second
+    scan (report.py `totals=True`).  COALESCE works in the oracle because
+    event_type is never null; the builder uses grouping_id, which stays
+    correct for nullable dimensions too."""
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        date_range=("ts", "2024-01-01", "2024-02-01"),
+        totals=True,
+    )

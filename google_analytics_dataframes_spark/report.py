@@ -136,6 +136,7 @@ def report(
     segment: tuple[str, str] | None = None,
     having: str | None = None,
     pivot: tuple[str, int] | None = None,
+    totals: bool = False,
 ) -> DataFrame:
     """Build a GA-style report plan.
 
@@ -163,7 +164,18 @@ def report(
         any fact-table scale; the explicit values list keeps the pivot
         itself single-pass.  count/users cells with no rows are 0 (GA
         zero-fills); sum/avg/min/max stay NULL.
+    totals: GA v4 `metricAggregations` [K] — append the grand-total row,
+        dimension cells carrying GA's literal `RESERVED_TOTAL` marker.
+        ONE Expand pass (grouping sets (dims), ()), not a second scan of
+        the fact table; dimension columns are cast to string (GA
+        serializes all dimension values as strings).  Requires plain
+        dimension names (not computed Columns) and is mutually exclusive
+        with pivot.
     """
+    if totals and pivot is not None:
+        raise ValueError("totals and pivot are mutually exclusive")
+    if totals and any(not isinstance(d, str) for d in dimensions):
+        raise ValueError("totals requires plain dimension names")
     out = df
     if segment is not None:
         entity_col, seg_filters = segment
@@ -209,6 +221,20 @@ def report(
         ]
         if zero_fill:
             out = out.na.fill(0, zero_fill)
+    elif totals:
+        names = list(dimensions)
+        grouped = out.groupingSets([list(names), []], *names).agg(
+            *aggs, F.grouping_id().alias("_gid")
+        )
+        out = grouped.select(
+            *[
+                F.when(F.col("_gid") > 0, F.lit("RESERVED_TOTAL"))
+                .otherwise(F.col(n).cast("string"))
+                .alias(n)
+                for n in names
+            ],
+            *metrics.keys(),
+        )
     else:
         out = out.groupBy(*dims).agg(*aggs)
     if having:

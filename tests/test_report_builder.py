@@ -263,3 +263,30 @@ def test_funnel_emits_all_steps_on_degenerate_data(spark):
     assert [r["users"] for r in rows] == [0, 0, 0]
     assert rows[0]["conversion"] == 1.0  # first step has no predecessor
     assert rows[1]["conversion"] is None and rows[2]["conversion"] is None
+
+
+def test_totals_appends_reserved_total_row(spark):
+    """report(totals=True): detail rows plus GA's RESERVED_TOTAL grand-total
+    row whose metrics equal the column sums of the detail rows (count/sum
+    metrics re-aggregate exactly); computed dims / pivot combinations are
+    rejected."""
+    import pytest as _pytest
+
+    from google_analytics_dataframes_spark.report import report
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        totals=True,
+    ).toPandas()
+    total = out[out.event_type == "RESERVED_TOTAL"]
+    detail = out[out.event_type != "RESERVED_TOTAL"]
+    assert len(total) == 1 and len(detail) >= 2
+    assert int(total.sessions.iloc[0]) == int(detail.sessions.sum())
+    assert abs(float(total.total_value.iloc[0]) - float(detail.total_value.sum())) < 1e-6
+    with _pytest.raises(ValueError, match="plain dimension names"):
+        report(ev, [F.lit(1).alias("x")], {"n": "count"}, totals=True)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        report(ev, ["event_type"], {"n": "count"}, totals=True, pivot=("event_type", 2))
