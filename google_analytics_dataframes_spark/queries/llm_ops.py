@@ -1065,6 +1065,50 @@ def l34_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "l38_centroid_distances",
+    oracle="""
+    WITH cells AS (SELECT label, unnest(range(0, 64)) AS dim,
+                          unnest(CAST(embedding AS DOUBLE[])) AS x
+                   FROM embeddings),
+    cent AS (SELECT label, dim,
+                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+             FROM cells GROUP BY label, dim),
+    cvec AS (SELECT label, list(cx ORDER BY dim) AS c FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c)
+                      + list_dot_product(b.c, b.c)), 6) AS l2_dist,
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) AS cos
+    FROM cvec a JOIN cvec b ON a.label < b.label
+    """,
+)
+def l38_centroid_distances(spark, sf_dir):
+    """Pairwise distances between per-label centroids (the inter-cluster
+    separation diagnostic for an IVF/clustering layout — close centroids
+    mean nprobe must grow; SURVEY §2.11 l10's second half).  The centroid
+    table is |labels| rows, so the pair join is a broadcast self-join of
+    metadata-sized input at any corpus scale; L2 is computed from three
+    dot products (||a-b||^2 = a.a - 2a.b + b.b) so both engines run the
+    identical sequential-fold arithmetic that already matches DuckDB's
+    list_dot_product in l3/l14."""
+    cents = S.label_centroids(T(spark, sf_dir, "embeddings"))
+    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    ca, cb = F.col("ca"), F.col("cb")
+    aa, ab, bb = S.dot(ca, ca), S.dot(ca, cb), S.dot(cb, cb)
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.sqrt(aa - 2 * ab + bb), 6).alias("l2_dist"),
+            F.round(ab / (F.sqrt(aa) * F.sqrt(bb)), 6).alias("cos"),
+        )
+    )
+
+
+@register(
     "l35_dup_ngram_fraction",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
