@@ -428,3 +428,86 @@ def rb12_report_totals(spark, sf_dir):
         date_range=("ts", "2024-01-01", "2024-02-01"),
         totals=True,
     )
+
+
+@register(
+    "rb13_new_vs_returning",
+    oracle="""
+    WITH fu AS (SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+                FROM events GROUP BY user_id)
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+           CASE WHEN date_trunc('day', e.ts) = f.first_day
+                THEN 'New Visitor' ELSE 'Returning Visitor' END AS user_type,
+           COUNT(*) AS sessions,
+           COUNT(DISTINCT e.user_id) AS users
+    FROM events e JOIN fu f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def rb13_new_vs_returning(spark, sf_dir):
+    """GA's `ga:userType` dimension (New Visitor / Returning Visitor):
+    events on a user's first-ever active day are New, everything later is
+    Returning — the acquisition-vs-retention cut every GA report offers.
+    Physical shape: the first-day lookup is a per-user window min, so the
+    classification costs ONE shuffle on user_id over a single scan (no
+    self-join, no second scan of the fact table); the (day, user_type)
+    rollup with its distinct-user count is the only other exchange."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = F.min(day).over(Window.partitionBy("user_id"))
+    user_type = (
+        F.when(day == first_day, "New Visitor")
+        .otherwise("Returning Visitor")
+        .alias("user_type")
+    )
+    return (
+        ev.select(
+            F.date_format(day, "yyyy-MM-dd").alias("day"), user_type, "user_id"
+        )
+        .groupBy("day", "user_type")
+        .agg(
+            F.count("*").alias("sessions"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@register(
+    "rb14_keep_empty_rows",
+    oracle=f"""
+    WITH f AS (SELECT date_trunc('day', ts) AS d, event_type, value FROM events
+               WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+                 AND value > 90.0),
+    days AS (SELECT DISTINCT d FROM f),
+    types AS (SELECT DISTINCT event_type FROM f),
+    agg AS (SELECT d, event_type, COUNT(*) AS sessions,
+                   {dsum_sql('value')} AS total_value
+            FROM f GROUP BY 1, 2)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day, types.event_type,
+           COALESCE(agg.sessions, 0) AS sessions,
+           COALESCE(agg.total_value, 0) AS total_value
+    FROM days CROSS JOIN types
+    LEFT JOIN agg ON agg.d = days.d AND agg.event_type = types.event_type
+    """,
+)
+def rb14_keep_empty_rows(spark, sf_dir):
+    """GA v4 `keepEmptyRows` (report.py keep_empty_rows=True): every
+    observed (day, event_type) combination appears even when the filtered
+    slice has no rows for it, metrics zero-filled — the shape dashboards
+    need to draw unbroken time axes.  The value>90 filter makes empty
+    combinations actually occur; the dimension scaffold is a broadcast
+    cross join of two metadata-sized distinct-value frames."""
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=[
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        filters="value>90.0",
+        date_range=("ts", "2024-01-01", "2024-01-15"),
+        keep_empty_rows=True,
+    )

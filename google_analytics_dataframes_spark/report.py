@@ -137,6 +137,7 @@ def report(
     having: str | None = None,
     pivot: tuple[str, int] | None = None,
     totals: bool = False,
+    keep_empty_rows: bool = False,
 ) -> DataFrame:
     """Build a GA-style report plan.
 
@@ -171,11 +172,20 @@ def report(
         serializes all dimension values as strings).  Requires plain
         dimension names (not computed Columns) and is mutually exclusive
         with pivot.
+    keep_empty_rows: GA v4 `keepEmptyRows` [K] — emit every combination
+        of OBSERVED dimension values, zero-filling metric cells for
+        combinations with no rows (GA serializes empty cells as "0").
+        Physical shape: each per-dimension distinct-value frame is
+        metadata-sized, so the cartesian scaffold is a chain of broadcast
+        cross joins and the agg left-joins onto it — the fact table is
+        still scanned once.  Mutually exclusive with pivot/totals.
     """
     if totals and pivot is not None:
         raise ValueError("totals and pivot are mutually exclusive")
     if totals and any(not isinstance(d, str) for d in dimensions):
         raise ValueError("totals requires plain dimension names")
+    if keep_empty_rows and (pivot is not None or totals):
+        raise ValueError("keep_empty_rows is mutually exclusive with pivot/totals")
     out = df
     if segment is not None:
         entity_col, seg_filters = segment
@@ -235,6 +245,17 @@ def report(
             ],
             *metrics.keys(),
         )
+    elif keep_empty_rows:
+        pre = out  # filtered, pre-aggregation frame
+        agg = pre.groupBy(*dims).agg(*aggs)
+        dim_names = [pre.select(d).columns[0] for d in dims]
+        scaffold = None
+        for d, n in zip(dims, dim_names):
+            values = pre.select(d).distinct()
+            scaffold = values if scaffold is None else scaffold.crossJoin(
+                F.broadcast(values)
+            )
+        out = scaffold.join(agg, dim_names, "left").na.fill(0, list(metrics.keys()))
     else:
         out = out.groupBy(*dims).agg(*aggs)
     if having:
