@@ -1065,6 +1065,57 @@ def l34_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "l39_batch_knn",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (SELECT q.q_id, e.vec_id,
+                      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id != q.q_id),
+    ranked AS (SELECT q_id, vec_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, vec_id ASC) AS rk
+               FROM scored)
+    SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def l39_batch_knn(spark, sf_dir):
+    """Batch exact kNN for a query SET (vec_id < 4): every corpus vector
+    scored against all queries in one scan, top-3 per query — the
+    retrieval-eval shape (many probes, exact ground truth) that single-
+    query l3 can't express.  The query block is broadcast, so the corpus
+    is scanned once with |Q| fused cosine folds per row and never
+    shuffles until the per-query top-k (WindowGroupLimit bounds the heap
+    to k per query before any exchange).  At 100 TB with |Q| in the
+    thousands this becomes the blocked GEMM of l4; the broadcast
+    formulation is the |Q| <= hundreds fast path."""
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), S.as_double("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(S.cosine(S.as_double(F.col("embedding")), F.col("qv")), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
     "l38_centroid_distances",
     oracle="""
     WITH cells AS (SELECT label, unnest(range(0, 64)) AS dim,

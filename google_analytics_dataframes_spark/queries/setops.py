@@ -63,6 +63,28 @@ def u4_except(spark, sf_dir):
     return a.exceptAll(b)
 
 
+@register("u6_except_distinct", oracle=f"({_A_SQL}) EXCEPT ({_B_SQL})")
+def u6_except_distinct(spark, sf_dir):
+    """EXCEPT (distinct semantics) — u4's multiplicity-blind sibling: one
+    row per distinct Jan-Mar tuple absent from the second slice.  Spark
+    plans both as a left-anti-style aggregate join; the distinct variant
+    additionally dedups the left side in the same shuffle."""
+    a = _slice(spark, sf_dir, "1996-01-01", "1996-07-01")
+    b = _slice(spark, sf_dir, "1996-04-01", "1997-01-01")
+    return a.subtract(b)
+
+
+@register("u7_intersect_all", oracle=f"({_A_SQL}) INTERSECT ALL ({_B_SQL})")
+def u7_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiplicity-preserving overlap (min of per-side
+    duplicate counts per tuple; the slices have unique keys so it equals
+    u3 here, but the OPERATOR is the bag-semantics one and the oracle
+    holds on any input)."""
+    a = _slice(spark, sf_dir, "1996-01-01", "1996-07-01")
+    b = _slice(spark, sf_dir, "1996-04-01", "1997-01-01")
+    return a.intersectAll(b)
+
+
 @register(
     "u5_union_missing_cols",
     oracle="""
