@@ -1142,8 +1142,13 @@ def l38_centroid_distances(spark, sf_dir):
     metadata-sized input at any corpus scale; L2 is computed from three
     dot products (||a-b||^2 = a.a - 2a.b + b.b) so both engines run the
     identical sequential-fold arithmetic that already matches DuckDB's
-    list_dot_product in l3/l14."""
-    cents = S.label_centroids(T(spark, sf_dir, "embeddings"))
+    list_dot_product in l3/l14.  The centroid table is localCheckpointed
+    (lazily; |labels| rows) because Catalyst re-expands each self-join
+    side — without it the corpus-sized centroid aggregation would run
+    twice."""
+    cents = S.label_centroids(T(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
     ca, cb = F.col("ca"), F.col("cb")
