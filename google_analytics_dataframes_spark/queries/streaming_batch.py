@@ -268,7 +268,10 @@ def st9_stream_interval_join(spark, sf_dir):
     from google_analytics_dataframes_spark.streaming import jobs
 
     src = _stage_stream_dir(spark, sf_dir, ordered=True)
-    stream = jobs.read_event_stream(spark, src)
+    # 2 files per trigger -> 2 stateful batches over the 4 ordered files:
+    # same time-ordered arrival (batches take consecutive file groups),
+    # half the per-batch state-store fixed cost.
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
     with _few_state_partitions(spark):
         out = jobs.run_available_now(
             jobs.st9_attribution_join(stream),
