@@ -110,3 +110,35 @@ def fetch_report(spark: SparkSession, **request: Any) -> DataFrame:
         "GA HTTP transport is stubbed: no network/OAuth in this environment. "
         "Drive response_to_dataframe with a recorded response instead."
     )
+
+
+def get_report(
+    spark: SparkSession,
+    transport: Any = None,
+    **request: Any,
+) -> DataFrame:
+    """The reference's full ``ga.get`` lifecycle composed end-to-end:
+    build params -> transport -> paginate on totalResults -> coerce each
+    page -> union [K].
+
+    ``transport`` is the injected network boundary — a callable taking the
+    assembled params dict and returning the decoded JSON response.  ``None``
+    falls through to :func:`fetch_report`, which is stubbed in this
+    environment; tests drive the loop with a canned-response transport
+    (tests/test_ga_source.py), so the pagination arithmetic, per-page
+    coercion and page union are all exercised as ONE flow, exactly the
+    request loop the reference runs per report.
+
+    Pages union lazily (`unionByName` of typed frames); at scale the loop
+    body would write each page to parquet as it lands instead of holding
+    plans for thousands of pages (module docstring)."""
+    params = build_request_params(**request)
+    out: DataFrame | None = None
+    while params is not None:
+        resp = (
+            transport(params) if transport is not None else fetch_report(spark, **params)
+        )
+        page = response_to_dataframe(spark, resp)
+        out = page if out is None else out.unionByName(page)
+        params = next_page_params(params, resp.get("totalResults", 0))
+    return out

@@ -80,3 +80,38 @@ def test_empty_response_yields_typed_empty_frame(spark):
 def test_fetch_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         fetch_report(spark, ids="ga:1")
+
+
+def test_get_report_paginates_and_unions_with_injected_transport(spark):
+    """The composed ga.get lifecycle: a canned 3-page transport (5 rows,
+    max-results 2) must be called with start-index 1, 3, 5, and the result
+    is the typed union of all pages."""
+    from google_analytics_dataframes_spark.sources.ga_api import get_report
+
+    headers = [
+        {"name": "ga:source", "columnType": "DIMENSION", "dataType": "STRING"},
+        {"name": "ga:sessions", "columnType": "METRIC", "dataType": "INTEGER"},
+    ]
+    all_rows = [[f"s{i}", str(10 * i)] for i in range(5)]
+    seen_indices = []
+
+    def transport(params):
+        start = params["start-index"]
+        seen_indices.append(start)
+        page = all_rows[start - 1 : start - 1 + params["max-results"]]
+        return {"columnHeaders": headers, "totalResults": 5, "rows": page}
+
+    df = get_report(
+        spark,
+        transport=transport,
+        ids="123",
+        start_date="2014-01-01",
+        end_date="2014-01-31",
+        metrics=["ga:sessions"],
+        dimensions=["ga:source"],
+        max_results=2,
+    )
+    assert seen_indices == [1, 3, 5]
+    got = {r.source: r.sessions for r in df.collect()}
+    assert got == {f"s{i}": 10 * i for i in range(5)}
+    assert dict(df.dtypes)["sessions"] == "bigint"
