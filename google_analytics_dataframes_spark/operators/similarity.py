@@ -140,7 +140,7 @@ def knn_join_blocked(emb: DataFrame, k: int = 3) -> DataFrame:
 
 
 def hyperplane_lsh_pairs(
-    emb: DataFrame, n_planes: int = 16, min_cos: float = 0.9
+    emb: DataFrame, n_planes: int = 16, min_cos: float = 0.9, n_tables: int = 1
 ) -> DataFrame:
     """Near-duplicate embedding pairs via random-hyperplane LSH: a fixed
     seeded hyperplane matrix signs each vector into an n_planes-bit bucket;
@@ -161,21 +161,46 @@ def hyperplane_lsh_pairs(
     task — exactly the pair count ANY exact formulation must emit for that
     bucket; if a degenerate corpus makes one bucket dominate, raise
     n_planes (more, smaller buckets) rather than salting, which would lose
-    cross-shard pairs."""
+    cross-shard pairs.
+
+    ``n_tables`` is the standard LSH recall knob: each table hashes with an
+    independently seeded plane matrix, a pair is a candidate if it collides
+    in ANY table (P[recall] = 1-(1-p^planes)^tables), and duplicate
+    verified pairs from multiple tables collapse in a final per-pair
+    aggregate.  All tables' signatures come out of ONE Arrow pass (stacked
+    plane matrix, one matmul), so extra tables cost candidate volume, not
+    extra corpus scans."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import ArrayType, LongType
 
-    planes = np.random.RandomState(42).standard_normal((n_planes, 64))
+    planes = np.vstack(
+        [
+            np.random.RandomState(42 + t).standard_normal((n_planes, 64))
+            for t in range(n_tables)
+        ]
+    )
 
-    @pandas_udf(LongType())
-    def signature(col: pd.Series) -> pd.Series:
+    @pandas_udf(ArrayType(LongType()))
+    def signatures(col: pd.Series) -> pd.Series:
         m = np.stack(col.to_numpy()).astype("float64")
-        bits = (m @ planes.T) > 0
-        return pd.Series(bits.dot(1 << np.arange(n_planes)).astype("int64"))
+        bits = (m @ planes.T) > 0  # (rows, n_tables*n_planes)
+        weights = 1 << np.arange(n_planes)
+        sigs = [
+            bits[:, t * n_planes : (t + 1) * n_planes].dot(weights).astype("int64")
+            for t in range(n_tables)
+        ]
+        return pd.Series(np.stack(sigs, axis=1).tolist())
 
-    sig = fanout(emb).select("vec_id", "embedding", signature("embedding").alias("sig"))
-    hot = sig.groupBy("sig").count().filter(F.col("count") >= 2).select("sig")
-    candidates = sig.join(F.broadcast(hot), "sig", "left_semi")
+    sig = (
+        fanout(emb)
+        .select("vec_id", "embedding", signatures("embedding").alias("sigs"))
+        .select("vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig"))
+    )
+    hot = (
+        sig.groupBy("tbl", "sig").count().filter(F.col("count") >= 2)
+        .select("tbl", "sig")
+    )
+    candidates = sig.join(F.broadcast(hot), ["tbl", "sig"], "left_semi")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -201,9 +226,14 @@ def hyperplane_lsh_pairs(
             {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos": cos[keep]}
         )
 
-    return candidates.groupBy("sig").applyInPandas(
+    verified = candidates.groupBy("tbl", "sig").applyInPandas(
         verify, "vec_a bigint, vec_b bigint, cos double"
     )
+    if n_tables == 1:
+        return verified
+    # the same pair verifies in every table it collides in; keep one row
+    # (cos is identical — computed from the same two vectors)
+    return verified.groupBy("vec_a", "vec_b").agg(F.max("cos").alias("cos"))
 
 
 def quantize_int8(emb: DataFrame) -> DataFrame:

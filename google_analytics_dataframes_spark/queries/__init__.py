@@ -40,7 +40,7 @@ SWEEP_PRIORITY: list[str] = [
     "s9", "s10",
     "rb4", "rb5", "rb6", "rb7", "rb8", "rb9", "rb10", "rb11",
     "l",
-    "st11", "s11", "rb12", "rb13", "rb14", "u6", "u7",  # new: no driver rows yet
+    "st11", "st12", "s11", "rb12", "rb13", "rb14", "u6", "u7",  # new: no driver rows yet
     # re-verification rotation for round-1-evidenced families (slots 50+)
     "j11", "a6", "f8", "s3", "p2", "w1_",
     # deterministic tail

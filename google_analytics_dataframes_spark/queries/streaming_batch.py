@@ -327,6 +327,45 @@ def st10_stream_static_enrich(spark, sf_dir):
 
 
 @register(
+    "st12_stream_stateful_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def st12_stream_stateful_funnel(spark, sf_dir):
+    """Arbitrary per-key state EXECUTED as a stream (applyInPandasWithState,
+    st6's funnel): each microbatch advances every user's running
+    (views, purchases) counters and emits the update; the memory sink
+    accumulates one row per (user, batch-it-changed-in), so the FINAL
+    state per user is the max over its updates (counters are monotone).
+    That final state must equal the plain batch aggregate — the oracle-
+    checked proof that custom stateful streaming and batch agree, on the
+    API tier (GroupState) that the driver never saw via the D-tier tests.
+    2 files per trigger: two stateful batches exercise state carry-over
+    at half the per-batch state-store fixed cost."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir(spark, sf_dir, ordered=False)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st6_stateful_funnel(stream),
+            f"st12_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+    return out.groupBy("user_id").agg(
+        F.max("views").alias("views"), F.max("purchases").alias("purchases")
+    )
+
+
+@register(
     "st11_stream_dedup",
     oracle="""
     SELECT event_id, user_id,

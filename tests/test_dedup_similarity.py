@@ -158,6 +158,18 @@ def test_hyperplane_lsh_recalls_planted_pair(spark, planted_vectors):
     assert (3, 100003) in found and (11, 100011) in found
 
 
+def test_hyperplane_lsh_multi_table_superset_and_deduped(spark, planted_vectors):
+    """n_tables recall knob: 3-table candidates include table 0's (seeds
+    42..44 include seed 42), so verified pairs are a superset of the
+    1-table result, with no duplicate (vec_a, vec_b) rows across tables."""
+    one = {(r.vec_a, r.vec_b) for r in S.hyperplane_lsh_pairs(planted_vectors).collect()}
+    rows = S.hyperplane_lsh_pairs(planted_vectors, n_tables=3).collect()
+    multi = [(r.vec_a, r.vec_b) for r in rows]
+    assert len(multi) == len(set(multi))  # deduped
+    assert one <= set(multi)
+    assert (3, 100003) in set(multi) and (11, 100011) in set(multi)
+
+
 def test_l13_query_emits_planted_probe_pairs(spark):
     """The registered l13 query plants 4 scaled clones (negative ids) so its
     R-tier driver row records nonzero recall; each probe must pair with its
