@@ -594,6 +594,39 @@ def l21_pii_scan(spark, sf_dir):
 
 
 @register(
+    "l41_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+               '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def l41_pii_redact(spark, sf_dir):
+    """l21's apply side: every PII-looking span replaced with its type mask
+    (operators/text.py pii_redact) — the redaction pass that runs between
+    scan and training.  Masks contain no digits/@ so the chained patterns
+    cannot re-match inside an earlier replacement; oracle is the identical
+    regex chain under DuckDB's RE2 with the 'g' flag."""
+    return X.pii_redact(T(spark, sf_dir, "documents"))
+
+
+@register("l40_compression_ratio", oracle=None, tier="R")
+def l40_compression_ratio(spark, sf_dir):
+    """zlib compression ratio per doc (operators/text.py compression_ratio)
+    — the redundancy-based quality filter (repetitive/templated text
+    compresses far below natural prose).  No SQL twin exists for the codec
+    -> R-tier.  Verified invariant: ratios in (0, 1.2] on ASCII text and
+    planted repetitive text compresses strictly below the corpus median
+    (tests/test_invariants.py test_compression_ratio_bounds_and_ordering);
+    zlib at a fixed level is bit-deterministic, so rows are stable across
+    runs and partitionings."""
+    return X.compression_ratio(T(spark, sf_dir, "documents"))
+
+
+@register(
     "l22_hash_split",
     oracle="""
     WITH b AS (SELECT doc_id,

@@ -232,6 +232,25 @@ def test_freq_topk_superset_of_true_heavy_hitters(spark):
     assert truly_frequent <= got
 
 
+def test_compression_ratio_bounds_and_ordering(spark):
+    """l40's R-tier invariants: every ratio in (0, 1.2] for ASCII text;
+    a planted highly-repetitive doc compresses strictly below the corpus
+    median; re-running yields identical values (zlib is deterministic)."""
+    from google_analytics_dataframes_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(100)
+    planted = docs.sparkSession.createDataFrame(
+        [(10_000_000, "spam " * 200)], "doc_id long, text string"
+    )
+    both = docs.unionByName(planted)
+    pdf = compression_ratio(both).toPandas().set_index("doc_id")
+    assert ((pdf.zlib_ratio > 0) & (pdf.zlib_ratio <= 1.2)).all()
+    median = pdf.drop(10_000_000).zlib_ratio.median()
+    assert pdf.loc[10_000_000].zlib_ratio < median
+    pdf2 = compression_ratio(both).toPandas().set_index("doc_id")
+    assert (pdf.zlib_ratio == pdf2.zlib_ratio).all()
+
+
 def test_stratified_sample_subset_reproducible_proportional(spark):
     """l24's R-tier invariant: sampleBy output is a subset of the source,
     bit-reproducible under the fixed seed, and each stratum's realized rate
