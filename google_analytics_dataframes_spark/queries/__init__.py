@@ -37,11 +37,16 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # family, hardest semantics first.  Broad prefixes after that make the full
 # order deterministic for any larger budget.
 SWEEP_PRIORITY: list[str] = [
+    # the 44 queries VERDICT r2 flagged as driver-unverified (the contract)
     "s9", "s10",
     "rb4", "rb5", "rb6", "rb7", "rb8", "rb9", "rb10", "rb11",
-    "l",
-    "st11", "st12", "s11", "rb12", "rb13", "rb14", "u6", "u7",  # new: no driver rows yet
-    # re-verification rotation for round-1-evidenced families (slots 50+)
+    "l",  # catches l1-l34 only: the round-3 additions below carry LONGER
+          # prefixes, and longest-prefix wins over this bucket
+    # round-3 additions, highest-evidence-value first (slots 45-50 get
+    # rows under a 50-entry budget; the rest are round-4 priority #1)
+    "st11", "st12", "s11", "l35", "l36", "l37",
+    "l38", "l39", "l40", "l41", "rb12", "rb13", "rb14", "u6", "u7",
+    # re-verification rotation for round-1-evidenced families
     "j11", "a6", "f8", "s3", "p2", "w1_",
     # deterministic tail
     "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st", "rb",
