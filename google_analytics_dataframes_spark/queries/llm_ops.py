@@ -1336,3 +1336,97 @@ def l37_zipf_slope(spark, sf_dir):
             F.regr_slope(F.log(F.col("n").cast("double")), F.log(F.col("r").cast("double"))), 4
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "l42_dup_passages",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS p
+            FROM t),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 5 THEN array_to_string(w[p:p+4], ' ')
+                      ELSE array_to_string(w, ' ') END AS gram
+          FROM pos),
+    dg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_occ,
+           MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
+    FROM dg GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+)
+def l42_dup_passages(spark, sf_dir):
+    """Cross-document duplicated-passage inventory — the audit view behind
+    exact-substring training-data dedup (Lee et al. 2022 drop repeated
+    >=50-token spans; here the span unit is a word-5-gram, sized to the
+    ~54-token synthetic docs): every 5-gram that occurs in >=2 distinct
+    documents, with its document frequency, total occurrence count, and an
+    example doc pair to inspect.  Complements l35 (which scores each DOC by
+    its duplicated fraction) by inventorying the PASSAGES themselves — the
+    table you'd feed a span-removal pass.
+
+    Scale shape: identical to l35's df branch — the exploded gram stream is
+    compressed to (doc_id, gram, cnt) by a doc_id-clustered aggregate
+    (fanout_by pre-partitions on doc_id: no extra exchange), and only that
+    per-doc-DISTINCT-gram stream shuffles once on gram for the inventory
+    rollup.  Output is bounded by |distinct shared grams|, not corpus size."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(D.word_shingles("text", 5)).alias("gram")
+    )
+    dg = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        dg.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cnt").alias("n_occ"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _jl_proj_expr(k: int) -> str:
+    """One output coordinate of the seeded Johnson-Lindenstrauss projection:
+    a sequential left-fold of emb[j] * R(j, k) with the matrix entry
+    R(j, k) = ((j*31 + k*17 + 7) % 7) - 3 computed in exact integer
+    arithmetic — so Spark and the DuckDB oracle evaluate the SAME float
+    operations in the SAME order and agree bitwise before the terminal
+    round(6)."""
+    return (
+        "round(aggregate(transform(sequence(0, size(embedding) - 1), "
+        f"j -> CAST(element_at(embedding, j + 1) AS DOUBLE) "
+        f"* CAST((j * 31 + {k} * 17 + 7) % 7 - 3 AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6) AS p{k}"
+    )
+
+
+@register(
+    "l43_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(
+        "round(list_reduce(list_transform(range(len(embedding)), "
+        f"j -> CAST(embedding[j + 1] AS DOUBLE) "
+        f"* ((j * 31 + {k} * 17 + 7) % 7 - 3)), (a, b) -> a + b), 6) AS p{k}"
+        for k in range(16)
+    )
+    + " FROM embeddings",
+)
+def l43_random_projection(spark, sf_dir):
+    """Seeded random projection (Johnson-Lindenstrauss) of the 64-d
+    embeddings down to 16-d — the standard pre-ANN dimensionality reducer:
+    project once, index/cluster in the cheap space, verify survivors in the
+    original space (pairs with l13/l14).  The projection matrix is a fixed
+    integer-deterministic sparse-JL surrogate (entries in [-3, 3] from a
+    linear-congruential formula), so the op needs no fitted state, no
+    broadcast, and re-runs identically on any executor.
+
+    Scale shape: a pure narrow per-row map over one scan — zero exchanges,
+    zero Python; 16 sequential folds inside whole-stage codegen.  The
+    DuckDB oracle mirrors the exact fold order (left fold from +0.0), so
+    values agree bitwise before the terminal round(6)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", *[F.expr(_jl_proj_expr(k)) for k in range(16)])

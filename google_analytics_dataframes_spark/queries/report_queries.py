@@ -11,6 +11,8 @@ from google_analytics_dataframes_spark.registry import register
 from google_analytics_dataframes_spark.report import (
     cohort_report,
     compare_report,
+    histogram_dim,
+    histogram_ordinal,
     report,
 )
 from google_analytics_dataframes_spark.queries._util import T, dsum_sql
@@ -510,4 +512,80 @@ def rb14_keep_empty_rows(spark, sf_dir):
         filters="value>90.0",
         date_range=("ts", "2024-01-01", "2024-01-15"),
         keep_empty_rows=True,
+    )
+
+
+@register(
+    "rb15_histogram_buckets",
+    oracle=f"""
+    SELECT CASE WHEN value < 0 THEN 0 WHEN value < 50 THEN 1
+                WHEN value < 100 THEN 2 WHEN value < 200 THEN 3
+                WHEN value < 300 THEN 4 ELSE 5 END AS bucket_ord,
+           CASE WHEN value < 0 THEN '<0' WHEN value < 50 THEN '0-49'
+                WHEN value < 100 THEN '50-99' WHEN value < 200 THEN '100-199'
+                WHEN value < 300 THEN '200-299' ELSE '300+' END AS bucket,
+           COUNT(*) AS sessions, {dsum_sql('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY 1, 2 ORDER BY bucket_ord
+    """,
+)
+def rb15_histogram_buckets(spark, sf_dir):
+    """GA v4 dimension `histogramBuckets` + orderBys HISTOGRAM_BUCKET [K]:
+    event value bucketed into GA's serialized ranges ('<0', '0-49', ...,
+    '300+'), rows ordered by bucket bound (not label text) via the ordinal
+    companion dimension.  Both dimensions are one narrow CASE chain inside
+    whole-stage codegen — the histogram costs exactly what the plain
+    groupBy costs."""
+    buckets = [0, 50, 100, 200, 300]
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=[
+            histogram_ordinal("value", buckets),
+            histogram_dim("value", buckets),
+        ],
+        metrics={
+            "sessions": "count",
+            "total_value": "sum:value",
+            "users": "users:user_id",
+        },
+        date_range=("ts", "2024-01-01", "2024-02-01"),
+        sort=["bucket_ord"],
+    )
+
+
+@register(
+    "rb16_report_minmax",
+    oracle=f"""
+    WITH f AS (SELECT event_type, value FROM events
+               WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'),
+    detail AS (SELECT event_type, COUNT(*) AS sessions,
+                      {dsum_sql('value')} AS total_value
+               FROM f GROUP BY event_type)
+    SELECT event_type, sessions, total_value FROM detail
+    UNION ALL
+    SELECT 'RESERVED_TOTAL', COUNT(*), {dsum_sql('value')} FROM f
+    UNION ALL
+    SELECT 'RESERVED_MIN', MIN(sessions), MIN(total_value) FROM detail
+    UNION ALL
+    SELECT 'RESERVED_MAX', MAX(sessions), MAX(total_value) FROM detail
+    """,
+)
+def rb16_report_minmax(spark, sf_dir):
+    """GA v4 `metricAggregations` MINIMUM / MAXIMUM [K] (completing rb12's
+    TOTAL): the detail rows plus RESERVED_TOTAL / RESERVED_MIN /
+    RESERVED_MAX marker rows.  The total re-aggregates the RAW rows in the
+    same Expand pass as the detail (count-distinct-safe); min/max are GA's
+    definition — extrema OVER THE DETAIL ROWS — computed from the eagerly
+    checkpointed report-sized frame, so the fact table is scanned once no
+    matter how many aggregation kinds are requested."""
+    ev = T(spark, sf_dir, "events")
+    return report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        date_range=("ts", "2024-01-10", "2024-01-25"),
+        totals=("total", "minimum", "maximum"),
     )

@@ -95,6 +95,42 @@ def parse_ga_filters(df: DataFrame, filters: str) -> Column:
     return pred
 
 
+def histogram_dim(
+    col: str | Column, buckets: list[int], name: str = "bucket"
+) -> Column:
+    """GA v4 dimension ``histogramBuckets`` [K]: bucket a numeric dimension
+    into GA's serialized range labels — ``"<b0"`` below the first boundary,
+    ``"lo-hi"`` between consecutive boundaries (hi inclusive = next boundary
+    minus 1, GA's integer-dimension convention), ``"bN+"`` at and above the
+    last.  One CASE chain, stays narrow inside whole-stage codegen.  Labels
+    sort lexically wrong by design (GA's too); pair with
+    :func:`histogram_ordinal` for GA's ``HISTOGRAM_BUCKET`` order-by, which
+    sorts buckets numerically."""
+    if not buckets or sorted(buckets) != list(buckets):
+        raise ValueError(f"histogram buckets must be ascending, got {buckets!r}")
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.when(c < buckets[0], F.lit(f"<{buckets[0]}"))
+    for lo, hi in zip(buckets, buckets[1:]):
+        expr = expr.when(c < hi, F.lit(f"{lo}-{hi - 1}"))
+    return expr.otherwise(F.lit(f"{buckets[-1]}+")).alias(name)
+
+
+def histogram_ordinal(
+    col: str | Column, buckets: list[int], name: str = "bucket_ord"
+) -> Column:
+    """The numeric companion of :func:`histogram_dim`: bucket index 0 (below
+    the first boundary) .. len(buckets) (open top bucket) — GA v4 orderBys
+    ``orderType: HISTOGRAM_BUCKET``, which orders histogram rows by bucket
+    bound, not label text."""
+    if not buckets or sorted(buckets) != list(buckets):
+        raise ValueError(f"histogram buckets must be ascending, got {buckets!r}")
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.when(c < buckets[0], F.lit(0))
+    for i, hi in enumerate(buckets[1:], start=1):
+        expr = expr.when(c < hi, F.lit(i))
+    return expr.otherwise(F.lit(len(buckets))).cast("int").alias(name)
+
+
 def _metric(name: str, spec: str) -> Column:
     kind, _, col = spec.partition(":")
     if kind == "count":
@@ -136,7 +172,7 @@ def report(
     segment: tuple[str, str] | None = None,
     having: str | None = None,
     pivot: tuple[str, int] | None = None,
-    totals: bool = False,
+    totals: bool | tuple[str, ...] = False,
     keep_empty_rows: bool = False,
 ) -> DataFrame:
     """Build a GA-style report plan.
@@ -165,13 +201,20 @@ def report(
         any fact-table scale; the explicit values list keeps the pivot
         itself single-pass.  count/users cells with no rows are 0 (GA
         zero-fills); sum/avg/min/max stay NULL.
-    totals: GA v4 `metricAggregations` [K] — append the grand-total row,
-        dimension cells carrying GA's literal `RESERVED_TOTAL` marker.
-        ONE Expand pass (grouping sets (dims), ()), not a second scan of
-        the fact table; dimension columns are cast to string (GA
-        serializes all dimension values as strings).  Requires plain
-        dimension names (not computed Columns) and is mutually exclusive
-        with pivot.
+    totals: GA v4 `metricAggregations` [K] — True (= ("total",)) or a
+        tuple drawn from {"total", "minimum", "maximum"}.  "total" appends
+        the grand-total row via ONE Expand pass (grouping sets (dims), ()),
+        not a second scan of the fact table; it re-aggregates the RAW rows,
+        so count-distinct metrics stay correct.  "minimum"/"maximum" append
+        GA's RESERVED_MIN / RESERVED_MAX rows: the per-metric min/max OVER
+        THE REPORT'S DETAIL ROWS (GA's definition).  When requested, the
+        aggregated frame is eagerly localCheckpoint-ed — it is report-sized
+        (bounded by dimension cardinality) at any fact-table scale, and the
+        checkpoint keeps the min/max branches from re-running the fact scan
+        (Catalyst does not CSE union branches).  Dimension cells carry the
+        GA literal markers and all dimension columns are cast to string (GA
+        serializes dimension values as strings).  Requires plain dimension
+        names (not computed Columns) and is mutually exclusive with pivot.
     keep_empty_rows: GA v4 `keepEmptyRows` [K] — emit every combination
         of OBSERVED dimension values, zero-filling metric cells for
         combinations with no rows (GA serializes empty cells as "0").
@@ -180,11 +223,16 @@ def report(
         cross joins and the agg left-joins onto it — the fact table is
         still scanned once.  Mutually exclusive with pivot/totals.
     """
-    if totals and pivot is not None:
+    agg_kinds: tuple[str, ...] = (
+        ("total",) if totals is True else tuple(totals) if totals else ()
+    )
+    if unknown := set(agg_kinds) - {"total", "minimum", "maximum"}:
+        raise ValueError(f"unknown metric aggregation(s): {sorted(unknown)}")
+    if agg_kinds and pivot is not None:
         raise ValueError("totals and pivot are mutually exclusive")
-    if totals and any(not isinstance(d, str) for d in dimensions):
+    if agg_kinds and any(not isinstance(d, str) for d in dimensions):
         raise ValueError("totals requires plain dimension names")
-    if keep_empty_rows and (pivot is not None or totals):
+    if keep_empty_rows and (pivot is not None or agg_kinds):
         raise ValueError("keep_empty_rows is mutually exclusive with pivot/totals")
     out = df
     if segment is not None:
@@ -231,11 +279,22 @@ def report(
         ]
         if zero_fill:
             out = out.na.fill(0, zero_fill)
-    elif totals:
+    elif agg_kinds:
         names = list(dimensions)
-        grouped = out.groupingSets([list(names), []], *names).agg(
-            *aggs, F.grouping_id().alias("_gid")
-        )
+        if "total" in agg_kinds:
+            grouped = out.groupingSets([list(names), []], *names).agg(
+                *aggs, F.grouping_id().alias("_gid")
+            )
+        else:
+            grouped = out.groupBy(*names).agg(*aggs).withColumn(
+                "_gid", F.lit(0)
+            )
+        want_minmax = {"minimum", "maximum"} & set(agg_kinds)
+        if want_minmax:
+            # report-sized frame (bounded by dim cardinality); checkpointed
+            # so the min/max branches below reuse it instead of re-running
+            # the fact scan per union branch
+            grouped = grouped.localCheckpoint(eager=True)
         out = grouped.select(
             *[
                 F.when(F.col("_gid") > 0, F.lit("RESERVED_TOTAL"))
@@ -245,6 +304,16 @@ def report(
             ],
             *metrics.keys(),
         )
+        detail = grouped.filter(F.col("_gid") == 0)
+        for kind, marker, agg_fn in (
+            ("minimum", "RESERVED_MIN", F.min),
+            ("maximum", "RESERVED_MAX", F.max),
+        ):
+            if kind in want_minmax:
+                row = detail.agg(*[agg_fn(n).alias(n) for n in metrics]).select(
+                    *[F.lit(marker).alias(n) for n in names], *metrics.keys()
+                )
+                out = out.unionByName(row)
     elif keep_empty_rows:
         pre = out  # filtered, pre-aggregation frame
         agg = pre.groupBy(*dims).agg(*aggs)

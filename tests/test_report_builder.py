@@ -290,3 +290,65 @@ def test_totals_appends_reserved_total_row(spark):
         report(ev, [F.lit(1).alias("x")], {"n": "count"}, totals=True)
     with _pytest.raises(ValueError, match="mutually exclusive"):
         report(ev, ["event_type"], {"n": "count"}, totals=True, pivot=("event_type", 2))
+
+
+def test_histogram_dim_labels_and_ordinal(spark):
+    import pytest as _pytest
+
+    from google_analytics_dataframes_spark.report import (
+        histogram_dim,
+        histogram_ordinal,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.9,), (50.0,), (299.0,), (300.0,), (1e6,)], ["v"]
+    )
+    buckets = [0, 50, 100, 200, 300]
+    out = df.select(
+        "v", histogram_dim("v", buckets), histogram_ordinal("v", buckets)
+    ).collect()
+    got = {r.v: (r.bucket, r.bucket_ord) for r in out}
+    assert got[-5.0] == ("<0", 0)
+    assert got[0.0] == ("0-49", 1)
+    assert got[49.9] == ("0-49", 1)
+    assert got[50.0] == ("50-99", 2)
+    assert got[299.0] == ("200-299", 4)
+    assert got[300.0] == ("300+", 5)
+    assert got[1e6] == ("300+", 5)
+    with _pytest.raises(ValueError, match="ascending"):
+        histogram_dim("v", [50, 0])
+    with _pytest.raises(ValueError, match="ascending"):
+        histogram_ordinal("v", [])
+
+
+def test_minmax_aggregation_rows(spark):
+    import pytest as _pytest
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count", "total_value": "sum:value"},
+        totals=("total", "minimum", "maximum"),
+    ).toPandas()
+    markers = {"RESERVED_TOTAL", "RESERVED_MIN", "RESERVED_MAX"}
+    detail = out[~out.event_type.isin(markers)]
+    mn = out[out.event_type == "RESERVED_MIN"]
+    mx = out[out.event_type == "RESERVED_MAX"]
+    assert len(mn) == 1 and len(mx) == 1
+    # GA semantics: extrema over the report's detail rows
+    assert int(mn.sessions.iloc[0]) == int(detail.sessions.min())
+    assert int(mx.sessions.iloc[0]) == int(detail.sessions.max())
+    assert float(mn.total_value.iloc[0]) == float(detail.total_value.min())
+    assert float(mx.total_value.iloc[0]) == float(detail.total_value.max())
+    # minimum/maximum alone: no RESERVED_TOTAL row
+    solo = report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"sessions": "count"},
+        totals=("maximum",),
+    ).toPandas()
+    assert "RESERVED_TOTAL" not in set(solo.event_type)
+    assert "RESERVED_MAX" in set(solo.event_type)
+    with _pytest.raises(ValueError, match="unknown metric aggregation"):
+        report(ev, ["event_type"], {"n": "count"}, totals=("median",))
