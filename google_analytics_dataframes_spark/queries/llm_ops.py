@@ -1430,3 +1430,140 @@ def l43_random_projection(spark, sf_dir):
     values agree bitwise before the terminal round(6)."""
     emb = T(spark, sf_dir, "embeddings")
     return emb.select("vec_id", *[F.expr(_jl_proj_expr(k)) for k in range(16)])
+
+
+@register(
+    "l44_clean_corpus",
+    oracle="""
+    WITH RECURSIVE docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id),
+    w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs5),
+    wp AS (SELECT doc_id, w,
+                  unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS p
+           FROM w3),
+    ws AS (SELECT DISTINCT doc_id,
+                  CASE WHEN len(w) >= 3 THEN array_to_string(w[p:p+2], ' ')
+                       ELSE array_to_string(w, ' ') END AS sh
+           FROM wp),
+    wsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ws GROUP BY doc_id),
+    evt AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE source = 'src2'),
+    evp AS (SELECT w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS p
+            FROM evt),
+    evs AS (SELECT DISTINCT
+                   CASE WHEN len(w) >= 3 THEN array_to_string(w[p:p+2], ' ')
+                        ELSE array_to_string(w, ' ') END AS sh
+            FROM evp),
+    shared AS (SELECT t.doc_id, COUNT(*) AS n_shared
+               FROM ws t JOIN evs e USING (sh) GROUP BY t.doc_id),
+    q AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 round(1.0 / (1.0 + exp(-(
+                     0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.3 * ln(1.0 + len(string_split(text, ' ')))
+                   - 1.5 * (CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('spark','join','filter','window','data',
+                                         'query','table','row','value','agg'))) AS DOUBLE)
+                            / len(string_split(text, ' ')))))), 4) AS quality
+          FROM docs5)
+    SELECT q.doc_id, q.quality,
+           round(COALESCE(s.n_shared, 0) / CAST(z.n_sh AS DOUBLE), 6) AS contam_frac,
+           try_cast(concat('0x', substr(md5('shard' || CAST(q.doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 8 AS shard,
+           q.n_tokens
+    FROM q JOIN wsizes z USING (doc_id)
+    LEFT JOIN shared s USING (doc_id)
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM dropped)
+      AND q.quality >= 0.68
+      AND COALESCE(s.n_shared, 0) / CAST(z.n_sh AS DOUBLE) <= 0.05
+    """,
+)
+def l44_clean_corpus(spark, sf_dir):
+    """The capstone: one end-to-end corpus-cleaning pipeline a training run
+    would actually execute, composed entirely from the registered operators
+    — quality filter (l16's logistic score >= 0.68), eval-set
+    decontamination (l30's shingle overlap vs the src2 eval slice, drop
+    above 5% overlap fraction), near-dup cluster election (l29/l33's
+    keeper-only survivors via the shared src5 chain — the gram->pairs->CC
+    materialization is computed ONCE per session across l12/l29/l33/l44),
+    and deterministic training-shard assignment (l22's md5 bucketing,
+    independent salt).  Output: the surviving docs with their scores and
+    shard — the manifest a trainer reads.
+
+    Scale shape: the corpus is scanned narrowly for quality+tokens; the
+    shingle stream is doc-local (array_distinct inside the row, no
+    (doc, shingle) distinct shuffle) and pre-clustered on doc_id so the
+    overlap aggregate is exchange-free; the eval side reduces then
+    broadcasts; the drop-list (non-keeper ids) is cluster-bounded and
+    broadcast anti-joined.  One doc_id shuffle to marry quality to
+    contamination is the only corpus-sized exchange."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("source") == "src5")
+    ev = T(spark, sf_dir, "documents").filter(F.col("source") == "src2")
+    q = X.quality_scores(docs).select("doc_id", "n_tokens", "quality")
+    sh = fanout_by(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.array_distinct(D.word_shingles("text", 3))).alias("sh"),
+    )
+    ev_sh = (
+        ev.select(F.explode(D.word_shingles("text", 3)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    contam = (
+        sh.join(F.broadcast(ev_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    cc = _src5_clusters(spark, sf_dir)
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    frac = F.col("n_shared") / F.col("n_sh")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    ).alias("shard")
+    return (
+        q.join(contam, "doc_id")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .filter((F.col("quality") >= 0.68) & (frac <= 0.05))
+        .select(
+            "doc_id",
+            "quality",
+            F.round(frac, 6).alias("contam_frac"),
+            shard,
+            "n_tokens",
+        )
+    )
