@@ -192,3 +192,42 @@ def test_domain_quota_uses_window_group_limit(spark):
     domain buffers the whole group in the window sort."""
     df = registry()["l32_domain_quota"].fn(spark, SF_DIR)
     assert "WindowGroupLimit" in audit.node_names(df), audit.formatted_plan(df)
+
+
+def test_random_projection_is_narrow(spark):
+    """l43 must stay a pure per-row map: zero exchanges, one scan reading
+    exactly (vec_id, embedding)."""
+    df = registry()["l43_random_projection"].fn(spark, SF_DIR)
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+    scans = audit.scan_info(df)
+    assert len(scans) == 1
+    assert scans[0]["read_schema"].count(":") == 2
+
+
+def test_dup_passages_two_shuffles(spark):
+    """l42: one doc_id pre-cluster (fanout_by) + one gram rollup — the same
+    bounded shape as l35; anything more means the exploded gram stream
+    itself is shuffling."""
+    df = registry()["l42_dup_passages"].fn(spark, SF_DIR)
+    assert audit.count_exchanges(df) <= 2, audit.formatted_plan(df)
+
+
+def test_minmax_totals_single_fact_scan(spark):
+    """rb16's returned frame must read the checkpointed report-sized frame,
+    not re-scan the events parquet per union branch (Catalyst does not CSE
+    union branches — the checkpoint is the guarantee)."""
+    df = registry()["rb16_report_minmax"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "parquet" not in plan.lower(), plan
+    # detail+total rows plus exactly one RESERVED_MIN and one RESERVED_MAX
+    rows = df.collect()
+    kinds = [r.event_type for r in rows]
+    assert kinds.count("RESERVED_MIN") == 1 and kinds.count("RESERVED_MAX") == 1
+
+
+def test_histogram_report_pushes_date_filter(spark):
+    """rb15: the CASE-chain dimensions must not block date-range pushdown."""
+    df = registry()["rb15_histogram_buckets"].fn(spark, SF_DIR)
+    scans = audit.scan_info(df)
+    assert len(scans) == 1
+    assert "ts" in scans[0]["pushed_filters"], scans[0]
