@@ -314,3 +314,35 @@ def j13_multikey(spark, sf_dir):
         "l_quantity",
         F.col("r_returnflag").alias("l_returnflag"),
     )
+
+
+@register(
+    "j14_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j14_skew_salted(spark, sf_dir):
+    """Hot-key-resilient equi-join via salting (operators/skew.py
+    salted_join): the fact side gets a deterministic per-row salt, the dim
+    side is replicated `salt` times, and the join key becomes (user_id,
+    _salt) — a key owning 30% of the fact table spreads over 8 reducers
+    instead of melting one.  MERGE-hinted so the plan is the sort-merge
+    join salting exists for (a broadcast would sidestep the skew anyway —
+    that case is j2); the oracle is the plain unsalted join, which the
+    salted plan must match row-for-row.  tests/test_plans.py pins the
+    physical shape (SMJ, no BroadcastExchange, salt in the join keys)."""
+    from google_analytics_dataframes_spark.operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .hint("MERGE")
+    )
+    return salted_join(ev, dim, "user_id", salt=8).select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )

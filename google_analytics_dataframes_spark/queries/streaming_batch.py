@@ -366,6 +366,48 @@ def st12_stream_stateful_funnel(spark, sf_dir):
 
 
 @register(
+    "st13_stream_windowed_agg",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def st13_stream_windowed_agg(spark, sf_dir):
+    """Watermarked tumbling-window aggregation EXECUTED as a stream — st1's
+    shape on the real engine (streaming/jobs.py st4_watermarked_counts):
+    hourly (window, event_type) count+sum with a 1-hour watermark, update
+    mode, availableNow over the time-ordered 4-file staging in 2 batches.
+
+    The oracle is st1's batch SQL, and it is EXACT here because (a) the
+    staged source is range-partitioned on ts with mtimes in range order, so
+    each batch's rows are never behind the previous batch's watermark —
+    nothing is late, nothing is dropped; (b) the sum accumulates in exact
+    decimal, so per-batch incremental addition equals the one-shot batch
+    sum; and (c) update mode emits a row each time a window changes and
+    both metrics are monotone (counts grow, values are positive), so the
+    final state per key is the max over its updates — same finalization
+    contract as st12.  Windows spanning the batch-1/batch-2 time boundary
+    are updated across batches, which is exactly the state carry-over this
+    query exists to prove."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir(spark, sf_dir, ordered=True)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st4_watermarked_counts(stream),
+            f"st13_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+    return out.groupBy("window_start", "event_type").agg(
+        F.max("n").alias("n"), F.max("sum_value").alias("sum_value")
+    )
+
+
+@register(
     "st11_stream_dedup",
     oracle="""
     SELECT event_id, user_id,

@@ -99,7 +99,15 @@ def st4_watermarked_counts(events: DataFrame, lateness: str = "1 hour") -> DataF
     return (
         events.withWatermark("ts", lateness)
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact-decimal accumulation (same contract as st3_session_stream):
+            # incremental per-batch additions and the batch twin's one-shot sum
+            # then agree exactly regardless of arrival order
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"

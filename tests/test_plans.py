@@ -97,6 +97,17 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_j14_salted_join_is_smj_on_salted_key(spark):
+    """j14: the registered salted join must take the sort-merge path (a
+    broadcast would make the salt meaningless) and join on the composite
+    (user_id, _salt) key."""
+    j = registry()["j14_skew_salted"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(j)
+    assert audit.join_algorithms(j) == ["SortMergeJoin"], plan
+    assert "BroadcastExchange" not in plan
+    assert "_salt" in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     """Both sides bucketed on the join key into equal bucket counts => the
     join plan is Exchange-free (co-located per-bucket join) and, with
