@@ -58,3 +58,56 @@ def stratified_sample(
 ) -> DataFrame:
     """Native seeded per-stratum Bernoulli sampling (engine-specific RNG)."""
     return df.sampleBy(slice_col, fractions, seed=seed)
+
+
+def global_shuffle(
+    df: DataFrame, key_col: str, salt: str, docs_per_file: int = 64
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets a
+    dense global position 1..N in md5(salt||key) order, plus the output
+    file index `pos div docs_per_file` — the "shuffle then shard" step
+    before sequence packing, reproducible across runs/engines/
+    partitionings (same salted-hash contract as :func:`sample_bucket`).
+
+    Scale shape — NO partition-less window (a global `row_number() OVER
+    (ORDER BY hash)` would sort the corpus on one task):
+
+    1. shard = first 2 hex chars of the hash (256 shards).  Because the
+       shard is a PREFIX of the sort key, (shard, hash) order == global
+       hash order.
+    2. per-shard dense rank: `row_number` partitioned by shard — bounded
+       partitions (~N/256), one hash exchange.
+    3. shard offsets: per-shard counts (256 rows, cluster-sized not
+       data-sized) get their exclusive prefix via a broadcast triangle
+       join (same phase-2 as text.sequence_pack), broadcast back on.
+
+    `key_col` values must be unique (ties would make positions ambiguous);
+    doc ids are.  Positions are identical to the single-window
+    formulation, so an exact ROW_NUMBER SQL oracle holds."""
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    hkey = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    keyed = df.select(key, hkey.alias("_hkey"), F.substring(hkey, 1, 2).alias("_shard"))
+
+    counts = keyed.groupBy("_shard").agg(F.count("*").alias("_n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._shard") < F.col("a._shard"), "left")
+        .groupBy(F.col("a._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0).cast("long")).alias("_offset"))
+    )
+
+    rn = F.row_number().over(
+        Window.partitionBy("_shard").orderBy("_hkey", key_col)
+    )
+    pos = (F.col("_offset") + rn).alias("pos")
+    return (
+        keyed.join(F.broadcast(offsets), "_shard")
+        .select(key, pos)
+        .select(
+            key,
+            F.col("pos"),
+            F.expr(f"(pos - 1) div {docs_per_file}").alias("out_file"),
+        )
+    )

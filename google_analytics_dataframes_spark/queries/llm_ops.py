@@ -1567,3 +1567,208 @@ def l44_clean_corpus(spark, sf_dir):
             "n_tokens",
         )
     )
+
+
+@register(
+    "l45_corpus_shuffle",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('l45:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM documents)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) // 64 AS BIGINT) AS out_file
+    FROM p
+    """,
+)
+def l45_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (operators/sampling.py
+    global_shuffle): every document gets a dense position 1..N in
+    md5-of-key order plus its output file index — the "shuffle then
+    shard" that fixes a reproducible training order before sequence
+    packing (pairs with l27; same salted-hash determinism contract as
+    l22's split).
+
+    Scale shape: the oracle's `ROW_NUMBER() OVER (ORDER BY hash)` is
+    exactly the plan this operator must NOT run — a partition-less window
+    sorts the corpus on one task.  Instead: 256 hash-prefix shards, a
+    per-shard bounded row_number (one exchange), and shard offsets via
+    the 256-row broadcast triangle join (sequence_pack's phase 2).
+    Positions are provably identical because the shard is a prefix of the
+    sort key.  tests/test_plans.py pins the window's partition spec."""
+    from google_analytics_dataframes_spark.operators.sampling import global_shuffle
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, "doc_id", salt="l45:", docs_per_file=64)
+
+
+@register(
+    "l46_dsir_weights",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    bg AS (SELECT token, COUNT(*) AS nb FROM tok GROUP BY token),
+    tgt AS (SELECT token, COUNT(*) AS nt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE lang = 'en')
+            GROUP BY token),
+    tot AS (SELECT (SELECT COUNT(*) FROM tok) AS total_b,
+                   (SELECT COUNT(*) FROM tok t
+                      JOIN documents d USING (doc_id)
+                     WHERE d.lang = 'en') AS total_t,
+                   (SELECT COUNT(*) FROM bg) AS v),
+    lm AS (SELECT bg.token,
+                  ln(CAST(COALESCE(nt, 0) + 1 AS DOUBLE)
+                     / CAST(total_t + v AS DOUBLE))
+                  - ln(CAST(nb + 1 AS DOUBLE) / CAST(total_b + v AS DOUBLE))
+                    AS lr
+           FROM bg LEFT JOIN tgt USING (token) CROSS JOIN tot)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           round(SUM(lr), 6) AS dsir_logweight
+    FROM tok t JOIN lm USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def l46_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    sum over its tokens of log p_target(w) - log p_background(w), with the
+    target LM fit on the English slice and the background LM on the whole
+    corpus, both add-1 smoothed over the background vocabulary.  High
+    scores = "looks like the target distribution" — the standard cheap
+    domain-upsampling signal before mixture sampling (l23).
+
+    Scale shape (l34's subtree economy): both LMs reduce the token stream
+    to vocabulary-sized count tables (map-side combine compresses each
+    shuffle to |V| rows/partition), totals are exchange-free aggregates
+    over the base docs, and the smoothed log-ratio table — |V| rows —
+    broadcasts onto the doc-clustered token stream, so the per-doc sum is
+    exchange-free.  Every arithmetic step (int->double cast, double
+    division, ln) is evaluated identically by DuckDB, the established
+    determinism contract from l34."""
+    from google_analytics_dataframes_spark.io import fanout_by
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    en = docs.filter(F.col("lang") == "en")
+    tok = fanout_by(docs, "doc_id").select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    bg = (
+        fanout(docs)
+        .select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("nb"))
+    )
+    tgt = (
+        fanout(en)
+        .select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("nt"))
+    )
+    tot_b = docs.agg(F.sum(F.size(X.tokens("text"))).cast("long").alias("total_b"))
+    tot_t = en.agg(F.sum(F.size(X.tokens("text"))).cast("long").alias("total_t"))
+    v = bg.agg(F.count("*").cast("long").alias("v"))
+    lr = (
+        F.log(
+            (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+            / (F.col("total_t") + F.col("v")).cast("double")
+        )
+        - F.log(
+            (F.col("nb") + 1).cast("double")
+            / (F.col("total_b") + F.col("v")).cast("double")
+        )
+    ).alias("lr")
+    lm = (
+        bg.join(tgt, "token", "left")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(v))
+        .select("token", lr)
+    )
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+@register(
+    "l47_nearest_centroid",
+    oracle="""
+    WITH cells AS (SELECT label, unnest(range(0, 64)) AS dim,
+                          unnest(CAST(embedding AS DOUBLE[])) AS x
+                   FROM embeddings),
+    cent AS (SELECT label, dim,
+                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+             FROM cells GROUP BY label, dim),
+    cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid
+             FROM cent GROUP BY label),
+    scored AS (SELECT e.vec_id, e.label AS true_label, c.label AS cell,
+                      list_dot_product(e.v, c.centroid)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+               FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings) e
+               CROSS JOIN cvec c),
+    best AS (SELECT vec_id, true_label, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cell) AS rk
+             FROM scored)
+    SELECT true_label, cell AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM best WHERE rk = 1 GROUP BY true_label, assigned_label
+    """,
+)
+def l47_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid assignment over the whole embedding table — the
+    k-means assignment step / clustering-purity audit: every vector is
+    assigned to its max-cosine label centroid, output is the (true_label,
+    assigned_label) confusion matrix.  Uses the exact-decimal centroids +
+    sequential-fold cosine determinism contract from l14.
+
+    Scale shape: the centroid table is aggregated once (640 cells), packed
+    into ONE broadcast row as a cell-sorted array, and the per-vector
+    argmax is a narrow fold over that array — the corpus is scanned once
+    with ZERO data-sized exchanges (the oracle's per-vector ROW_NUMBER
+    window would shuffle N x |cells| rows; the fold ships N rows into the
+    final confusion-matrix aggregate, whose partial agg compresses each
+    partition to <= |labels|^2 rows).  First-strictly-greater fold over
+    the cell-ascending array == the oracle's (cos DESC, cell) tie-break."""
+    from google_analytics_dataframes_spark.operators.similarity import (
+        as_double,
+        cosine,
+        label_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cent_row = (
+        label_centroids(emb)
+        .select(F.struct(F.col("label").alias("cell"), "centroid").alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    v = as_double("embedding")
+    scored = emb.select(
+        "vec_id", F.col("label").alias("true_label"), v.alias("v")
+    ).crossJoin(F.broadcast(cent_row))
+    sc = F.transform(
+        "cents",
+        lambda c: F.struct(
+            cosine(F.col("v"), c.getField("centroid")).alias("cos"),
+            c.getField("cell").alias("cell"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("int").alias("cell")
+    )
+    best = F.aggregate(
+        sc, init, lambda acc, s: F.when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc)
+    )
+    return (
+        scored.select("true_label", best.getField("cell").alias("assigned_label"))
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count("*").alias("n_vectors"))
+    )

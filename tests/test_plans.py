@@ -185,6 +185,22 @@ def test_sequence_pack_has_no_global_window(spark):
     assert got[0]["bin"] == 0
 
 
+def test_corpus_shuffle_window_is_shard_partitioned(spark):
+    """l45 must never plan the oracle's global `ROW_NUMBER() OVER (ORDER BY
+    hash)` — every WindowExec spec has to lead with the _shard partition
+    column, keeping per-task sort state at ~N/256."""
+    df = registry()["l45_corpus_shuffle"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert specs, plan
+    for line in specs:
+        assert "windowspecdefinition(_shard" in line.replace(" ", ""), line
+
+
 def test_partitioned_read_prunes_partitions(spark):
     """s10's day filter must reach the scan as a PartitionFilter (directory
     pruning before I/O), not a post-scan Filter over all partitions."""
