@@ -46,6 +46,7 @@ SWEEP_PRIORITY: list[str] = [
     # rows under a 50-entry budget; the rest are round-4 priority #1)
     "st11", "st12", "s11", "l35", "l36", "l37",
     "l38", "l39", "l40", "l41", "l42", "l43", "l44",
+    "l45", "l46", "l47", "st13", "j14", "rb17",
     "rb12", "rb13", "rb14", "rb15", "rb16", "u6", "u7",
     # re-verification rotation for round-1-evidenced families
     "j11", "a6", "f8", "s3", "p2", "w1_",

@@ -589,3 +589,94 @@ def rb16_report_minmax(spark, sf_dir):
         date_range=("ts", "2024-01-10", "2024-01-25"),
         totals=("total", "minimum", "maximum"),
     )
+
+
+@register(
+    "rb17_filter_expression",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS revenue
+    FROM events
+    WHERE (lower(event_type) LIKE 'vi%'
+           OR lower(event_type) IN ('purchase', 'signup'))
+      AND NOT event_type = 'signup'
+      AND value >= 10.0 AND value <= 400.0
+    GROUP BY event_type
+    HAVING COUNT(*) > 10
+    """,
+)
+def rb17_filter_expression(spark, sf_dir):
+    """GA4 Data API v1 structured filters end-to-end [K: runReport
+    dimensionFilter / metricFilter, FilterExpression message]: a nested
+    andGroup( orGroup(BEGINS_WITH, inListFilter), notExpression(EXACT),
+    betweenFilter ) dimension filter plus a numeric metricFilter over the
+    aggregated count — the protobuf-JSON AST the v4 `filters` DSL (rb1,
+    rb6) replaced.  The whole tree folds to one Catalyst predicate, so the
+    dimension filter reaches the scan as pushed filters like any native
+    WHERE (report.py filter_expression)."""
+    ev = T(spark, sf_dir, "events")
+    dim_filter = {
+        "andGroup": {
+            "expressions": [
+                {
+                    "orGroup": {
+                        "expressions": [
+                            {
+                                "filter": {
+                                    "fieldName": "event_type",
+                                    "stringFilter": {
+                                        "matchType": "BEGINS_WITH",
+                                        "value": "VI",
+                                    },
+                                }
+                            },
+                            {
+                                "filter": {
+                                    "fieldName": "event_type",
+                                    "inListFilter": {
+                                        "values": ["Purchase", "SIGNUP"]
+                                    },
+                                }
+                            },
+                        ]
+                    }
+                },
+                {
+                    "notExpression": {
+                        "filter": {
+                            "fieldName": "event_type",
+                            "stringFilter": {
+                                "matchType": "EXACT",
+                                "value": "signup",
+                                "caseSensitive": True,
+                            },
+                        }
+                    }
+                },
+                {
+                    "filter": {
+                        "fieldName": "value",
+                        "betweenFilter": {
+                            "fromValue": {"doubleValue": 10.0},
+                            "toValue": {"doubleValue": 400.0},
+                        },
+                    }
+                },
+            ]
+        }
+    }
+    met_filter = {
+        "filter": {
+            "fieldName": "n",
+            "numericFilter": {
+                "operation": "GREATER_THAN",
+                "value": {"int64Value": "10"},
+            },
+        }
+    }
+    return report(
+        ev,
+        dimensions=["event_type"],
+        metrics={"n": "count", "revenue": "sum:value"},
+        dimension_filter=dim_filter,
+        metric_filter=met_filter,
+    )

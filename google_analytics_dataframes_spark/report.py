@@ -95,6 +95,98 @@ def parse_ga_filters(df: DataFrame, filters: str) -> Column:
     return pred
 
 
+def _numeric_value(v: dict) -> float:
+    """GA4 NumericValue message: {"int64Value": "123"} (int64 rides as a
+    JSON string) or {"doubleValue": 1.5}."""
+    if "int64Value" in v:
+        return int(v["int64Value"])
+    if "doubleValue" in v:
+        return float(v["doubleValue"])
+    raise ValueError(f"NumericValue needs int64Value or doubleValue: {v!r}")
+
+
+def filter_expression(df: DataFrame, spec: dict) -> Column:
+    """GA4 Data API v1 ``FilterExpression`` tree [K] -> ONE Catalyst
+    predicate (dimensionFilter / metricFilter of runReport).
+
+    Supported, per the public message shape: ``andGroup`` / ``orGroup``
+    (FilterExpressionList), ``notExpression``, and leaf ``filter`` with
+    ``stringFilter`` (matchType EXACT / BEGINS_WITH / ENDS_WITH / CONTAINS
+    / FULL_REGEXP / PARTIAL_REGEXP, caseSensitive — GA compares
+    case-insensitively by default), ``numericFilter`` (operation EQUAL /
+    LESS_THAN / LESS_THAN_OR_EQUAL / GREATER_THAN / GREATER_THAN_OR_EQUAL),
+    ``inListFilter`` (values, caseSensitive), ``betweenFilter``
+    (fromValue/toValue, both inclusive).
+
+    The whole tree folds into one boolean expression, so Catalyst can push
+    it into the scan like any native predicate — the AST never becomes a
+    driver-side row filter."""
+    if "andGroup" in spec:
+        preds = [filter_expression(df, e) for e in spec["andGroup"]["expressions"]]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if "orGroup" in spec:
+        preds = [filter_expression(df, e) for e in spec["orGroup"]["expressions"]]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    if "notExpression" in spec:
+        return ~filter_expression(df, spec["notExpression"])
+    if "filter" not in spec:
+        raise ValueError(f"unrecognized FilterExpression node: {sorted(spec)}")
+    f = spec["filter"]
+    col = F.col(f["fieldName"])
+    if "stringFilter" in f:
+        sf = f["stringFilter"]
+        mt = sf.get("matchType", "EXACT")
+        val: str = sf["value"]
+        cs = bool(sf.get("caseSensitive", False))
+        c = col if cs else F.lower(col)
+        v = val if cs else val.lower()
+        if mt == "EXACT":
+            return c == v
+        if mt == "BEGINS_WITH":
+            return c.startswith(v)
+        if mt == "ENDS_WITH":
+            return c.endswith(v)
+        if mt == "CONTAINS":
+            return c.contains(v)
+        pat = val if cs else f"(?i){val}"
+        if mt == "FULL_REGEXP":
+            return col.rlike(f"^(?:{pat})$")
+        if mt == "PARTIAL_REGEXP":
+            return col.rlike(pat)
+        raise ValueError(f"unknown stringFilter matchType: {mt!r}")
+    if "numericFilter" in f:
+        nf = f["numericFilter"]
+        value = _numeric_value(nf["value"])
+        op = nf["operation"]
+        ops = {
+            "EQUAL": col == value,
+            "LESS_THAN": col < value,
+            "LESS_THAN_OR_EQUAL": col <= value,
+            "GREATER_THAN": col > value,
+            "GREATER_THAN_OR_EQUAL": col >= value,
+        }
+        if op not in ops:
+            raise ValueError(f"unknown numericFilter operation: {op!r}")
+        return ops[op]
+    if "inListFilter" in f:
+        lf = f["inListFilter"]
+        if bool(lf.get("caseSensitive", False)):
+            return col.isin(list(lf["values"]))
+        return F.lower(col).isin([v.lower() for v in lf["values"]])
+    if "betweenFilter" in f:
+        bf = f["betweenFilter"]
+        return (col >= _numeric_value(bf["fromValue"])) & (
+            col <= _numeric_value(bf["toValue"])
+        )
+    raise ValueError(f"Filter needs a concrete filter oneof: {sorted(f)}")
+
+
 def histogram_dim(
     col: str | Column, buckets: list[int], name: str = "bucket"
 ) -> Column:
@@ -165,6 +257,8 @@ def report(
     dimensions: list[str | Column],
     metrics: dict[str, str],
     filters: str | None = None,
+    dimension_filter: dict | None = None,
+    metric_filter: dict | None = None,
     date_range: tuple[str, str, str] | None = None,
     sort: list[str] | None = None,
     limit: int | None = None,
@@ -181,6 +275,12 @@ def report(
         date_trunc buckets — GA's ga:date/ga:hour analogs).
     metrics: {output_name: metric_spec} (see module docstring).
     filters: GA filter-DSL string, applied pre-aggregation.
+    dimension_filter: GA4 Data API v1 ``dimensionFilter`` [K] — a
+        FilterExpression dict (see :func:`filter_expression`), applied
+        pre-aggregation; composes with `filters` (legacy DSL) by AND.
+    metric_filter: GA4 ``metricFilter`` [K] — a FilterExpression over the
+        AGGREGATED metric columns, applied post-agg (the structured
+        counterpart of `having`).
     date_range: (ts_col, start_iso, end_iso) — GA's mandatory
         start-date/end-date, i.e. ts_col >= start AND ts_col < end.
     sort: GA sort syntax, '-name' = descending.
@@ -249,6 +349,8 @@ def report(
         )
     if filters:
         out = out.filter(parse_ga_filters(df, filters))
+    if dimension_filter is not None:
+        out = out.filter(filter_expression(df, dimension_filter))
     dims = [F.col(d) if isinstance(d, str) else d for d in dimensions]
     aggs = [_metric(n, s) for n, s in metrics.items()]
     if pivot is not None:
@@ -329,6 +431,8 @@ def report(
         out = out.groupBy(*dims).agg(*aggs)
     if having:
         out = out.filter(parse_ga_filters(out, having))
+    if metric_filter is not None:
+        out = out.filter(filter_expression(out, metric_filter))
     if sort:
         order = [
             F.col(s[1:]).desc() if s.startswith("-") else F.col(s).asc() for s in sort

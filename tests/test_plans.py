@@ -97,6 +97,18 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_rb17_filter_expression_pushes_to_scan(spark):
+    """rb17: the GA4 FilterExpression AST folds to native predicates, so at
+    least the sargable parts (the betweenFilter bounds on `value`) must
+    reach the parquet scan as PushedFilters."""
+    df = registry()["rb17_filter_expression"].fn(spark, SF_DIR)
+    scans = audit.scan_info(df)
+    assert len(scans) == 1
+    pf = scans[0]["pushed_filters"]
+    assert "GreaterThanOrEqual(value,10.0)" in pf, pf
+    assert "LessThanOrEqual(value,400.0)" in pf, pf
+
+
 def test_j14_salted_join_is_smj_on_salted_key(spark):
     """j14: the registered salted join must take the sort-merge path (a
     broadcast would make the salt meaningless) and join on the composite

@@ -352,3 +352,81 @@ def test_minmax_aggregation_rows(spark):
     assert "RESERVED_MAX" in set(solo.event_type)
     with _pytest.raises(ValueError, match="unknown metric aggregation"):
         report(ev, ["event_type"], {"n": "count"}, totals=("median",))
+
+
+def test_filter_expression_leaves_and_groups(spark):
+    """GA4 FilterExpression AST: every leaf type + nesting + case
+    sensitivity + error paths (report.py filter_expression)."""
+    import pytest as _pytest
+
+    from google_analytics_dataframes_spark.report import filter_expression
+
+    df = spark.createDataFrame(
+        [("Alpha", 5.0), ("beta", 10.0), ("ALPHABET", 15.0), ("gamma", 20.0)],
+        ["name", "x"],
+    )
+
+    def names(spec):
+        return sorted(
+            r.name for r in df.filter(filter_expression(df, spec)).collect()
+        )
+
+    sf = lambda **kw: {"filter": {"fieldName": "name", "stringFilter": kw}}
+    # case-insensitive by default; caseSensitive flips it
+    assert names(sf(matchType="EXACT", value="alpha")) == ["Alpha"]
+    assert names(sf(matchType="EXACT", value="alpha", caseSensitive=True)) == []
+    assert names(sf(matchType="BEGINS_WITH", value="ALPHA")) == ["ALPHABET", "Alpha"]
+    assert names(sf(matchType="ENDS_WITH", value="BET")) == ["ALPHABET"]
+    assert names(sf(matchType="CONTAINS", value="mm")) == ["gamma"]
+    assert names(sf(matchType="FULL_REGEXP", value="a.pha")) == ["Alpha"]
+    assert names(sf(matchType="PARTIAL_REGEXP", value="a.pha")) == [
+        "ALPHABET",
+        "Alpha",
+    ]
+    assert names(
+        {"filter": {"fieldName": "name",
+                    "inListFilter": {"values": ["ALPHA", "Gamma"]}}}
+    ) == ["Alpha", "gamma"]
+    assert names(
+        {"filter": {"fieldName": "name",
+                    "inListFilter": {"values": ["Alpha", "gamma"],
+                                     "caseSensitive": True}}}
+    ) == ["Alpha", "gamma"]
+    assert names(
+        {"filter": {"fieldName": "x",
+                    "numericFilter": {"operation": "LESS_THAN_OR_EQUAL",
+                                      "value": {"int64Value": "10"}}}}
+    ) == ["Alpha", "beta"]
+    assert names(
+        {"filter": {"fieldName": "x",
+                    "betweenFilter": {"fromValue": {"doubleValue": 10.0},
+                                      "toValue": {"doubleValue": 15.0}}}}
+    ) == ["ALPHABET", "beta"]
+    # nesting: (begins_with alpha OR x >= 20) AND NOT exact 'gamma'
+    nested = {
+        "andGroup": {"expressions": [
+            {"orGroup": {"expressions": [
+                sf(matchType="BEGINS_WITH", value="alpha"),
+                {"filter": {"fieldName": "x",
+                            "numericFilter": {"operation":
+                                              "GREATER_THAN_OR_EQUAL",
+                                              "value": {"doubleValue": 20.0}}}},
+            ]}},
+            {"notExpression": sf(matchType="EXACT", value="gamma")},
+        ]}
+    }
+    assert names(nested) == ["ALPHABET", "Alpha"]
+    with _pytest.raises(ValueError, match="matchType"):
+        names(sf(matchType="SOUNDS_LIKE", value="x"))
+    with _pytest.raises(ValueError, match="operation"):
+        names({"filter": {"fieldName": "x",
+                          "numericFilter": {"operation": "NEAR",
+                                            "value": {"doubleValue": 1.0}}}})
+    with _pytest.raises(ValueError, match="NumericValue"):
+        names({"filter": {"fieldName": "x",
+                          "numericFilter": {"operation": "EQUAL",
+                                            "value": {"stringValue": "1"}}}})
+    with _pytest.raises(ValueError, match="unrecognized FilterExpression"):
+        names({"xorGroup": {}})
+    with _pytest.raises(ValueError, match="concrete filter"):
+        names({"filter": {"fieldName": "x"}})
