@@ -1639,14 +1639,22 @@ def l46_dsir_weights(spark, sf_dir):
     scores = "looks like the target distribution" — the standard cheap
     domain-upsampling signal before mixture sampling (l23).
 
-    Scale shape (l34's subtree economy): both LMs reduce the token stream
-    to vocabulary-sized count tables (map-side combine compresses each
-    shuffle to |V| rows/partition), totals are exchange-free aggregates
-    over the base docs, and the smoothed log-ratio table — |V| rows —
-    broadcasts onto the doc-clustered token stream, so the per-doc sum is
-    exchange-free.  Every arithmetic step (int->double cast, double
-    division, ln) is evaluated identically by DuckDB, the established
-    determinism contract from l34."""
+    Scale shape (l34's subtree economy, tightened): both LMs reduce the
+    token stream to vocabulary-sized count tables (map-side combine
+    compresses each shuffle to |V| rows/partition), and the three scalars
+    the smoothing needs — |V|, total background tokens, total target
+    tokens — are window aggregates over the joined |V|-row LM frame
+    itself (target tokens ⊆ background vocab, so Σ coalesce(nt,0) IS the
+    target total), not separate corpus scans: Catalyst re-expands every
+    reference to an unmaterialized frame, and the first cut of this query
+    paid 10 exchanges rebuilding the token pipeline for each scalar.  The
+    partition-less window is vocab-sized (l37's documented exception).
+    The finished log-ratio table — |V| rows — broadcasts onto the
+    doc-clustered token stream, so the per-doc sum is exchange-free.
+    Every arithmetic step (int->double cast, double division, ln) is
+    evaluated identically by DuckDB, the determinism contract from l34."""
+    from pyspark.sql import Window
+
     from google_analytics_dataframes_spark.io import fanout_by
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -1666,12 +1674,19 @@ def l46_dsir_weights(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("nt"))
     )
-    tot_b = docs.agg(F.sum(F.size(X.tokens("text"))).cast("long").alias("total_b"))
-    tot_t = en.agg(F.sum(F.size(X.tokens("text"))).cast("long").alias("total_t"))
-    v = bg.agg(F.count("*").cast("long").alias("v"))
+    w = Window.partitionBy()  # vocab-sized frame: |V| rows total
+    nt0 = F.coalesce(F.col("nt"), F.lit(0))
+    counted = bg.join(F.broadcast(tgt), "token", "left").select(
+        "token",
+        "nb",
+        nt0.alias("nt0"),
+        F.count("*").over(w).cast("long").alias("v"),
+        F.sum("nb").over(w).cast("long").alias("total_b"),
+        F.sum(nt0).over(w).cast("long").alias("total_t"),
+    )
     lr = (
         F.log(
-            (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+            (F.col("nt0") + 1).cast("double")
             / (F.col("total_t") + F.col("v")).cast("double")
         )
         - F.log(
@@ -1679,13 +1694,7 @@ def l46_dsir_weights(spark, sf_dir):
             / (F.col("total_b") + F.col("v")).cast("double")
         )
     ).alias("lr")
-    lm = (
-        bg.join(tgt, "token", "left")
-        .crossJoin(F.broadcast(tot_b))
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(v))
-        .select("token", lr)
-    )
+    lm = counted.select("token", lr)
     return (
         tok.join(F.broadcast(lm), "token")
         .groupBy("doc_id")
