@@ -66,15 +66,26 @@ def table_fingerprint(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a lazy DataFrame (schema from Parquet footer).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS,false), which Spark's
-    vectorized reader refuses; with `nanosAsLong` (session.py) it arrives as
-    a LONG of epoch-nanos.  We floor-divide to µs and rebuild a timestamp —
-    the same truncation DuckDB applies reading ns parquet, so both engines
-    see identical µs instants."""
+    Timestamp normalization — the generator has shipped `events.ts` in two
+    physical forms across rounds, and downstream code (`unix_micros`,
+    watermarks, window ranges) requires a plain TIMESTAMP:
+
+    * TIMESTAMP(NANOS,false): Spark's vectorized reader refuses it; with
+      `nanosAsLong` (session.py) it arrives as a LONG of epoch-nanos.  We
+      floor-divide to µs and rebuild a timestamp — the same truncation
+      DuckDB applies reading ns parquet, so both engines see identical
+      µs instants.
+    * TIMESTAMP(MICROS,isAdjustedToUTC=false): Spark ≥3.4 infers
+      TIMESTAMP_NTZ.  The session timezone is pinned to UTC (session.py),
+      so casting NTZ→TIMESTAMP is value-preserving and matches DuckDB,
+      which reads the same column as a naive timestamp treated as UTC."""
     configure(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
