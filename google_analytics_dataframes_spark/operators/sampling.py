@@ -111,3 +111,66 @@ def global_shuffle(
             F.expr(f"(pos - 1) div {docs_per_file}").alias("out_file"),
         )
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    sortv_col: str,
+    tiebreak_col: str,
+    bucket_scale: int = 8,
+) -> DataFrame:
+    """Dense rank 1..N_g within each ``group_col`` value under
+    ``(sortv_col asc, tiebreak_col asc)`` order, plus the group size
+    ``_gn`` — WITHOUT a per-group single-partition window.
+
+    A ``row_number() OVER (PARTITION BY group ORDER BY sortv)`` hashes on
+    the group alone, so a low-cardinality group column (languages: ~6
+    values) sorts each group's entire slice on ONE task — the partition-
+    less-window scale failure (see global_shuffle above) in per-group
+    form.  Instead, the same three-phase shape as :func:`global_shuffle`,
+    with a RANGE shard in place of the hash-prefix shard (the sort key is
+    a double, so the shard must be order-compatible, not hash-derived):
+
+    1. shard ``_bkt = floor(sortv * bucket_scale)`` — monotone in sortv,
+       so (``_bkt``, sortv, tiebreak) order == (sortv, tiebreak) order.
+       ``bucket_scale`` is exact (callers pass powers of two; sortv*8 is
+       an exact IEEE op, so bucketing is engine-independent).
+    2. per-(group, bucket) counts -> exclusive prefix offsets via the
+       broadcast triangle join over the tiny (groups x buckets) table.
+    3. ``row_number`` partitioned by (group, bucket) — bounded partitions
+       provided sortv spreads across buckets; a pathological point mass
+       lands one bucket on one task, which the caller accepts or re-scales.
+
+    ``tiebreak_col`` must be unique within a group (doc ids are) or ranks
+    are ambiguous.  Output = input columns + ``_rank`` + ``_gn``.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "_bkt", F.floor(F.col(sortv_col) * F.lit(float(bucket_scale))).cast("long")
+    )
+    counts = keyed.groupBy(group_col, "_bkt").agg(F.count("*").alias("_n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"b.{group_col}") == F.col(f"a.{group_col}"))
+            & (F.col("b._bkt") < F.col("a._bkt")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(group_col), F.col("a._bkt").alias("_bkt")
+        )
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0).cast("long")).alias("_off"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_n").cast("long").alias("_gn"))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col, "_bkt").orderBy(sortv_col, tiebreak_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [group_col, "_bkt"])
+        .join(F.broadcast(totals), group_col)
+        .withColumn("_rank", (F.col("_off") + rn).cast("long"))
+        .drop("_bkt", "_off")
+    )

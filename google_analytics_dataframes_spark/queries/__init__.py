@@ -48,6 +48,8 @@ SWEEP_PRIORITY: list[str] = [
     "l38", "l39", "l40", "l41", "l42", "l43", "l44",
     "l45", "l46", "l47", "st13", "j14", "rb17",
     "rb12", "rb13", "rb14", "rb15", "rb16", "u6", "u7",
+    # round-3 late additions (first driver evidence lands round 4+)
+    "rb18", "rb19", "l48", "l49",
     # re-verification rotation for round-1-evidenced families
     "j11", "a6", "f8", "s3", "p2", "w1_",
     # deterministic tail

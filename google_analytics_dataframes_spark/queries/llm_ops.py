@@ -1781,3 +1781,172 @@ def l47_nearest_centroid(spark, sf_dir):
         .groupBy("true_label", "assigned_label")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@register(
+    "l48_ppl_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM freq),
+    sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                  round(AVG(ln(f.n / CAST(tot.total AS DOUBLE))), 6) AS s
+           FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id),
+    lab AS (SELECT d.lang, sc.doc_id, sc.n_tokens, sc.s,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY sc.s DESC, sc.doc_id) AS tile
+            FROM sc JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob,
+           MIN(s) AS min_logprob, MAX(s) AS max_logprob,
+           SUM(n_tokens) AS total_tokens
+    FROM lab GROUP BY lang, ppl_bucket
+    """,
+)
+def l48_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    rank documents by unigram-LM score (l34's avg log-prob — the cheap
+    perplexity proxy) and cut into head / middle / tail terciles; emit
+    per-(lang, bucket) census stats.  CCNet keeps head+middle and drops or
+    down-samples tail — this is the audit table that decision reads.
+
+    Scale shape: the oracle's ``ntile(3) OVER (PARTITION BY lang ORDER BY
+    s DESC)`` hash-partitions on lang alone — ~6 partitions each sorting
+    its full language slice on one task, the per-group flavor of the
+    partition-less-window failure.  The Spark side instead computes the
+    per-lang rank with :func:`operators.sampling.grouped_rank` (range
+    shards monotone in the sort key + broadcast prefix offsets + bounded
+    per-(lang, shard) row_number) and converts rank -> tercile with the
+    closed-form ntile formula (first N%3 tiles get one extra row), which
+    agrees with SQL ntile exactly because both consume the identical
+    (s DESC, doc_id) total order."""
+    from google_analytics_dataframes_spark.operators.sampling import grouped_rank
+
+    scored = l34_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("avg_logprob").alias("s")
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    # sort key: s DESC, doc_id ASC  ==  (-s) ASC, doc_id ASC; -s in [0, ~10]
+    # spreads over ~80 buckets at scale 8.
+    lab = grouped_rank(
+        scored.join(docs, "doc_id").withColumn("_sortv", -F.col("s")),
+        group_col="lang",
+        sortv_col="_sortv",
+        tiebreak_col="doc_id",
+        bucket_scale=8,
+    )
+    q = F.floor(F.col("_gn") / 3).cast("long")
+    rem = (F.col("_gn") % 3).cast("long")
+    cut = rem * (q + 1)
+    r = F.col("_rank")
+    tile = F.when(r <= cut, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - cut) / F.greatest(q, F.lit(1).cast("long")))
+    )
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return (
+        lab.select("lang", "n_tokens", "s", bucket.alias("ppl_bucket"))
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+            F.min("s").alias("min_logprob"),
+            F.max("s").alias("max_logprob"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "l49_importance_resample",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    bg AS (SELECT token, COUNT(*) AS nb FROM tok GROUP BY token),
+    tgt AS (SELECT token, COUNT(*) AS nt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE lang = 'en')
+            GROUP BY token),
+    tot AS (SELECT (SELECT COUNT(*) FROM tok) AS total_b,
+                   (SELECT COUNT(*) FROM tok t
+                      JOIN documents d USING (doc_id)
+                     WHERE d.lang = 'en') AS total_t,
+                   (SELECT COUNT(*) FROM bg) AS v),
+    lm AS (SELECT bg.token,
+                  ln(CAST(COALESCE(nt, 0) + 1 AS DOUBLE)
+                     / CAST(total_t + v AS DOUBLE))
+                  - ln(CAST(nb + 1 AS DOUBLE) / CAST(total_b + v AS DOUBLE))
+                    AS lr
+           FROM bg LEFT JOIN tgt USING (token) CROSS JOIN tot),
+    w AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                 round(SUM(lr), 6) AS dsir_logweight
+          FROM tok t JOIN lm USING (token) GROUP BY t.doc_id),
+    p AS (SELECT doc_id, n_tokens, dsir_logweight,
+                 LEAST(GREATEST(0.5 + dsir_logweight / 20.0, 0.05), 0.95)
+                   AS p_keep,
+                 try_cast(concat('0x',
+                     substr(md5(concat('l49:', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) / 4294967296.0 AS u
+          FROM w)
+    SELECT doc_id, n_tokens, dsir_logweight, round(p_keep, 8) AS p_keep
+    FROM p WHERE u < p_keep
+    """,
+)
+def l49_importance_resample(spark, sf_dir):
+    """DSIR's apply step (Xie et al. 2023): importance RESAMPLING of the
+    corpus using l46's log importance weights.  Each document's keep
+    probability is a monotone squash of its weight — here the piecewise-
+    linear surrogate clamp(0.5 + w/20, 0.05, 0.95) rather than a sigmoid,
+    chosen because +, /, LEAST/GREATEST are bit-exact IEEE ops in every
+    engine while exp() is libm-dependent and could flip a keep decision at
+    the u ~ p boundary.  The coin is the salted-md5 uniform (same
+    determinism contract as l22/l23): reproducible across runs, engines,
+    partitionings, and re-shards — a doc's fate never changes.
+
+    Scale shape: inherits l46's economy (vocab-sized LM broadcast onto the
+    doc-clustered token stream; per-doc sum exchange-free), then the
+    resample itself is a pure projection+filter — no shuffle, no RNG
+    state, pushdown-friendly."""
+    w = l46_dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("l49:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(
+        F.greatest(F.lit(0.5) + F.col("dsir_logweight") / 20.0, F.lit(0.05)),
+        F.lit(0.95),
+    )
+    return (
+        w.withColumn("p_keep", p)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("p_keep"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_logweight",
+            # w is 6-decimal (w = k*1e-6), so p = 0.5 + w/20 = 0.5 +
+            # k*5e-8 has EXACTLY 8 decimal digits, the last one 0 or 5:
+            # rounding at 6 or 7 digits sits ON a .5 tie for half the rows
+            # and Spark (decimal HALF_UP) vs DuckDB (binary nearest) break
+            # ties differently.  round(p, 8) is the identity on the
+            # decimal value — never a tie, identical doubles both engines.
+            F.round("p_keep", 8).alias("p_keep"),
+        )
+    )

@@ -680,3 +680,148 @@ def rb17_filter_expression(spark, sf_dir):
         dimension_filter=dim_filter,
         metric_filter=met_filter,
     )
+
+
+# --------------------------------------------------------- GA sessions ----
+
+_SESS_ORACLE_BASE = """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_id,
+             MIN(ts_us) AS start_us,
+             COUNT(*) AS n_events,
+             (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
+             (MIN({'u': ts_us, 'e': event_id, 'et': event_type})).et AS landing,
+             (MAX({'u': ts_us, 'e': event_id, 'et': event_type})).et AS exit_type
+      FROM numbered GROUP BY user_id, session_id)
+"""
+
+
+def _sessions(ev):
+    """Per-session frame under GA's 30-min-gap session model (st3's exact
+    boundary semantics): one row per (user_id, session_id) with start,
+    event count, duration, and the landing/exit event types.
+
+    ONE exchange total: the sequencing window hashes on user_id, and the
+    per-session groupBy's clustering keys (user_id, session_id) are
+    satisfied by that same hashpartitioning(user_id) — Catalyst's
+    ClusteredDistribution accepts a subset partitioning, so no second
+    shuffle.  Landing/exit come from min/max over the (ts_us, event_id,
+    event_type) struct — lexicographic struct ordering picks the
+    first/last event without a second window pass."""
+    from pyspark.sql import Window
+
+    ev = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w_seq).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_seq) >= 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = F.struct("ts_us", "event_id", "event_type")
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"),
+        F.count("*").alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
+        F.min(key).getField("event_type").alias("landing"),
+        F.max(key).getField("event_type").alias("exit_type"),
+    )
+
+
+@register(
+    "rb18_session_metrics",
+    oracle=f"""
+    {_SESS_ORACLE_BASE}
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                      + (start_us // 1000000 // 86400 * 86400) * INTERVAL 1 SECOND,
+                    '%Y-%m-%d') AS day,
+           COUNT(*) AS sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+           round(SUM(duration_sec) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_session_duration,
+           round(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS events_per_session
+    FROM sess GROUP BY day
+    """,
+)
+def rb18_session_metrics(spark, sf_dir):
+    """GA's session-scoped headline metrics [K — ga:sessions, ga:bounceRate,
+    ga:avgSessionDuration, GA4 screenPageViewsPerSession]: per day (of
+    session START, GA's attribution day), session count, bounces (single-
+    event sessions), bounce rate, average session duration, events per
+    session.  Two exchanges end-to-end: user_id (sessionize) then day
+    (rollup).  Ratios are exact-integer sums divided as doubles — IEEE-
+    deterministic in both engines — with terminal round(6)."""
+    sess = _sessions(T(spark, sf_dir, "events"))
+    day = F.date_format(
+        F.timestamp_seconds(F.floor(F.col("start_us") / 1_000_000 / 86_400) * 86_400),
+        "yyyy-MM-dd",
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    n = F.count("*")
+    return sess.groupBy(day.alias("day")).agg(
+        n.alias("sessions"),
+        bounce.alias("bounces"),
+        F.round(bounce / n.cast("double"), 6).alias("bounce_rate"),
+        F.round(F.sum("duration_sec") / n.cast("double"), 6).alias(
+            "avg_session_duration"
+        ),
+        F.round(F.sum("n_events") / n.cast("double"), 6).alias("events_per_session"),
+    )
+
+
+@register(
+    "rb19_landing_exit",
+    oracle=f"""
+    {_SESS_ORACLE_BASE}
+    SELECT landing, exit_type, COUNT(*) AS sessions,
+           round(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_events_per_session,
+           SUM(CASE WHEN exit_type = 'purchase' THEN 1 ELSE 0 END)
+             AS purchase_exits
+    FROM sess GROUP BY landing, exit_type
+    """,
+)
+def rb19_landing_exit(spark, sf_dir):
+    """GA landing/exit-page analysis [K — ga:landingPagePath /
+    ga:exitPagePath], on event_type as the page analog: for every
+    (entrance, exit) pair, session count, mean session depth, and how many
+    of those paths end in a purchase — the classic entrance->conversion
+    path table.  Reuses the one-exchange session frame; the pair rollup is
+    a second small shuffle on (landing, exit_type) — 25 groups."""
+    sess = _sessions(T(spark, sf_dir, "events"))
+    n = F.count("*")
+    return sess.groupBy("landing", "exit_type").agg(
+        n.alias("sessions"),
+        F.round(F.sum("n_events") / n.cast("double"), 6).alias(
+            "avg_events_per_session"
+        ),
+        F.sum(F.when(F.col("exit_type") == "purchase", 1).otherwise(0)).alias(
+            "purchase_exits"
+        ),
+    )

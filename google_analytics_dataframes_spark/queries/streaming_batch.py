@@ -163,13 +163,12 @@ def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
     order — required for watermarked stream-stream joins (a random split
     would evict state still needed by older rows arriving later)."""
     import os
-    import tempfile
 
-    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
     tag = "ord" if ordered else "raw"
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}_{sf_tag}")
+    d = scratch_dir(f"stream_{tag}_{sf_tag}")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.unix_micros("ts") * 1000  # back to raw ns LONG wire format
     )
@@ -194,12 +193,11 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
     batch exercises the dedup state rather than racing it."""
     import os
     import shutil
-    import tempfile
 
-    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_dup_{sf_tag}")
+    d = scratch_dir(f"stream_dup_{sf_tag}")
     stage = d + "_stage"
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.unix_micros("ts") * 1000  # raw ns LONG wire format

@@ -283,11 +283,23 @@ def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> DataFrame:
     """Execute a streaming plan with the availableNow trigger into a memory
-    sink (st7 output-mode surface); returns the sink table as a DataFrame."""
+    sink (st7 output-mode surface); returns the sink table as a DataFrame.
+
+    The checkpoint (offsets WAL + state store) goes to :func:`io.scratch_dir`
+    — RAM-backed where available, because every microbatch commit fsyncs it
+    and a memory-sink test run has nothing to recover (see scratch_dir's
+    scale note)."""
+    import shutil
+
+    from google_analytics_dataframes_spark.io import scratch_dir
+
+    ckpt = scratch_dir(f"ckpt_{query_name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

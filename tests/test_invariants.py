@@ -330,3 +330,52 @@ def test_rolling_hll_tracks_exact_within_rsd(spark):
     assert len(j) == len(exact)
     rel = (j["active_7d_est"] - j["active_7d"]).abs() / j["active_7d"]
     assert (rel < 0.05).all()
+
+
+def test_session_metrics_consistency(spark):
+    """rb18/rb19 view the same session frame: total sessions agree, bounce
+    rate is a true ratio in [0,1], and rb19's landing/exit stay inside the
+    event-type domain."""
+    reg = registry()
+    m = reg["rb18_session_metrics"].fn(spark, SF_DIR).toPandas()
+    le = reg["rb19_landing_exit"].fn(spark, SF_DIR).toPandas()
+    assert m["sessions"].sum() == le["sessions"].sum()
+    assert ((m["bounce_rate"] >= 0) & (m["bounce_rate"] <= 1)).all()
+    assert (m["bounces"] <= m["sessions"]).all()
+    assert (m["events_per_session"] >= 1).all()
+    types = {"click", "signup", "error", "view", "purchase"}
+    assert set(le["landing"]) <= types and set(le["exit_type"]) <= types
+    # every single-event session has landing == exit, so purchase-landing
+    # bounces imply at least as many purchase exits from purchase landings
+    assert (le["purchase_exits"] <= le["sessions"]).all()
+
+
+def test_ppl_buckets_are_terciles(spark):
+    """l48: within each language the three bucket sizes differ by at most 1
+    (ntile contract), cover every scored doc, and bucket score ranges are
+    ordered head >= middle >= tail."""
+    reg = registry()
+    pdf = reg["l48_ppl_buckets"].fn(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents")
+    per_lang = pdf.groupby("lang")["n_docs"].agg(["min", "max", "sum"])
+    assert (per_lang["max"] - per_lang["min"] <= 1).all()
+    assert per_lang["sum"].sum() == docs.count()
+    wide = pdf.pivot(index="lang", columns="ppl_bucket", values="min_logprob")
+    # head holds the highest scores; its minimum must still be >= the
+    # minimum anywhere in tail
+    tail_min = pdf.pivot(index="lang", columns="ppl_bucket", values="min_logprob")["tail"]
+    head_min = wide["head"]
+    assert (head_min >= tail_min).all()
+
+
+def test_importance_resample_deterministic_subset(spark):
+    """l49 is a deterministic filter over l46: kept rows are a subset, two
+    runs agree exactly, and p_keep respects the clamp bounds."""
+    reg = registry()
+    a = reg["l49_importance_resample"].fn(spark, SF_DIR).toPandas()
+    b = reg["l49_importance_resample"].fn(spark, SF_DIR).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert ((a["p_keep"] >= 0.05) & (a["p_keep"] <= 0.95)).all()
+    w = reg["l46_dsir_weights"].fn(spark, SF_DIR).toPandas()
+    assert set(a["doc_id"]) <= set(w["doc_id"])
+    assert 0 < len(a) < len(w)

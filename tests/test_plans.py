@@ -270,3 +270,32 @@ def test_histogram_report_pushes_date_filter(spark):
     scans = audit.scan_info(df)
     assert len(scans) == 1
     assert "ts" in scans[0]["pushed_filters"], scans[0]
+
+
+def test_ppl_buckets_window_is_bucket_bounded(spark):
+    """l48 must never plan the oracle's `ntile(3) OVER (PARTITION BY lang)`
+    — a ~6-partition window sorting whole language slices on single tasks.
+    Every WindowExec spec has to include the _bkt range-shard column next
+    to lang, keeping per-task sort state at one (lang, score-bucket)."""
+    from google_analytics_dataframes_spark.plans import audit
+
+    df = registry()["l48_ppl_buckets"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert specs, plan
+    for line in specs:
+        flat = line.replace(" ", "")
+        assert "_bkt" in flat and "windowspecdefinition(lang" in flat, line
+
+
+def test_session_frame_single_exchange(spark):
+    """rb18's session model must reuse the sequencing window's
+    hashpartitioning(user_id) for the per-session groupBy (subset
+    clustering satisfies ClusteredDistribution): exactly ONE exchange
+    before the day rollup — i.e. two total in the whole plan."""
+    from google_analytics_dataframes_spark.plans import audit
+
+    df = registry()["rb18_session_metrics"].fn(spark, SF_DIR)
+    assert audit.count_exchanges(df) == 2, audit.formatted_plan(df)
