@@ -30,30 +30,33 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # order and truncates on a ~50-entry budget (rounds 1 and 2 each recorded
 # exactly 50 rows), so this list decides which queries get driver evidence.
 #
-# Round-3 rotation: the 44 queries with NO driver row after two rounds come
-# first — s9/s10, rb4–rb11, then all 34 l-queries (the LLM-pipeline north
-# star).  The remaining ~6 budget slots go to spot re-verification of the
-# families whose evidence is oldest (round 1): one representative per
-# family, hardest semantics first.  Broad prefixes after that make the full
-# order deterministic for any larger budget.
+# Round-4 rotation (VERDICT r3 item #1 + #2): the 24 queries with NO driver
+# row after three rounds go first — rb12–rb19, u6/u7, j14, st13, l38–l49 —
+# all already local-pass under tools/check.py, so this rotation alone should
+# take the registry to 172/172 driver-checked.  New round-4 queries follow
+# immediately (first driver evidence this round).  The leftover ~budget
+# slots then re-verify round-1-evidenced families whose driver rows are
+# three rounds old and predate load_table changes (a658234): the
+# hash-fragile representatives first (a9 pivot, a15 collect_list, j11 asof,
+# sf1 date parse, s3 json), then one per family.  Broad prefixes after that
+# make the full order deterministic for any larger budget.
 SWEEP_PRIORITY: list[str] = [
-    # the 44 queries VERDICT r2 flagged as driver-unverified (the contract)
-    "s9", "s10",
-    "rb4", "rb5", "rb6", "rb7", "rb8", "rb9", "rb10", "rb11",
-    "l",  # catches l1-l34 only: the round-3 additions below carry LONGER
-          # prefixes, and longest-prefix wins over this bucket
-    # round-3 additions, highest-evidence-value first (slots 45-50 get
-    # rows under a 50-entry budget; the rest are round-4 priority #1)
-    "st11", "st12", "s11", "l35", "l36", "l37",
+    # the 24 driver-unverified queries (VERDICT r3 "What's missing" #1)
+    "rb12", "rb13", "rb14", "rb15", "rb16", "rb17", "rb18", "rb19",
+    "u6", "u7", "j14", "st13",
     "l38", "l39", "l40", "l41", "l42", "l43", "l44",
-    "l45", "l46", "l47", "st13", "j14", "rb17",
-    "rb12", "rb13", "rb14", "rb15", "rb16", "u6", "u7",
-    # round-3 late additions (first driver evidence lands round 4+)
-    "rb18", "rb19", "l48", "l49",
-    # re-verification rotation for round-1-evidenced families
-    "j11", "a6", "f8", "s3", "p2", "w1_",
+    "l45", "l46", "l47", "l48", "l49",
+    # round-4 additions (first driver evidence this round)
+    "l50", "l51", "l52", "l53", "l54", "l55", "l56", "l57", "l58", "l59",
+    "rb20", "rb21", "rb22",
+    # re-verification of round-1-evidenced families (VERDICT r3 item #2):
+    # hash-fragile representatives first, then one per family.  Entries are
+    # underscore-terminated so "s1_" matches only s1 (not s10/s11) etc.
+    "a9_", "a15_", "j11_", "sf1_", "s3_",
+    "a4_", "w2_", "o3_", "u1_", "f8_", "p2_", "ud3_", "sf9_", "j5_",
+    "s1_", "a1_", "w10_", "o5_", "sf14_", "ud6_", "j1_", "f1_", "st1_", "s4_",
     # deterministic tail
-    "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st", "rb",
+    "rb", "l", "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st",
 ]
 
 
