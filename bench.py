@@ -8,8 +8,15 @@ local[$SPARK_GRAFT_CPUS], print ONE JSON line:
 
 Timing excludes driver-side result transfer: each plan executes fully via
 the `noop` sink (scan + shuffles + aggs run, rows are discarded JVM-side),
-which is the honest engine-throughput number.  First query's JVM/codegen
-warm-up is amortized with one untimed warm-up pass.
+which is the honest engine-throughput number.
+
+Warm-up protocol (matches BASELINE.md's "warm" measurement): each query gets
+ONE untimed warm-up execution — paying its own Janino/whole-stage-codegen
+compile, parquet footer reads, and any session-level shared materialization —
+before the timed run.  Round-3 verdict showed the old single-global-warm-up
+protocol overstated big-fold plans ~10x (5-7 s cold-codegen vs 0.4-0.9 s
+warm); the cold first-run times are still recorded in BENCH_DETAIL.json
+under "cold_queries" for transparency.
 """
 
 from __future__ import annotations
@@ -42,13 +49,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # untimed warm-up: JVM, codegen, parquet footers
+    # untimed global warm-up: JVM, noop sink classes, parquet footers
     execute("a1_groupby_sum")
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(reg):
         try:
-            times[name] = round(execute(name), 3)
+            cold[name] = round(execute(name), 3)  # untimed per-query warm-up (codegen)
+            times[name] = round(execute(name), 3)  # timed warm run
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
@@ -63,6 +72,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "cold_queries": cold,
+        "cold_total_sec": round(sum(t for t in cold.values() if t >= 0), 3),
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -42,9 +42,40 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_SCRATCH_BASE: str | None = None
+
+
+def _scratch_base() -> str:
+    """Per-process scratch root, chosen once and removed at interpreter exit.
+
+    The PID suffix isolates concurrent processes (parallel pytest sessions,
+    a sweep racing a bench) — without it two runs sharing a query name would
+    rmtree each other's live checkpoints.  The atexit rmtree is what keeps a
+    tmpfs-backed base from accumulating staged stream parquet + state stores
+    across a long sweep; /dev/shm is typically capped at 50% RAM.  If tmpfs
+    free space is already low at first use, fall back to the disk tempdir
+    rather than risk exhausting it mid-run."""
+    global _SCRATCH_BASE
+    if _SCRATCH_BASE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        base = None
+        if os.access("/dev/shm", os.W_OK):
+            if shutil.disk_usage("/dev/shm").free >= 4 * 1024**3:
+                base = "/dev/shm"
+        if base is None:
+            base = tempfile.gettempdir()
+        _SCRATCH_BASE = os.path.join(base, f"spark_graft_scratch_{os.getpid()}")
+        os.makedirs(_SCRATCH_BASE, exist_ok=True)
+        atexit.register(shutil.rmtree, _SCRATCH_BASE, ignore_errors=True)
+    return _SCRATCH_BASE
+
+
 def scratch_dir(name: str) -> str:
     """Ephemeral scratch directory for staging/checkpoint artifacts,
-    RAM-backed when the host offers tmpfs.
+    RAM-backed when the host offers tmpfs (with headroom).
 
     Streaming state stores and checkpoint WALs fsync every microbatch
     commit; on a disk-backed /tmp that fsync IS the fixed cost (and the
@@ -54,12 +85,7 @@ def scratch_dir(name: str) -> str:
     present.  On a real cluster this maps to the standard posture:
     executor-local SSD for state store working dirs, durable object
     storage ONLY for the checkpoints a restart must survive."""
-    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    if base is None:
-        import tempfile
-
-        base = tempfile.gettempdir()
-    d = os.path.join(base, "spark_graft_scratch", name)
+    d = os.path.join(_scratch_base(), name)
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -1049,7 +1049,9 @@ def l33_dedup_apply(spark, sf_dir):
     tot AS (SELECT SUM(n) AS total FROM freq)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           round(AVG(ln(f.n / CAST(tot.total AS DOUBLE))), 6) AS avg_logprob
+           round(CAST(SUM(CAST(ln(f.n / CAST(tot.total AS DOUBLE))
+                               AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
     FROM tok t JOIN freq f USING (token) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -1090,9 +1092,17 @@ def l34_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 6).alias(
-                "avg_logprob"
-            ),
+            # decimal-sum mean, not F.avg: the value doubles as l48's
+            # cross-engine SORT KEY, where a last-digit FP summation-order
+            # divergence would silently move a doc across a tercile
+            # boundary — a sharper failure mode than a direct value diff
+            F.round(
+                F.sum(
+                    F.log(F.col("n") / F.col("total")).cast("decimal(38,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -1625,7 +1635,8 @@ def l45_corpus_shuffle(spark, sf_dir):
                     AS lr
            FROM bg LEFT JOIN tgt USING (token) CROSS JOIN tot)
     SELECT t.doc_id, COUNT(*) AS n_tokens,
-           round(SUM(lr), 6) AS dsir_logweight
+           round(CAST(SUM(CAST(lr AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS dsir_logweight
     FROM tok t JOIN lm USING (token)
     GROUP BY t.doc_id
     """,
@@ -1639,50 +1650,52 @@ def l46_dsir_weights(spark, sf_dir):
     scores = "looks like the target distribution" — the standard cheap
     domain-upsampling signal before mixture sampling (l23).
 
-    Scale shape (l34's subtree economy, tightened): both LMs reduce the
-    token stream to vocabulary-sized count tables (map-side combine
-    compresses each shuffle to |V| rows/partition), and the three scalars
-    the smoothing needs — |V|, total background tokens, total target
-    tokens — are window aggregates over the joined |V|-row LM frame
-    itself (target tokens ⊆ background vocab, so Σ coalesce(nt,0) IS the
-    target total), not separate corpus scans: Catalyst re-expands every
-    reference to an unmaterialized frame, and the first cut of this query
-    paid 10 exchanges rebuilding the token pipeline for each scalar.  The
-    partition-less window is vocab-sized (l37's documented exception).
-    The finished log-ratio table — |V| rows — broadcasts onto the
-    doc-clustered token stream, so the per-doc sum is exchange-free.
-    Every arithmetic step (int->double cast, double division, ln) is
-    evaluated identically by DuckDB, the determinism contract from l34."""
+    Scale shape (l34's subtree economy, tightened again round 4 — 6
+    exchanges -> 4): BOTH LMs come out of ONE token pipeline — explode
+    once with an ``is_en`` flag, then a single groupBy(token) computing
+    ``nb = count(*)`` and ``nt0 = sum(is_en)`` (target tokens ⊆
+    background vocab, so the flagged sum IS the oracle's ``coalesce(nt,
+    0)`` with no left join at all).  Map-side combine compresses that one
+    shuffle to |V| rows/partition.  The three scalars the smoothing needs
+    — |V|, total background tokens, total target tokens — are window
+    aggregates over the |V|-row count frame itself, not separate corpus
+    scans: Catalyst re-expands every reference to an unmaterialized
+    frame, and the first cut of this query paid 10 exchanges rebuilding
+    the token pipeline for each scalar (round 3 got it to 6 with two
+    pipelines; this cut merges them).  The partition-less window is
+    vocab-sized (l37's documented exception).  The finished log-ratio
+    table — |V| rows — broadcasts onto the doc-clustered token stream,
+    so the per-doc sum is exchange-free.  Every arithmetic step
+    (int->double cast, double division, ln) is evaluated identically by
+    DuckDB; the per-doc sum uses decimal accumulation so the weight is
+    summation-order-independent (it is l49's keep/drop input)."""
     from pyspark.sql import Window
 
     from google_analytics_dataframes_spark.io import fanout_by
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    en = docs.filter(F.col("lang") == "en")
     tok = fanout_by(docs, "doc_id").select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    bg = (
+    counts = (
         fanout(docs)
-        .select(F.explode(X.tokens("text")).alias("token"))
+        .select("lang", F.explode(X.tokens("text")).alias("token"))
         .groupBy("token")
-        .agg(F.count("*").alias("nb"))
-    )
-    tgt = (
-        fanout(en)
-        .select(F.explode(X.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("nt"))
+        .agg(
+            F.count("*").alias("nb"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            ).alias("nt0"),
+        )
     )
     w = Window.partitionBy()  # vocab-sized frame: |V| rows total
-    nt0 = F.coalesce(F.col("nt"), F.lit(0))
-    counted = bg.join(F.broadcast(tgt), "token", "left").select(
+    counted = counts.select(
         "token",
         "nb",
-        nt0.alias("nt0"),
+        "nt0",
         F.count("*").over(w).cast("long").alias("v"),
         F.sum("nb").over(w).cast("long").alias("total_b"),
-        F.sum(nt0).over(w).cast("long").alias("total_t"),
+        F.sum("nt0").over(w).cast("long").alias("total_t"),
     )
     lr = (
         F.log(
@@ -1700,7 +1713,9 @@ def l46_dsir_weights(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("dsir_logweight"),
         )
     )
 
@@ -1791,7 +1806,9 @@ def l47_nearest_centroid(spark, sf_dir):
     freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
     tot AS (SELECT SUM(n) AS total FROM freq),
     sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
-                  round(AVG(ln(f.n / CAST(tot.total AS DOUBLE))), 6) AS s
+                  round(CAST(SUM(CAST(ln(f.n / CAST(tot.total AS DOUBLE))
+                                      AS DECIMAL(38,9))) AS DOUBLE)
+                        / COUNT(*), 6) AS s
            FROM tok t JOIN freq f USING (token) CROSS JOIN tot
            GROUP BY t.doc_id),
     lab AS (SELECT d.lang, sc.doc_id, sc.n_tokens, sc.s,
@@ -1890,7 +1907,8 @@ def l48_ppl_buckets(spark, sf_dir):
                     AS lr
            FROM bg LEFT JOIN tgt USING (token) CROSS JOIN tot),
     w AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
-                 round(SUM(lr), 6) AS dsir_logweight
+                 round(CAST(SUM(CAST(lr AS DECIMAL(38,9))) AS DOUBLE), 6)
+                   AS dsir_logweight
           FROM tok t JOIN lm USING (token) GROUP BY t.doc_id),
     p AS (SELECT doc_id, n_tokens, dsir_logweight,
                  LEAST(GREATEST(0.5 + dsir_logweight / 20.0, 0.05), 0.95)

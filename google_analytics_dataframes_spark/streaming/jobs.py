@@ -293,6 +293,10 @@ def run_available_now(
 
     from google_analytics_dataframes_spark.io import scratch_dir
 
+    # scratch_dir is per-process (PID-suffixed base) so concurrent runs of
+    # the same query name can't delete each other's live checkpoint; the
+    # pre-start rmtree only clears THIS process's previous run (a re-run
+    # with availableNow + an old checkpoint would replay nothing).
     ckpt = scratch_dir(f"ckpt_{query_name}")
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
@@ -303,7 +307,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # return tmpfs immediately — a long sweep runs many streaming
+        # queries and the checkpoint has no value once the query finished
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(query_name)
 
 
