@@ -165,14 +165,16 @@ def st8_stateful_funnel_tws(events: DataFrame) -> DataFrame:
     row; output on every update, same as st6, so tests can assert the two
     APIs agree row-for-row.
 
-    Runtime requirement: the TWS Python state server speaks protobuf, so
-    executing this plan needs the `protobuf` wheel; the test suite
-    importorskips when it is absent (this container).  A vendored fallback
-    was evaluated and rejected: pyspark ships only the GENERATED
-    StateMessage_pb2 module, which requires the full google.protobuf
-    runtime (~30k LoC of descriptor/wire-format machinery) — stubbing it
-    would mean re-implementing protobuf serialization, far riskier than an
-    honest skip.  Plan construction itself has no such dependency."""
+    Runtime requirements: (1) the TWS Python state server speaks protobuf
+    — when the wheel is absent the test suite locates a pure-python
+    runtime vendored elsewhere on the host and exposes it to driver and
+    worker interpreters via a sitecustomize shim (tests/_protobuf_compat
+    .py: namespace-package shadowing by jar resources and a minor-version
+    gencode check are the two traps); (2) each TWS state variable lives in
+    its own state-store column family, which only the RocksDB provider
+    supports — callers must set spark.sql.streaming.stateStore
+    .providerClass to RocksDBStateStoreProvider for this query.  Plan
+    construction itself has neither dependency."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

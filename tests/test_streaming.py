@@ -198,15 +198,31 @@ def test_stateful_funnel_tws_matches_batch(spark, events_dir):
     """st8 (transformWithStateInPandas / StatefulProcessor) must agree with
     the same batch funnel counts st6 is checked against — i.e. the old and
     new arbitrary-state APIs implement identical semantics."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas needs the protobuf wheel for its "
-        "state-server protocol; absent in this container (no pip install)",
-    )
+    from tests._protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip(
+            "transformWithStateInPandas needs a google.protobuf runtime for "
+            "its state-server protocol; neither the wheel nor a vendored "
+            "pure-python fallback is present on this host"
+        )
     stream = jobs.read_event_stream(spark, events_dir)
-    out = jobs.run_available_now(
-        jobs.st8_stateful_funnel_tws(stream), "t_st8", output_mode="update"
-    ).toPandas()
+    # TWS stores each state variable in its own column family — only the
+    # RocksDB provider supports that (HDFSBackedStateStore raises
+    # STATE_STORE_UNSUPPORTED_OPERATION: multipleColumnFamilies)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = jobs.run_available_now(
+            jobs.st8_stateful_funnel_tws(stream), "t_st8", output_mode="update"
+        ).toPandas()
+    finally:
+        spark.conf.set(key, old) if old else spark.conf.unset(key)
     final = out.groupby("user_id").last()
     batch = (
         load_table(spark, SF_DIR, "events")
