@@ -20,6 +20,7 @@ from google_analytics_dataframes_spark.queries import scalar_fns  # noqa: F401
 from google_analytics_dataframes_spark.queries import streaming_batch  # noqa: F401
 from google_analytics_dataframes_spark.queries import udfs  # noqa: F401
 from google_analytics_dataframes_spark.queries import llm_ops  # noqa: F401
+from google_analytics_dataframes_spark.queries import corpus_ops  # noqa: F401
 from google_analytics_dataframes_spark.queries import report_queries  # noqa: F401
 
 from google_analytics_dataframes_spark.registry import registry as _registry

@@ -1,0 +1,612 @@
+"""§2.13 round-4 corpus-pipeline operators (l50-l57): Bloom-filter dedup
+pre-screening, BPE merge statistics, temperature-scaled mixture weights,
+multi-n decontamination, sequence-length census, near-dup pair token-F1,
+bigram-LM scoring, and tokenizer fertility — the remaining operations a
+large-scale training-data pipeline runs that rounds 1-3 didn't cover.
+
+All eight are O-tier: every query pairs with an inline DuckDB oracle over
+the same parquet, every computed column is aliased identically in both
+formulations, and every float aggregate is either an exact-integer division
+or a decimal(38,9)-accumulated sum (the determinism contract from l34/l46).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_analytics_dataframes_spark.io import fanout, fanout_by
+from google_analytics_dataframes_spark.queries._util import T
+from google_analytics_dataframes_spark.registry import register
+
+# ------------------------------------------------------------------ helpers
+
+#: Bloom parameters for l50: m = 2^18 bit positions, k = 4 hashes carved
+#: from non-overlapping 8-hex-digit slices of one md5 — identical in both
+#: engines (md5 is bit-stable; the slices are independent enough for a
+#: demonstration filter and keep the oracle a pure string expression).
+_BLOOM_M = 262_144
+_BLOOM_K = 4
+
+
+def _bloom_positions(col):
+    """Array of k bit positions for a text column (Spark side)."""
+    md5 = F.md5(col)
+    return F.array(
+        *[
+            (F.conv(F.substring(md5, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_M)
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bloom_positions_sql(expr: str) -> str:
+    slices = ", ".join(
+        f"try_cast(concat('0x', substr(md5({expr}), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    )
+    return f"[{slices}]"
+
+
+def _word_shingles(arr_col: str, k: int):
+    """Adjacent k-word shingles of a pre-split token array column (total
+    occurrences, not distinct); empty for docs shorter than k words."""
+    return F.expr(
+        f"CASE WHEN size({arr_col}) >= {k} THEN "
+        f"transform(sequence(0, size({arr_col}) - {k}), "
+        f"i -> array_join(slice({arr_col}, i + 1, {k}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+# ------------------------------------------------------------------- l50 ---
+
+
+@register(
+    "l50_bloom_dedup",
+    oracle=f"""
+    WITH seen AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'),
+    bits AS (SELECT DISTINCT unnest({_bloom_positions_sql('text')}) AS pos
+             FROM seen),
+    cand AS (SELECT doc_id, text, {_bloom_positions_sql('text')} AS ps
+             FROM documents WHERE source != 'src0'),
+    cp AS (SELECT doc_id, text, unnest(ps) AS pos FROM cand),
+    hitc AS (SELECT cp.doc_id,
+                    SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+             FROM cp LEFT JOIN bits USING (pos) GROUP BY cp.doc_id),
+    ex AS (SELECT c.doc_id,
+                  CASE WHEN s.text IS NOT NULL THEN 1 ELSE 0 END AS exact_seen
+           FROM cand c LEFT JOIN seen s USING (text))
+    SELECT h.doc_id,
+           CASE WHEN h.nhit = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_maybe_seen,
+           e.exact_seen,
+           CASE WHEN h.nhit = {_BLOOM_K} AND e.exact_seen = 0
+                THEN 1 ELSE 0 END AS false_positive
+    FROM hitc h JOIN ex e USING (doc_id)
+    """,
+)
+def l50_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership pre-screen for cross-corpus dedup: has this
+    incoming document's text PROBABLY been seen in the reference slice
+    (source='src0')?  The standard cheap first pass before exact/near dedup
+    in an incremental ingest — false positives go to the expensive check,
+    true negatives (the vast majority) skip it.
+
+    Spark-first shape: the filter's set bits ARE a relation — distinct
+    (position) rows from the seen slice, bounded by m = 2^18 regardless of
+    corpus size — so membership is a broadcast LEFT join on position and a
+    per-doc count(k hits), never a driver-side bitmap.  At 100 TB the seen
+    side reduces to <= m rows before the broadcast (the classic build-side
+    reduction), the candidate side streams map-only, and the same plan
+    shape holds with the bit-set swapped for Spark's native
+    BloomFilterAggregate when oracle parity isn't needed.  Exactness of
+    the false_positive column is audited against a true exact-match join —
+    the output is the calibration table for choosing m and k."""
+    docs = T(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("source") == "src0").select("text").distinct()
+    bits = (
+        seen.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", _bloom_positions(F.col("text")).alias("ps")
+    )
+    hitc = (
+        cand.select("doc_id", F.explode("ps").alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    ex = cand.join(
+        F.broadcast(seen.withColumn("seen", F.lit(1))), "text", "left"
+    ).select("doc_id", F.coalesce(F.col("seen"), F.lit(0)).alias("exact_seen"))
+    maybe = (F.col("nhit") == _BLOOM_K).cast("int")
+    return (
+        hitc.join(ex, "doc_id")
+        .select(
+            "doc_id",
+            maybe.alias("bloom_maybe_seen"),
+            "exact_seen",
+            (maybe.cast("boolean") & (F.col("exact_seen") == 0))
+            .cast("int")
+            .alias("false_positive"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- l51 ---
+
+
+@register(
+    "l51_bpe_pair_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    p AS (SELECT a[i] AS w1, a[i + 1] AS w2
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) u),
+    c AS (SELECT w1, w2, COUNT(*) AS pair_count FROM p GROUP BY w1, w2)
+    SELECT w1, w2, pair_count FROM c
+    ORDER BY pair_count DESC, w1, w2 LIMIT 30
+    """,
+)
+def l51_bpe_pair_counts(spark, sf_dir):
+    """The inner statistic of BPE vocabulary construction: corpus-wide
+    adjacent-pair frequencies, top 30 — each BPE merge step picks exactly
+    this argmax, so this query IS one iteration of the merge loop (the
+    loop itself re-runs it on re-segmented text; the heavy lifting per
+    iteration is unchanged).
+
+    Scale shape: the pair stream is generated doc-locally (transform over
+    the split array — no self-join on position), partial aggregation
+    compresses each partition to <= |pair vocab| rows before the single
+    shuffle, and the global top-30 is a TakeOrdered over the counted
+    frame, not a full sort.  Deterministic total order: count DESC then
+    (w1, w2) lexicographic."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = F.expr(
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), "
+        "i -> struct(a[i] AS w1, a[i + 1] AS w2)) ELSE array() END"
+    )
+    return (
+        fanout(docs)
+        .select(F.split("text", " ").alias("a"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+# ------------------------------------------------------------------- l52 ---
+
+
+@register(
+    "l52_temperature_mixture",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                      SUM(len(string_split(text, ' '))) AS n_tokens
+               FROM documents GROUP BY source),
+    w AS (SELECT *, SUM(n_tokens) OVER () AS tot,
+                 SUM(sqrt(n_tokens)) OVER () AS tot_sq
+          FROM s)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_tokens / CAST(tot AS DOUBLE), 6) AS nat_share,
+           round(sqrt(n_tokens) / tot_sq, 6) AS temp_share,
+           round((sqrt(n_tokens) / tot_sq) / (n_tokens / CAST(tot AS DOUBLE)), 6)
+             AS upsample_factor
+    FROM w
+    """,
+)
+def l52_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights over sources (the alpha=0.5
+    sampling rule multilingual/multi-domain training mixes use — scaling
+    p_s proportional to p_s^alpha upweights small sources): per source,
+    natural token share, temperature share, and the resulting upsample
+    factor the sampler (l23) applies.
+
+    Scale shape: one exchange-free per-source aggregate (sum of doc-local
+    token counts — the token stream is never exploded), then window
+    normalization over the |sources|-row frame (the vocab-sized-window
+    exception from l37/l46).  sqrt, not pow(x, 0.5): sqrt is a correctly-
+    rounded IEEE-754 primitive so both engines produce identical bits,
+    while pow is libm-dependent."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()  # |sources| rows
+    tot = F.sum("n_tokens").over(w)
+    tot_sq = F.sum(F.sqrt(F.col("n_tokens"))).over(w)
+    nat = F.col("n_tokens") / tot.cast("double")
+    temp = F.sqrt(F.col("n_tokens")) / tot_sq
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(nat, 6).alias("nat_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / nat, 6).alias("upsample_factor"),
+    )
+
+
+# ------------------------------------------------------------------- l53 ---
+
+
+@register(
+    "l53_decontam_multi_n",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS a
+               FROM documents),
+    sh AS (SELECT doc_id, source, 5 AS n, array_to_string(a[i:i+4], ' ') AS s
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 4)) AS i) u
+           UNION ALL
+           SELECT doc_id, source, 9 AS n, array_to_string(a[i:i+8], ' ') AS s
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 8)) AS i) u),
+    ev AS (SELECT DISTINCT n, s FROM sh WHERE source = 'src2'),
+    tr AS (SELECT doc_id, n, s FROM sh WHERE source != 'src2')
+    SELECT tr.doc_id, tr.n, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           round(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS hit_frac
+    FROM tr LEFT JOIN ev USING (n, s)
+    GROUP BY tr.doc_id, tr.n
+    """,
+)
+def l53_decontam_multi_n(spark, sf_dir):
+    """Multi-n decontamination audit (the n-gram-overlap protocol of GPT-3
+    appx. C / PaLM: flag train docs sharing long n-grams with the eval
+    set, at MULTIPLE n simultaneously): for every non-eval document and
+    each n in {5, 9}, the count and fraction of its word n-gram
+    occurrences that appear anywhere in the eval slice (source='src2').
+    Two n values in one pass distinguishes borderline paraphrase overlap
+    (short n) from verbatim contamination (long n); l30 applies the
+    drop, this emits the evidence table.
+
+    Scale shape: shingles are doc-local array transforms (no position
+    self-join); both n-variants ride ONE pre-split scan via a union that
+    Spark evaluates as two Generate branches over the same shuffled base
+    (fanout_by doc_id), so the per-doc rollup is exchange-free; the eval
+    shingle set reduces to distinct (n, s) BEFORE broadcasting — build-
+    side reduction ahead of the join, never eval-side explode against the
+    full train stream."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = fanout_by(docs, "doc_id").select(
+        "doc_id", "source", F.split("text", " ").alias("a")
+    )
+    sh = None
+    for k in (5, 9):
+        part = base.select(
+            "doc_id",
+            "source",
+            F.lit(k).alias("n"),
+            F.explode(_word_shingles("a", k)).alias("s"),
+        )
+        sh = part if sh is None else sh.unionAll(part)
+    ev = (
+        sh.filter(F.col("source") == "src2")
+        .select("n", "s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = sh.filter(F.col("source") != "src2")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        tr.join(F.broadcast(ev), ["n", "s"], "left")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hits.alias("n_hit"),
+            F.round(hits / F.count("*").cast("double"), 6).alias("hit_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- l54 ---
+
+
+@register(
+    "l54_seqlen_histogram",
+    oracle="""
+    WITH n AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+    b AS (SELECT CAST(power(2, length(bin(n_tokens)) - 1) AS BIGINT)
+                   AS bucket_lo,
+                 n_tokens
+          FROM n),
+    h AS (SELECT bucket_lo, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM b GROUP BY bucket_lo)
+    SELECT bucket_lo, n_docs, total_tokens,
+           round(SUM(n_docs) OVER (ORDER BY bucket_lo)
+                   / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_frac
+    FROM h
+    """,
+)
+def l54_seqlen_histogram(spark, sf_dir):
+    """Sequence-length census in power-of-two buckets with cumulative doc
+    fraction — the input every packing planner (l27) and max-seq-len
+    decision reads: how much of the corpus fits at 2^k context without
+    truncation.
+
+    Scale shape: bucketing is a doc-local bit-length expression —
+    floor-log2 via length(bin(n)) on integers, NEVER floor(log2(x)) on
+    doubles, whose libm rounding at exact powers of two can put a
+    boundary doc in the wrong bucket per engine.  One exchange-free
+    partial agg to <= ~20 histogram rows, then the cumulative window runs
+    on that metadata-sized frame (l37's documented exception)."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.pow(F.lit(2), F.length(F.bin(n.cast("long"))) - 1).cast("long")
+    h = (
+        docs.select(bucket.alias("bucket_lo"), n.cast("long").alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()  # histogram-sized frame
+    w_cum = w_all.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    return h.select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all).cast("double"),
+            6,
+        ).alias("cum_doc_frac"),
+    )
+
+
+# ------------------------------------------------------------------- l55 ---
+
+
+@register(
+    "l55_pair_token_f1",
+    oracle="""
+    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM docs5)
+           GROUP BY doc_id, token),
+    tn AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY doc_id),
+    ov AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(ta.c, tb.c)) AS overlap
+           FROM pairs p
+           JOIN tc ta ON ta.doc_id = p.doc_a
+           JOIN tc tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+           GROUP BY p.doc_a, p.doc_b)
+    SELECT o.doc_a, o.doc_b, CAST(o.overlap AS BIGINT) AS overlap,
+           round(o.overlap / CAST(nb.n AS DOUBLE), 6) AS precision_b,
+           round(o.overlap / CAST(na.n AS DOUBLE), 6) AS recall_a,
+           round(2.0 * o.overlap / CAST(na.n + nb.n AS DOUBLE), 6) AS token_f1
+    FROM ov o
+    JOIN tn na ON na.doc_id = o.doc_a
+    JOIN tn nb ON nb.doc_id = o.doc_b
+    """,
+)
+def l55_pair_token_f1(spark, sf_dir):
+    """Token-multiset F1 for every near-dup candidate pair — the second-
+    stage verifier dedup cascades run AFTER candidate generation (l12's
+    3-gram Jaccard >= 60% pairs on the src5 slice): character-shingle
+    similarity proposes, token-level F1 (the summarization-style overlap
+    metric; 2*overlap/(|A|+|B|) on token multisets) confirms or rejects.
+    Multiset overlap = sum over shared tokens of min(count_a, count_b).
+
+    Scale shape: the pair list comes from the SESSION-MATERIALIZED src5
+    chain (one gram->pairs computation per session, shared with
+    l12/l29/l33/l44 — never recomputed here), and candidate pairs are by
+    construction orders of magnitude fewer than docs, so the pair frame
+    broadcasts onto the per-(doc, token) count table twice (a-side, then
+    b-side on (doc, token)); every ratio is exact-integer counts divided
+    as doubles.  Never an all-pairs token join — the candidate set gates
+    everything."""
+    from google_analytics_dataframes_spark.queries.llm_ops import _src5_pairs
+
+    docs5 = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src5")
+        .select("doc_id", "text")
+    )
+    tc = (
+        fanout_by(docs5, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tn = tc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    pairs = _src5_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ta = tc.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("c").alias("ca")
+    )
+    tb = tc.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("c").alias("cb")
+    )
+    ov = (
+        ta.join(F.broadcast(pairs), "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    na = tn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = tn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            F.round(F.col("overlap") / F.col("nb").cast("double"), 6).alias(
+                "precision_b"
+            ),
+            F.round(F.col("overlap") / F.col("na").cast("double"), 6).alias(
+                "recall_a"
+            ),
+            F.round(
+                F.lit(2.0) * F.col("overlap")
+                / (F.col("na") + F.col("nb")).cast("double"),
+                6,
+            ).alias("token_f1"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- l56 ---
+
+
+@register(
+    "l56_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) u),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    uni AS (SELECT token, COUNT(*) AS c1
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token),
+    vv AS (SELECT COUNT(*) AS v FROM uni)
+    SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(ln((c12.c12 + 1) / CAST(uni.c1 + vv.v AS DOUBLE))
+                               AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bigram_logprob
+    FROM bi
+    JOIN c12 USING (w1, w2)
+    JOIN uni ON uni.token = bi.w1
+    CROSS JOIN vv
+    GROUP BY bi.doc_id
+    """,
+)
+def l56_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity proxy — l34's unigram score upgraded one order:
+    per document, mean ln p(w2|w1) under the corpus's own add-1-smoothed
+    bigram model (p = (c(w1,w2)+1)/(c(w1)+|V|)).  Bigram perplexity
+    separates shuffled-word gibberish from fluent text, which unigram
+    scoring cannot (identical unigram histograms score identically on
+    l34).
+
+    Scale shape — deliberately the NON-broadcast LM join: the bigram
+    count table grows toward |V|^2 and at 100 TB does not fit a broadcast,
+    so the doc bigram stream joins it on (w1, w2) declaratively — at
+    bench SF Catalyst/AQE picks BHJ from size stats, at scale the same
+    plan resolves to a shuffled join with map-side-combined build input;
+    nothing in the query pins the strategy.  The unigram table and the
+    |V| scalar reuse l46's economy (window over the vocab-sized frame —
+    no second corpus scan).  Per-doc mean is decimal-accumulated (l34's
+    order-independence contract).  Docs under 2 tokens have no bigrams
+    and drop out in both engines."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = F.expr(
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), "
+        "i -> struct(a[i] AS w1, a[i + 1] AS w2)) ELSE array() END"
+    )
+    bi = (
+        fanout_by(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("a"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = (
+        fanout(docs)
+        .select(F.split("text", " ").alias("a"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    w_all = Window.partitionBy()  # vocab-sized frame
+    uni = (
+        fanout(docs)
+        .select(F.explode(F.split("text", " ")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .withColumn("v", F.count("*").over(w_all).cast("long"))
+    )
+    lp = F.log(
+        (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")
+    )
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(lp.cast("decimal(38,9)")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- l57 ---
+
+
+@register(
+    "l57_token_fertility",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                        '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
+             AS bpe_tokens,
+           round(SUM(len(regexp_extract_all(text,
+                         '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))
+                   / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6)
+             AS fertility,
+           round(SUM(n_chars)
+                   / CAST(SUM(len(regexp_extract_all(text,
+                              '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def l57_token_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language — the table a tokenizer
+    review reads before committing a vocab: subword tokens per whitespace
+    word (fertility; high values flag languages the vocab serves badly
+    and inflate training cost per content-word) and characters per
+    subword token (compression), using l17's BPE-ish segmenter
+    ([a-z]{1,4} runs, digits, punctuation — identical regex semantics in
+    Spark's Java regex and DuckDB's RE2 for this pattern class).
+
+    Scale shape: pure doc-local regexp_count/size expressions folded by
+    ONE partial agg to |langs| rows — no explode, no token materialized;
+    ratios are exact-integer sums divided as doubles (IEEE-deterministic
+    both engines)."""
+    docs = T(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"))
+    ws = F.size(F.split("text", " "))
+    s_bpe = F.sum(bpe).cast("long")
+    s_ws = F.sum(ws).cast("long")
+    return fanout(docs).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        s_ws.alias("ws_tokens"),
+        s_bpe.alias("bpe_tokens"),
+        F.round(s_bpe / s_ws.cast("double"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") / s_bpe.cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -704,7 +704,9 @@ _SESS_ORACLE_BASE = """
              COUNT(*) AS n_events,
              (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
              (MIN({'u': ts_us, 'e': event_id, 'et': event_type})).et AS landing,
-             (MAX({'u': ts_us, 'e': event_id, 'et': event_type})).et AS exit_type
+             (MAX({'u': ts_us, 'e': event_id, 'et': event_type})).et AS exit_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchases
       FROM numbered GROUP BY user_id, session_id)
 """
 
@@ -748,6 +750,9 @@ def _sessions(ev):
         .alias("duration_sec"),
         F.min(key).getField("event_type").alias("landing"),
         F.max(key).getField("event_type").alias("exit_type"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
     )
 
 
@@ -824,4 +829,133 @@ def rb19_landing_exit(spark, sf_dir):
         F.sum(F.when(F.col("exit_type") == "purchase", 1).otherwise(0)).alias(
             "purchase_exits"
         ),
+    )
+
+
+@register(
+    "rb20_engagement_rate",
+    oracle=f"""
+    {_SESS_ORACLE_BASE}
+    , eng AS (
+      SELECT *, CASE WHEN duration_sec >= 10 OR n_events >= 2
+                       OR purchases >= 1 THEN 1 ELSE 0 END AS engaged
+      FROM sess)
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                      + (start_us // 1000000 // 86400 * 86400) * INTERVAL 1 SECOND,
+                    '%Y-%m-%d') AS day,
+           COUNT(*) AS sessions,
+           SUM(engaged) AS engaged_sessions,
+           round(SUM(engaged) / CAST(COUNT(*) AS DOUBLE), 6) AS engagement_rate,
+           round(SUM(CASE WHEN engaged = 1 THEN duration_sec ELSE 0 END)
+                   / CAST(GREATEST(SUM(engaged), 1) AS DOUBLE), 6)
+             AS avg_engagement_time
+    FROM eng GROUP BY day
+    """,
+)
+def rb20_engagement_rate(spark, sf_dir):
+    """GA4's engagement metrics [K — engagementRate, engagedSessions,
+    userEngagementDuration]: an engaged session lasted >= 10 s OR had >= 2
+    events OR converted (purchase) — GA4's literal definition with
+    event_type='purchase' as the conversion analog.  Per day of session
+    start: sessions, engaged sessions, engagement rate, and mean engaged-
+    session duration.  GA4 replaced bounce rate with exactly
+    1 - engagementRate, so this pairs with rb18 as the old/new metric
+    bridge.
+
+    Scale shape: reuses rb18's one-exchange session frame (user_id
+    partitioning satisfies the per-session groupBy), adds a doc-local
+    engaged flag, and rolls up on day — integer sums divided as doubles,
+    GREATEST(...,1) guarding the zero-engaged day identically in both
+    engines."""
+    sess = _sessions(T(spark, sf_dir, "events"))
+    engaged = F.when(
+        (F.col("duration_sec") >= 10)
+        | (F.col("n_events") >= 2)
+        | (F.col("purchases") >= 1),
+        1,
+    ).otherwise(0)
+    day = F.date_format(
+        F.timestamp_seconds(F.floor(F.col("start_us") / 1_000_000 / 86_400) * 86_400),
+        "yyyy-MM-dd",
+    )
+    eng = sess.withColumn("engaged", engaged)
+    e = F.sum("engaged")
+    return eng.groupBy(day.alias("day")).agg(
+        F.count("*").alias("sessions"),
+        e.alias("engaged_sessions"),
+        F.round(e / F.count("*").cast("double"), 6).alias("engagement_rate"),
+        F.round(
+            F.sum(F.when(F.col("engaged") == 1, F.col("duration_sec")).otherwise(0))
+            / F.greatest(e, F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_engagement_time"),
+    )
+
+
+@register(
+    "rb21_active_users",
+    oracle="""
+    WITH pres AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 1000000 // 86400 AS day_num
+                  FROM events),
+    days AS (SELECT DISTINCT day_num FROM pres)
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                      + d.day_num * 86400 * INTERVAL 1 SECOND,
+                    '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN p.day_num = d.day_num
+                               THEN p.user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN p.day_num >= d.day_num - 6
+                               THEN p.user_id END) AS wau,
+           COUNT(DISTINCT p.user_id) AS mau,
+           round(COUNT(DISTINCT CASE WHEN p.day_num = d.day_num
+                                     THEN p.user_id END)
+                   / CAST(COUNT(DISTINCT p.user_id) AS DOUBLE), 6)
+             AS stickiness
+    FROM days d
+    JOIN pres p ON p.day_num BETWEEN d.day_num - 29 AND d.day_num
+    GROUP BY d.day_num
+    """,
+)
+def rb21_active_users(spark, sf_dir):
+    """GA4's active-user rollups [K — activeUsers, active7DayUsers,
+    active28DayUsers (GA4 uses 28; the classic DAU/WAU/MAU convention here
+    is 1/7/30), plus DAU/MAU "stickiness"]: per calendar day, distinct
+    users active that day, in the trailing 7 days, and in the trailing 30
+    days.
+
+    Scale shape: events first reduce to the DISTINCT (user, day) presence
+    relation — the only corpus-sized shuffle, with partial-agg dedup
+    map-side — then the trailing windows are a range join against the
+    tiny distinct-days dimension (broadcast; |days| rows), NOT a 30x
+    self-union or a per-user sliding window: each presence row lands in
+    <= 30 day-groups and the three distinct-counts share one Expand.  The
+    oracle is the identical join, so the range-join semantics (inclusive
+    trailing windows, calendar-day attribution) are pinned cross-engine."""
+    ev = T(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        (F.floor(F.unix_micros("ts") / 1_000_000 / 86_400)).alias("day_num"),
+    ).distinct()
+    days = pres.select("day_num").distinct().withColumnRenamed("day_num", "d")
+    joined = pres.join(
+        F.broadcast(days),
+        (F.col("day_num") >= F.col("d") - 29) & (F.col("day_num") <= F.col("d")),
+    )
+    dau = F.count_distinct(
+        F.when(F.col("day_num") == F.col("d"), F.col("user_id"))
+    )
+    wau = F.count_distinct(
+        F.when(F.col("day_num") >= F.col("d") - 6, F.col("user_id"))
+    )
+    mau = F.count_distinct("user_id")
+    day = F.date_format(F.timestamp_seconds(F.col("d") * 86_400), "yyyy-MM-dd")
+    return (
+        joined.groupBy("d")
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            mau.alias("mau"),
+            F.round(dau / mau.cast("double"), 6).alias("stickiness"),
+        )
+        .select(day.alias("day"), "dau", "wau", "mau", "stickiness")
     )

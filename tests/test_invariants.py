@@ -380,3 +380,60 @@ def test_importance_resample_deterministic_subset(spark):
     w = reg["l46_dsir_weights"].fn(spark, SF_DIR).toPandas()
     assert set(a["doc_id"]) <= set(w["doc_id"])
     assert 0 < len(a) < len(w)
+
+
+def test_bloom_dedup_sound_no_false_negatives(spark):
+    """l50: a Bloom filter NEVER misses a true member — every exactly-seen doc
+    must be flagged maybe-seen — and false_positive is exactly
+    maybe & !exact (the calibration column is self-consistent)."""
+    reg = registry()
+    pdf = reg["l50_bloom_dedup"].fn(spark, SF_DIR).toPandas()
+    assert ((pdf["exact_seen"] == 0) | (pdf["bloom_maybe_seen"] == 1)).all()
+    expect_fp = ((pdf["bloom_maybe_seen"] == 1) & (pdf["exact_seen"] == 0)).astype(int)
+    assert (pdf["false_positive"] == expect_fp).all()
+
+
+def test_seqlen_histogram_buckets(spark):
+    """l54: buckets are powers of two, cumulative fraction is monotone and
+    ends at exactly 1, and doc counts cover the corpus."""
+    reg = registry()
+    pdf = (
+        reg["l54_seqlen_histogram"].fn(spark, SF_DIR).toPandas()
+        .sort_values("bucket_lo")
+    )
+    b = pdf["bucket_lo"].astype(int)
+    assert ((b & (b - 1)) == 0).all() and (b > 0).all()
+    assert pdf["cum_doc_frac"].is_monotonic_increasing
+    assert abs(pdf["cum_doc_frac"].iloc[-1] - 1.0) < 1e-9
+    docs = load_table(spark, SF_DIR, "documents")
+    assert pdf["n_docs"].sum() == docs.count()
+
+
+def test_temperature_mixture_flattens(spark):
+    """l52: both share columns are distributions (sum to 1 within rounding),
+    and temperature alpha=0.5 flattens the mix — the smallest source gets
+    the largest upsample factor, the largest source the smallest."""
+    reg = registry()
+    pdf = reg["l52_temperature_mixture"].fn(spark, SF_DIR).toPandas()
+    assert abs(pdf["nat_share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["temp_share"].sum() - 1.0) < 1e-4
+    by_size = pdf.sort_values("n_tokens")
+    assert by_size["upsample_factor"].iloc[0] == pdf["upsample_factor"].max()
+    assert by_size["upsample_factor"].iloc[-1] == pdf["upsample_factor"].min()
+
+
+def test_pair_token_f1_bounds(spark):
+    """l55: F1 and precision/recall live in (0, 1]; F1 is the harmonic mean
+    of the two (recomputed within rounding); pairs come from l12's
+    candidate set."""
+    reg = registry()
+    pdf = reg["l55_pair_token_f1"].fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    for c in ("precision_b", "recall_a", "token_f1"):
+        assert ((pdf[c] > 0) & (pdf[c] <= 1)).all()
+    p, r = pdf["precision_b"], pdf["recall_a"]
+    assert ((pdf["token_f1"] - 2 * p * r / (p + r)).abs() < 1e-4).all()
+    l12 = reg["l12_ngram_jaccard"].fn(spark, SF_DIR).toPandas()
+    assert set(zip(pdf["doc_a"], pdf["doc_b"])) == set(
+        zip(l12["doc_a"], l12["doc_b"])
+    )
