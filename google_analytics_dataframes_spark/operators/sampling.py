@@ -119,6 +119,7 @@ def grouped_rank(
     sortv_col: str,
     tiebreak_col: str,
     bucket_scale: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dense rank 1..N_g within each ``group_col`` value under
     ``(sortv_col asc, tiebreak_col asc)`` order, plus the group size
@@ -144,12 +145,24 @@ def grouped_rank(
 
     ``tiebreak_col`` must be unique within a group (doc ids are) or ranks
     are ambiguous.  Output = input columns + ``_rank`` + ``_gn``.
-    """
+
+    ``materialize`` (default True): the shape references its input FIVE
+    times (counts, the a/b triangle sides, totals, the final join), and
+    Catalyst re-expands an unmaterialized frame per reference — with an
+    expensive upstream (l48 feeds the whole l34 unigram-LM pipeline in:
+    22 exchanges / 16 scans observed) the plan recomputes it five-fold.
+    An eager ``localCheckpoint`` of the narrow keyed frame makes every
+    reference a lineage-free block scan — the same materialize-before-
+    reuse posture as the src5 dedup chain (llm_ops) and sequence packing
+    (text.py).  Pass False only for inputs that are themselves cheap
+    scans."""
     from pyspark.sql import Window
 
     keyed = df.withColumn(
         "_bkt", F.floor(F.col(sortv_col) * F.lit(float(bucket_scale))).cast("long")
     )
+    if materialize:
+        keyed = keyed.localCheckpoint(eager=True)
     counts = keyed.groupBy(group_col, "_bkt").agg(F.count("*").alias("_n"))
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (
