@@ -268,25 +268,29 @@ def l53_decontam_multi_n(spark, sf_dir):
     drop, this emits the evidence table.
 
     Scale shape: shingles are doc-local array transforms (no position
-    self-join); both n-variants ride ONE pre-split scan via a union that
-    Spark evaluates as two Generate branches over the same shuffled base
-    (fanout_by doc_id), so the per-doc rollup is exchange-free; the eval
-    shingle set reduces to distinct (n, s) BEFORE broadcasting — build-
-    side reduction ahead of the join, never eval-side explode against the
-    full train stream."""
+    self-join); both n-variants come out of ONE Generate — per row the
+    5- and 9-shingle arrays are built, tagged with their n in a struct,
+    concatenated, and exploded together — so the corpus is scanned and
+    shuffled (fanout_by doc_id) exactly once and the per-doc rollup is
+    exchange-free (a union-of-branches formulation was tried first:
+    Catalyst expands each branch into its own scan of the base).  The
+    eval shingle set reduces to distinct (n, s) BEFORE broadcasting —
+    build-side reduction ahead of the join, never eval-side explode
+    against the full train stream."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     base = fanout_by(docs, "doc_id").select(
         "doc_id", "source", F.split("text", " ").alias("a")
     )
-    sh = None
-    for k in (5, 9):
-        part = base.select(
-            "doc_id",
-            "source",
-            F.lit(k).alias("n"),
-            F.explode(_word_shingles("a", k)).alias("s"),
-        )
-        sh = part if sh is None else sh.unionAll(part)
+    tagged = "concat(" + ", ".join(
+        f"transform(CASE WHEN size(a) >= {k} THEN "
+        f"transform(sequence(0, size(a) - {k}), "
+        f"i -> array_join(slice(a, i + 1, {k}), ' ')) "
+        f"ELSE array() END, s -> struct({k} AS n, s AS s))"
+        for k in (5, 9)
+    ) + ")"
+    sh = base.select(
+        "doc_id", "source", F.explode(F.expr(tagged)).alias("e")
+    ).select("doc_id", "source", "e.n", "e.s")
     ev = (
         sh.filter(F.col("source") == "src2")
         .select("n", "s")
