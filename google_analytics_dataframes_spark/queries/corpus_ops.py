@@ -614,3 +614,200 @@ def l57_token_fertility(spark, sf_dir):
             "chars_per_token"
         ),
     )
+
+
+# ------------------------------------------------------------------- l58 ---
+
+_PQ_SUB = 4  # subspaces over the 64-d embeddings: 4 x 16 dims
+_PQ_DIM = 16
+
+
+def _pq_oracle() -> str:
+    codes = ",\n           ".join(
+        f"MAX(CASE WHEN j = {j} THEN cell END) AS code_{j}" for j in range(_PQ_SUB)
+    )
+    return f"""
+    WITH cells AS (SELECT label, unnest(range(0, 64)) AS dim,
+                          unnest(CAST(embedding AS DOUBLE[])) AS x
+                   FROM embeddings),
+    cent AS (SELECT label, dim,
+                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+             FROM cells GROUP BY label, dim),
+    cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid
+             FROM cent GROUP BY label),
+    e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    sub AS (SELECT e.vec_id, e.true_label, c.label AS cell, j.j,
+                   list_dot_product(
+                     list_transform(generate_series({_PQ_DIM} * j.j + 1,
+                                                    {_PQ_DIM} * j.j + {_PQ_DIM}),
+                                    i -> e.v[i] - c.centroid[i]),
+                     list_transform(generate_series({_PQ_DIM} * j.j + 1,
+                                                    {_PQ_DIM} * j.j + {_PQ_DIM}),
+                                    i -> e.v[i] - c.centroid[i])) AS d
+            FROM e CROSS JOIN cvec c
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_SUB})) AS j) j),
+    best AS (SELECT vec_id, true_label, j, cell, d,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                       ORDER BY d, cell) AS rk
+             FROM sub)
+    SELECT vec_id, true_label,
+           {codes},
+           round(CAST(SUM(CAST(d AS DECIMAL(38,9))) AS DOUBLE), 6) AS recon_err
+    FROM best WHERE rk = 1
+    GROUP BY vec_id, true_label
+    """
+
+
+@register("l58_pq_codes", oracle=_pq_oracle())
+def l58_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jegou et al. 2011 — the memory layout
+    behind every large-scale ANN index): split each 64-d embedding into 4
+    subspaces of 16 dims, assign each sub-vector to its nearest sub-
+    codeword (here the label-centroid slices — exact-decimal means, so the
+    codebook itself is engine-deterministic), emit the 4 codes plus the
+    total squared reconstruction error.  Vectors compress 64 floats ->
+    4 small codes; recon_err is the quality knob that picks codebook size.
+
+    Scale shape — l47's zero-data-exchange fold, times four: the codebook
+    aggregates to |labels| rows, packs into ONE broadcast row, and each
+    subspace's argmin is a first-strictly-less sequential fold over the
+    label-ascending codeword array (== the oracle's ORDER BY d, cell) —
+    the corpus is scanned once, no shuffle until the (vec-count-sized but
+    narrow) output.  L2 distances are sequential folds over zipped diffs,
+    bit-identical to DuckDB's list_dot_product of the same slice; the
+    4-term error sum is decimal-accumulated (a 4-row double SUM has
+    nondeterministic order in SQL)."""
+    from google_analytics_dataframes_spark.operators.similarity import (
+        as_double,
+        dot,
+        label_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    sub_cols = [
+        F.slice("centroid", _PQ_DIM * j + 1, _PQ_DIM).alias(f"c{j}")
+        for j in range(_PQ_SUB)
+    ]
+    cent_row = (
+        cents.select(F.struct(F.col("label").alias("cell"), *sub_cols).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    scored = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        as_double("embedding").alias("v"),
+    ).crossJoin(F.broadcast(cent_row))
+
+    def best_for(j: int):
+        sub_v = F.slice("v", _PQ_DIM * j + 1, _PQ_DIM)
+        dists = F.transform(
+            "cents",
+            lambda c: F.struct(
+                dot(
+                    F.zip_with(sub_v, c.getField(f"c{j}"), lambda x, y: x - y),
+                    F.zip_with(sub_v, c.getField(f"c{j}"), lambda x, y: x - y),
+                ).alias("d"),
+                c.getField("cell").alias("cell"),
+            ),
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cell")
+        )
+        return F.aggregate(
+            dists,
+            init,
+            lambda acc, s: F.when(s.getField("d") < acc.getField("d"), s).otherwise(
+                acc
+            ),
+        )
+
+    bests = [best_for(j) for j in range(_PQ_SUB)]
+    # decimal(20,9), NOT (38,9): Spark widens precision by one per chained
+    # addition ((p,9)+(p,9) -> (p+1,9)) and at the 38 cap it REDUCES SCALE
+    # instead — four chained (38,9) adds silently rounded the 9-decimal sum
+    # to ~6 decimals and broke oracle equality.  (20,9) terms peak at
+    # (24,9): scale intact, sum exact, identical to DuckDB's DECIMAL(38,9)
+    # SUM of the same 9-decimal terms.
+    err = sum(
+        (b.getField("d").cast("decimal(20,9)") for b in bests),
+        F.lit(0).cast("decimal(20,9)"),
+    )
+    return scored.select(
+        "vec_id",
+        "true_label",
+        *[b.getField("cell").alias(f"code_{j}") for j, b in enumerate(bests)],
+        F.round(err.cast("double"), 6).alias("recon_err"),
+    )
+
+
+# ------------------------------------------------------------------- l59 ---
+
+
+@register(
+    "l59_embed_norm_outliers",
+    oracle="""
+    WITH nr AS (SELECT vec_id, label,
+                       list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) AS norm2
+                FROM embeddings),
+    st AS (SELECT label, COUNT(*) AS n,
+                  CAST(SUM(CAST(norm2 AS DECIMAL(38,9))) AS DOUBLE) AS s,
+                  CAST(SUM(CAST(norm2 * norm2 AS DECIMAL(38,9))) AS DOUBLE) AS q
+           FROM nr GROUP BY label)
+    SELECT nr.label, st.n AS n_vectors,
+           round(st.s / st.n, 6) AS mean_norm2,
+           round(sqrt(GREATEST(st.q / st.n - (st.s / st.n) * (st.s / st.n),
+                               0.0)), 6) AS std_norm2,
+           SUM(CASE WHEN abs(nr.norm2 - st.s / st.n)
+                      > 3 * sqrt(GREATEST(st.q / st.n
+                                          - (st.s / st.n) * (st.s / st.n), 0.0))
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM nr JOIN st USING (label)
+    GROUP BY nr.label, st.n, st.s, st.q
+    """,
+)
+def l59_embed_norm_outliers(spark, sf_dir):
+    """Embedding hygiene audit: per label, squared-norm mean/std and the
+    count of 3-sigma norm outliers — the cheap detector for broken
+    encoder batches (zero vectors, fp16 overflows, unnormalized mixes)
+    that silently poison cosine-based dedup and retrieval downstream.
+
+    Scale shape: norms are doc-local sequential folds (bit-identical to
+    DuckDB's list_dot_product); per-label moment sums are ONE partial-
+    aggregated shuffle to |labels| rows, decimal-accumulated so mean/std
+    are summation-order-independent; the stats frame broadcasts back onto
+    the norm stream for the outlier compare, and the final rollup reuses
+    the same label partitioning.  Two scans of the narrow norm projection
+    — never a window buffering the full vector column."""
+    from google_analytics_dataframes_spark.operators.similarity import as_double, dot
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    nr = emb.select("vec_id", "label", dot(v, v).alias("norm2"))
+    st = nr.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("norm2").cast("decimal(38,9)")).cast("double").alias("s"),
+        F.sum((F.col("norm2") * F.col("norm2")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("q"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.greatest(F.col("q") / F.col("n") - mean * mean, F.lit(0.0)))
+    return (
+        nr.join(F.broadcast(st), "label")
+        .groupBy("label", "n", "s", "q")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("norm2") - mean) > 3 * std, 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "label",
+            F.col("n").alias("n_vectors"),
+            F.round(mean, 6).alias("mean_norm2"),
+            F.round(std, 6).alias("std_norm2"),
+            "n_outliers",
+        )
+    )

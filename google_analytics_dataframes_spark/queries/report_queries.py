@@ -959,3 +959,43 @@ def rb21_active_users(spark, sf_dir):
         )
         .select(day.alias("day"), "dau", "wau", "mau", "stickiness")
     )
+
+
+@register(
+    "rb22_ecommerce_overview",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS transactions,
+           round({dsum_sql('o_totalprice')}, 2) AS revenue,
+           COUNT(DISTINCT o_custkey) AS buyers,
+           round({dsum_sql('o_totalprice')} / COUNT(*), 6) AS avg_order_value,
+           round({dsum_sql('o_totalprice')} / COUNT(DISTINCT o_custkey), 6)
+             AS revenue_per_buyer
+    FROM orders GROUP BY month
+    """,
+)
+def rb22_ecommerce_overview(spark, sf_dir):
+    """GA ecommerce overview [K — ga:transactions, ga:transactionRevenue,
+    ga:revenuePerTransaction; GA4 totalRevenue / averagePurchaseRevenue /
+    totalPurchasers]: per month, transaction count, revenue,
+    distinct buyers, average order value, and revenue per buyer — the
+    standard commerce report the reference's metric surface serves, on
+    `orders` as the transaction table.
+
+    Scale shape: one hash aggregate on month (~tens of groups) with
+    partial aggregation; the distinct-buyer count rides the same shuffle
+    via Expand.  Revenue is an exact decimal(38,9) accumulation (the
+    dsum/dsum_sql determinism contract), so all three ratios are
+    identical doubles in both engines before terminal rounding."""
+    from google_analytics_dataframes_spark.queries._util import dsum
+
+    o = T(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    rev = dsum("o_totalprice")
+    return o.groupBy(month.alias("month")).agg(
+        F.count("*").alias("transactions"),
+        F.round(rev, 2).alias("revenue"),
+        F.count_distinct("o_custkey").alias("buyers"),
+        F.round(rev / F.count("*"), 6).alias("avg_order_value"),
+        F.round(rev / F.count_distinct("o_custkey"), 6).alias("revenue_per_buyer"),
+    )
