@@ -220,6 +220,47 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
     return d
 
 
+def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
+    """Ordered staging (see `_stage_stream_dir`) plus a final SENTINEL file
+    holding one event 2 hours past max(ts) for pseudo-user -1.  Append-mode
+    stateful queries only emit what the data-derived watermark has passed;
+    the sentinel is the explicit end-of-stream clock advance that finalizes
+    every real session/window (its own state stays beyond the watermark and
+    never emits).  Real buses do the same with idle-time punctuations."""
+    import os
+    import shutil
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_dir(f"stream_flush_{sf_tag}")
+    base = _stage_stream_dir(spark, sf_dir, ordered=True)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    parts = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = os.path.join(d, f"{i}_{fname}")
+        shutil.copyfile(os.path.join(base, fname), dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    ev = load_table(spark, sf_dir, "events")
+    max_ns = ev.agg(F.max(F.unix_micros("ts"))).first()[0] * 1000
+    sentinel = spark.createDataFrame(
+        [(-1, max_ns + 2 * 3600 * 1_000_000_000, -1, "view", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    stage = d + "_sentinel"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    dst = os.path.join(d, f"{len(parts)}_sentinel.parquet")
+    shutil.copyfile(os.path.join(stage, part), dst)
+    t = 1_700_000_000 + len(parts) * 60
+    os.utime(dst, (t, t))
+    shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
 from contextlib import contextmanager
 
 
@@ -440,4 +481,71 @@ def st11_stream_dedup(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "event_type",
         "value",
+    )
+
+
+@register(
+    "st14_stream_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value, ts, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def st14_stream_sessionize(spark, sf_dir):
+    """GA's 30-minute-gap sessionization EXECUTED as a stream — the
+    session-window stateful aggregation (streaming/jobs.py
+    st3_session_stream, `F.session_window(ts, '30 minutes')`) run with
+    availableNow over the time-ordered staging, APPEND mode (the only
+    output mode Spark supports for session-window aggregations: a session
+    row is emitted exactly once, when the watermark proves it can no
+    longer extend), 1-hour watermark.  This is the streaming half of the
+    GA report builder's session layer (rb18-rb20 consume the batch twin):
+    sessions OPEN in one batch and extended or closed by the next
+    exercise merge-capable session state across batch boundaries.
+
+    Append mode only emits sessions the watermark has passed, and the
+    watermark is derived from data — so the staging appends a SENTINEL
+    file holding one far-future event (user_id -1, max ts + 2 h, the
+    stream equivalent of closing the books): it advances the global
+    watermark past every real session's close + lateness, finalizing all
+    of them; the sentinel's own session stays beyond the watermark and is
+    additionally filtered out.  The oracle is the batch lag/cumsum
+    session construction (rb18's CTE plus per-session value sums), EXACT
+    because (a) Spark's session rule — new session iff gap >= 30 min —
+    is literally the oracle's `ts_us - prev_us >= 1800000000` flag under
+    in-order arrival, so no session is created or merged retroactively;
+    (b) session value sums accumulate in exact decimal, so per-batch
+    increments equal the one-shot batch sum; (c) append emits each
+    finalized session exactly once — no finalization fold needed at all,
+    the sharpest exactly-once evidence in the streaming family."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir_with_flush(spark, sf_dir)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st3_session_stream(stream),
+            f"st14_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "n_events", "session_value"
     )
