@@ -299,3 +299,40 @@ def test_session_frame_single_exchange(spark):
 
     df = registry()["rb18_session_metrics"].fn(spark, SF_DIR)
     assert audit.count_exchanges(df) == 2, audit.formatted_plan(df)
+
+
+def test_bpe_pair_top30_is_take_ordered(spark):
+    """l51: the global top-30 must plan as TakeOrderedAndProject (bounded
+    per-partition heaps merged on the driver), never a full global sort."""
+    df = registry()["l51_bpe_pair_counts"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in audit.node_names(df)
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_decontam_multi_n_single_train_generate(spark):
+    """l53: both shingle widths ride one Generate over one shuffled train
+    scan — 3 exchanges (train fanout, eval fanout, eval distinct), 2
+    parquet scans, eval set broadcast."""
+    df = registry()["l53_decontam_multi_n"].fn(spark, SF_DIR)
+    assert audit.count_exchanges(df) <= 3
+    assert len(audit.scan_info(df)) <= 2
+    assert "BroadcastHashJoin" in audit.join_algorithms(df)
+
+
+def test_pq_codes_broadcast_codebook(spark):
+    """l58: the only join is the broadcast of the one-row packed codebook;
+    the corpus side never shuffles (exchanges are the metadata-sized
+    centroid aggregation only)."""
+    df = registry()["l58_pq_codes"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert any("BroadcastNestedLoopJoin" in n or "BroadcastHashJoin" in n for n in names)
+    assert audit.count_exchanges(df) <= 3
+
+
+def test_grouped_rank_input_materialized(spark):
+    """l48: grouped_rank's five-reference fan-out must read a materialized
+    (localCheckpoint) input, not re-expand the l34 pipeline — zero parquet
+    scans in the final plan (22-exchange/16-scan regression guard)."""
+    df = registry()["l48_ppl_buckets"].fn(spark, SF_DIR)
+    assert len(audit.scan_info(df)) == 0
+    assert audit.count_exchanges(df) <= 6
