@@ -49,7 +49,7 @@ SWEEP_PRIORITY: list[str] = [
     "l45", "l46", "l47", "l48", "l49",
     # round-4 additions (first driver evidence this round)
     "l50", "l51", "l52", "l53", "l54", "l55", "l56", "l57", "l58", "l59",
-    "rb20", "rb21", "rb22", "st14",
+    "rb20", "rb21", "rb22", "st14", "l60",
     # re-verification of round-1-evidenced families (VERDICT r3 item #2):
     # hash-fragile representatives first, then one per family.  Entries are
     # underscore-terminated so "s1_" matches only s1 (not s10/s11) etc.

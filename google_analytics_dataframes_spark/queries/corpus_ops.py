@@ -811,3 +811,98 @@ def l59_embed_norm_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+# ------------------------------------------------------------------- l60 ---
+
+
+@register(
+    "l60_incremental_neardup",
+    oracle="""
+    WITH ex AS (SELECT doc_id, text FROM documents WHERE length(source) = 4),
+    inc AS (SELECT doc_id, text FROM documents WHERE length(source) = 5),
+    gx AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM ex)),
+    gi AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM inc)),
+    sx AS (SELECT doc_id, COUNT(*) AS sz FROM gx GROUP BY doc_id),
+    si AS (SELECT doc_id, COUNT(*) AS sz FROM gi GROUP BY doc_id),
+    inter AS (SELECT gi.doc_id AS doc_in, gx.doc_id AS doc_ex,
+                     COUNT(*) AS inter
+              FROM gi JOIN gx USING (gram)
+              GROUP BY gi.doc_id, gx.doc_id)
+    SELECT i.doc_in, i.doc_ex, i.inter,
+           CAST(a.sz + b.sz - i.inter AS BIGINT) AS uni,
+           round(CAST(i.inter AS DOUBLE) / (a.sz + b.sz - i.inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN si a ON a.doc_id = i.doc_in
+    JOIN sx b ON b.doc_id = i.doc_ex
+    WHERE 100 * i.inter >= 60 * (a.sz + b.sz - i.inter)
+    """,
+)
+def l60_incremental_neardup(spark, sf_dir):
+    """INCREMENTAL near-dup — the shape production ingest actually runs:
+    an incoming batch (here sources src10-src19, length-5 names) checked
+    against the existing corpus (src0-src9), emitting (incoming, existing)
+    pairs at char-3-gram Jaccard >= 60%.  The asymmetry is the whole
+    point: existing x existing pairs are NEVER formed (they were resolved
+    when those docs were ingested), so per-batch work scales with
+    |batch| x |collisions|, not |corpus|^2 — the property that makes
+    continuous dedup of a growing 100 TB corpus affordable at all.
+
+    Scale shape: both sides reduce to distinct doc-local 3-gram relations
+    (no positional self-join; fanout_by keeps each doc's grams co-located
+    through the distinct), the candidate stage is the equi-join on gram —
+    at production scale the INCOMING side's gram set is the small one and
+    broadcasts, so the corpus-side gram table streams map-only — and the
+    integer threshold compare (100*|I| >= 60*|U|) avoids any float
+    boundary.  Same verify math as l12, so the two queries pin the
+    batch == incremental equivalence cross-engine."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def grams_of(side):
+        return (
+            fanout_by(side, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, greatest(length(text) - 2, 1)), "
+                            "p -> substring(text, p, 3))"
+                        )
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    ex = docs.filter(F.length("source") == 4)
+    inc = docs.filter(F.length("source") == 5)
+    gx = grams_of(ex)
+    gi = grams_of(inc)
+    sx = gx.groupBy("doc_id").agg(F.count("*").alias("sz_ex"))
+    si = gi.groupBy("doc_id").agg(F.count("*").alias("sz_in"))
+    inter = (
+        gi.withColumnRenamed("doc_id", "doc_in")
+        .join(gx.withColumnRenamed("doc_id", "doc_ex"), "gram")
+        .groupBy("doc_in", "doc_ex")
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("sz_in") + F.col("sz_ex") - F.col("inter")
+    return (
+        inter.join(F.broadcast(si.withColumnRenamed("doc_id", "doc_in")), "doc_in")
+        .join(F.broadcast(sx.withColumnRenamed("doc_id", "doc_ex")), "doc_ex")
+        .filter(100 * F.col("inter") >= 60 * uni)
+        .select(
+            "doc_in",
+            "doc_ex",
+            "inter",
+            uni.cast("long").alias("uni"),
+            F.round(F.col("inter") / uni.cast("double"), 6).alias("jaccard"),
+        )
+    )
