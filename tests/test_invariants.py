@@ -437,3 +437,40 @@ def test_pair_token_f1_bounds(spark):
     assert set(zip(pdf["doc_a"], pdf["doc_b"])) == set(
         zip(l12["doc_a"], l12["doc_b"])
     )
+
+
+def test_incremental_neardup_equals_full_restriction(spark):
+    """l60 must equal the full-corpus pair computation restricted to
+    cross-side pairs: incremental dedup misses nothing and invents
+    nothing relative to batch dedup over everything."""
+    from pyspark.sql import functions as F
+
+    reg = registry()
+    inc = reg["l60_incremental_neardup"].fn(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.length("source").alias("slen"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)), "
+                    "p -> substring(text, p, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.select(F.col("doc_id").alias("da"), F.col("slen").alias("la"), "gram")
+    b = grams.select(F.col("doc_id").alias("db"), F.col("slen").alias("lb"), "gram")
+    full = (
+        a.join(b, "gram")
+        .filter((F.col("la") == 5) & (F.col("lb") == 4))  # incoming x existing
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
+        .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .filter(100 * F.col("inter") >= 60 * (F.col("sa") + F.col("sb") - F.col("inter")))
+        .toPandas()
+    )
+    assert set(zip(inc["doc_in"], inc["doc_ex"])) == set(zip(full["da"], full["db"]))
