@@ -40,6 +40,10 @@ QUERIES = [
     "l29_dedup_clusters",
     "l44_clean_corpus",
     "l45_corpus_shuffle",
+    # round-4 token-pipeline representatives
+    "l53_decontam_multi_n",
+    "l56_bigram_logprob",
+    "l60_incremental_neardup",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
