@@ -4,17 +4,20 @@ scale factors, including a synthetic 10x point ABOVE the largest shipped SF
 (sf0.1), and print a sec-vs-sf table for BASELINE.md.
 
 The synthetic "synth-sf1" documents table is 10 copies of sf0.1's documents
-(50,000 docs): copy 0 verbatim, copies 1-9 with every token suffixed by the
-copy index ("spark" -> "spark_3").  Suffixing makes the ten sub-corpora
-pairwise DISJOINT in tokens, word shingles, and (almost all) char n-grams
-while keeping each copy's internal near-dup structure isomorphic to the
-original — so candidate-pair and cluster counts scale exactly linearly with
-corpus size and the probe measures ENGINE scaling, not a duplication
-artifact (a permutation variant was tried first: permuted copies keep
-identical token multisets, so token/char-gram similarity ops saw every
-copy-group as a 10-way near-dup cluster and pair counts grew ~45x —
-quadratic by construction, not by engine fault).  n_chars is recomputed for
-the suffixed text.  It is a MEASUREMENT artifact for scaling only —
+(50,000 docs): copy 0 verbatim, copies 1-9 with the alphabet Caesar-shifted
+by the copy index (translate a-z -> rotated a-z).  Rotation keeps every
+copy's token/shingle/char-gram FREQUENCY SHAPE exactly isomorphic to the
+original while making the sub-corpora (near-)disjoint, so candidate-pair
+and cluster counts scale linearly with corpus size and the probe measures
+ENGINE scaling, not a construction artifact.  Two earlier variants were
+rejected for creating exactly such artifacts: word PERMUTATION keeps
+identical token multisets (every copy-group became a 10-way near-dup
+cluster, pair counts ~45x), and per-token COPY SUFFIXES ("spark"->
+"spark_3") inject "_3 "-style char-3-gram STOP-GRAMS into every token
+boundary (one gram shared by ~every doc of a copy => a quadratic
+candidate-join blowup that took l60 from 8.7 s to >300 s — by
+construction, not by engine fault).  Length is translate-invariant so
+n_chars stays valid.  A MEASUREMENT artifact for scaling only —
 correctness runs use the driver's own tables.
 
 Protocol: per (sf, query) one untimed warm-up (codegen + any session-shared
@@ -22,6 +25,7 @@ materialization, matching BASELINE.md's warm protocol), then median of 3
 timed runs through the noop sink.
 
 Usage: python tools/scaling_probe.py [--skip-synth]
+         [--queries prefix,prefix,...] [--points sf0.01,synth-sf1,...]
 """
 
 from __future__ import annotations
@@ -50,37 +54,47 @@ SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
 
 
 def build_synth(spark, base_dir: str) -> str:
-    """10x documents from ``base_dir``: copy 0 verbatim, copies 1-9 with
-    copy-suffixed tokens (disjoint isomorphic sub-corpora)."""
+    """10x documents from ``base_dir``: copy 0 verbatim, copies 1-9 with a
+    per-copy Caesar-shifted alphabet (disjoint isomorphic sub-corpora)."""
     import pyspark.sql.functions as F
 
     out = os.path.join(SYNTH_DIR, "documents.parquet")
-    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT2")):
+    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT3")):
         return SYNTH_DIR
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     rep = docs.select(
         F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"), "*"
     )
-    suffixed = F.expr(
-        "array_join(transform(split(text, ' '), "
-        "t -> concat(t, '_', cast(copy AS string))), ' ')"
-    )
-    text2 = F.when(F.col("copy") == 0, F.col("text")).otherwise(suffixed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    text2 = F.col("text")
+    for i in range(9, 0, -1):
+        rot = alpha[i:] + alpha[:i]
+        text2 = F.when(
+            F.col("copy") == i, F.translate("text", alpha, rot)
+        ).otherwise(text2)
     synth = rep.select(
         (F.col("doc_id") + F.col("copy") * F.lit(n)).alias("doc_id"),
         text2.alias("text"),
         "lang",
         "source",
-        F.length(text2).cast("long").alias("n_chars"),
+        "n_chars",  # translate is length-preserving
     )
     synth.repartition(8).write.mode("overwrite").parquet(out)
-    open(os.path.join(SYNTH_DIR, "_BUILT2"), "w").close()
+    open(os.path.join(SYNTH_DIR, "_BUILT3"), "w").close()
     return SYNTH_DIR
+
+
+def _flag(name: str) -> str | None:
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return None
 
 
 def main() -> None:
     skip_synth = "--skip-synth" in sys.argv
+    q_filter = _flag("--queries")
+    p_filter = _flag("--points")
 
     from google_analytics_dataframes_spark.registry import registry
     from google_analytics_dataframes_spark.session import get_spark
@@ -96,15 +110,22 @@ def main() -> None:
     ]
     if not skip_synth:
         points.append(("synth-sf1", 1.0, build_synth(spark, "/root/testdata/sf0.1")))
+    if p_filter:
+        keep = p_filter.split(",")
+        points = [p for p in points if p[0] in keep]
+    queries = QUERIES
+    if q_filter:
+        prefixes = tuple(q_filter.split(","))
+        queries = [q for q in QUERIES if q.startswith(prefixes)]
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()
         reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[str, float]] = {q: {} for q in queries}
     for label, _sf, d in points:
-        for q in QUERIES:
+        for q in queries:
             run(q, d)  # untimed warm-up
             results[q][label] = round(median(run(q, d) for _ in range(3)), 3)
             print(f"# {label} {q}: {results[q][label]}s", file=sys.stderr)
@@ -113,7 +134,7 @@ def main() -> None:
     labels = [p[0] for p in points]
     print("\n| query | " + " | ".join(labels) + " |")
     print("|" + "---|" * (len(labels) + 1))
-    for q in QUERIES:
+    for q in queries:
         print(
             f"| {q} | "
             + " | ".join(f"{results[q].get(l, float('nan')):.2f}" for l in labels)
