@@ -549,3 +549,218 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def jaccard_pairs_cross(
+    items_in: DataFrame,
+    items_ex: DataFrame,
+    threshold_pct: int,
+    max_bitmask_vocab: int = 512,
+    prefix_min_items: int = 2_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact Jaccard join ACROSS two relations — the incremental-dedup
+    shape (incoming batch vs existing corpus): emits (doc_in, doc_ex,
+    inter, uni, jaccard) for cross pairs with |I|/|U| >= threshold_pct/100.
+    Existing x existing pairs are never formed in ANY strategy — per-batch
+    work scales with the batch, which is what makes continuous dedup of a
+    growing corpus affordable.
+
+    Adaptive physical strategy, the cross-side twin of
+    :func:`jaccard_pairs` (same stat, same crossover logic):
+
+    * **bounded vocabulary** (union vocab <= max_bitmask_vocab): encode
+      both sides as packed-long bitmasks and BROADCAST the incoming
+      (batch) side's mask table over the corpus side — |I| is
+      bit_count(a&b) per word, no shuffle of the corpus, no candidate
+      explosion.  On low-diversity corpora every frequent item co-occurs
+      in nearly every cross pair, so candidate-generation strategies do
+      Theta(|in| x |ex|) pair work ANYWAY — the bitmask form does it at a
+      ~100x smaller constant (measured: the prefix path was 5x SLOWER
+      than even the naive index join on the 377-gram bench corpus).
+    * **large vocabulary, large input** (>= prefix_min_items index rows):
+      prefix-filtered cross index join (SSJoin/ppjoin, one GLOBAL
+      frequency order over the union): each doc indexes only its
+      ``sz - ceil(t*sz) + 1`` globally-rarest items — provably lossless
+      for >= t pairs — so on realistic high-diversity corpora frequent
+      items never generate candidates; survivors verify exactly.
+    * **otherwise**: plain cross inverted-index join — at small scale the
+      prefix machinery costs more than it prunes.
+
+    ``stats`` (optional): {"n_items": int, "vocab": list | None} skips
+    the two probe jobs, e.g. from catalog metadata."""
+    from pyspark.sql import Window
+
+    items_in = fanout_by(items_in, "doc_id")
+    items_ex = fanout_by(items_ex, "doc_id")
+    persisted = []
+    if stats is None:
+        items_in = items_in.persist()
+        items_ex = items_ex.persist()
+        persisted = [items_in, items_ex]
+        n_items = items_in.count() + items_ex.count()
+        vocab_rows = (
+            items_in.select("item")
+            .unionAll(items_ex.select("item"))
+            .distinct()
+            .limit(max_bitmask_vocab + 1)
+            .collect()
+        )
+        vocab = (
+            sorted(r["item"] for r in vocab_rows)
+            if len(vocab_rows) <= max_bitmask_vocab
+            else None
+        )
+    else:
+        n_items = stats["n_items"]
+        vocab = stats.get("vocab")
+        if vocab is not None and len(vocab) > max_bitmask_vocab:
+            vocab = None
+
+    if vocab is not None:
+        out = _cross_bitmask(items_in, items_ex, threshold_pct, vocab)
+    elif threshold_pct > 0 and n_items >= prefix_min_items:
+        out = _cross_prefix(items_in, items_ex, threshold_pct)
+    else:
+        out = _cross_index(items_in, items_ex, threshold_pct)
+    if persisted:
+        out = out.localCheckpoint(eager=True)
+        for p in persisted:
+            p.unpersist()
+    return out
+
+
+def _cross_bitmask(
+    items_in: DataFrame, items_ex: DataFrame, threshold_pct: int, vocab: list
+) -> DataFrame:
+    """Bounded-vocab strategy: packed-long masks, broadcast incoming side."""
+    n_words = (len(vocab) + 63) // 64
+    vid = F.array_position(F.lit(vocab), F.col("item")) - 1
+    mask_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("vid") / 64).cast("int") == j,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{j}")
+        for j in range(n_words)
+    ]
+
+    def masks_of(items):
+        return (
+            items.select("doc_id", vid.alias("vid"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("sz"), *mask_aggs)
+        )
+
+    a = masks_of(items_in).alias("a")  # incoming: the broadcast side
+    b = masks_of(items_ex).alias("b")
+    inter = sum(
+        (
+            F.bit_count(F.col(f"a.m{j}").bitwiseAND(F.col(f"b.m{j}"))).cast("long")
+            for j in range(n_words)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        b.join(F.broadcast(a), F.lit(True))
+        .select(
+            F.col("a.doc_id").alias("doc_in"),
+            F.col("b.doc_id").alias("doc_ex"),
+            inter.alias("inter"),
+            (F.col("a.sz") + F.col("b.sz")).alias("_sz_sum"),
+        )
+        .withColumn("uni", F.col("_sz_sum") - F.col("inter"))
+        .filter(
+            (F.col("inter") >= 1)
+            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+        )
+        .select(
+            "doc_in", "doc_ex", "inter", "uni",
+            (F.col("inter") / F.col("uni")).alias("jaccard"),
+        )
+    )
+
+
+def _cross_index(
+    items_in: DataFrame, items_ex: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Plain cross inverted-index join: |I| from the item join, |U| from
+    per-side sizes (broadcast — doc-count-sized)."""
+    si = items_in.groupBy("doc_id").agg(F.count("*").alias("sz_in"))
+    sx = items_ex.groupBy("doc_id").agg(F.count("*").alias("sz_ex"))
+    inter = (
+        items_in.withColumnRenamed("doc_id", "doc_in")
+        .join(items_ex.withColumnRenamed("doc_id", "doc_ex"), "item")
+        .groupBy("doc_in", "doc_ex")
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("sz_in") + F.col("sz_ex") - F.col("inter")
+    return (
+        inter.join(F.broadcast(si.withColumnRenamed("doc_id", "doc_in")), "doc_in")
+        .join(F.broadcast(sx.withColumnRenamed("doc_id", "doc_ex")), "doc_ex")
+        .filter(100 * F.col("inter") >= threshold_pct * uni)
+        .select(
+            "doc_in",
+            "doc_ex",
+            "inter",
+            uni.cast("long").alias("uni"),
+            (F.col("inter") / uni).alias("jaccard"),
+        )
+    )
+
+
+def _cross_prefix(
+    items_in: DataFrame, items_ex: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Prefix-filtered cross join (SSJoin/ppjoin theorem under one global
+    union-frequency order); lossless for >= t pairs, survivors verify
+    against full item arrays."""
+    from pyspark.sql import Window
+
+    freq = (
+        items_in.select("item")
+        .unionAll(items_ex.select("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("_freq"))
+    )
+
+    def prefix_of(items):
+        w_doc = Window.partitionBy("doc_id").orderBy(
+            F.col("_freq").asc(), F.col("item").asc()
+        )
+        ranked = items.join(F.broadcast(freq), "item").select(
+            "doc_id",
+            "item",
+            F.row_number().over(w_doc).alias("_rn"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("_sz"),
+        )
+        plen = F.col("_sz") - F.ceil(F.col("_sz") * threshold_pct / 100) + 1
+        return ranked.filter(F.col("_rn") <= plen).select("doc_id", "item")
+
+    cand = (
+        prefix_of(items_in)
+        .withColumnRenamed("doc_id", "doc_in")
+        .join(prefix_of(items_ex).withColumnRenamed("doc_id", "doc_ex"), "item")
+        .select("doc_in", "doc_ex")
+        .distinct()
+    )
+    sets_in = items_in.groupBy("doc_id").agg(F.collect_list("item").alias("toks_in"))
+    sets_ex = items_ex.groupBy("doc_id").agg(F.collect_list("item").alias("toks_ex"))
+    inter = F.size(F.array_intersect("toks_in", "toks_ex"))
+    uni = F.size("toks_in") + F.size("toks_ex") - inter
+    return (
+        cand.join(sets_in.withColumnRenamed("doc_id", "doc_in"), "doc_in")
+        .join(sets_ex.withColumnRenamed("doc_id", "doc_ex"), "doc_ex")
+        .select(
+            "doc_in",
+            "doc_ex",
+            inter.cast("long").alias("inter"),
+            uni.cast("long").alias("uni"),
+        )
+        .filter(
+            (F.col("inter") >= 1)
+            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )

@@ -855,54 +855,35 @@ def l60_incremental_neardup(spark, sf_dir):
     |batch| x |collisions|, not |corpus|^2 — the property that makes
     continuous dedup of a growing 100 TB corpus affordable at all.
 
-    Scale shape: both sides reduce to distinct doc-local 3-gram relations
-    (no positional self-join; fanout_by keeps each doc's grams co-located
-    through the distinct), the candidate stage is the equi-join on gram —
-    at production scale the INCOMING side's gram set is the small one and
-    broadcasts, so the corpus-side gram table streams map-only — and the
-    integer threshold compare (100*|I| >= 60*|U|) avoids any float
-    boundary.  Same verify math as l12, so the two queries pin the
-    batch == incremental equivalence cross-engine."""
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    Scale shape: both sides reduce to distinct doc-local 3-gram relations,
+    then candidate generation is the PREFIX-FILTERED cross join
+    (operators/dedup.jaccard_pairs_cross, SSJoin/ppjoin): only each doc's
+    globally-rarest ``sz - ceil(t*sz) + 1`` grams are indexed, which
+    provably cannot miss a >=60% pair, so stop-grams — the common 3-grams
+    that co-occur in nearly every doc pair of a low-diversity corpus and
+    made the naive gram join quadratic (>35x wall at a 10x corpus in the
+    scaling probe) — never generate candidates.  The filter is lossless;
+    the oracle is the NAIVE join, so the driver check proves the pruned
+    plan emits the identical pair set.  Integer threshold compare avoids
+    any float boundary; same verify math as l12."""
+    from google_analytics_dataframes_spark.operators.dedup import jaccard_pairs_cross
 
-    def grams_of(side):
-        return (
-            fanout_by(side, "doc_id")
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(
-                        F.expr(
-                            "transform(sequence(1, greatest(length(text) - 2, 1)), "
-                            "p -> substring(text, p, 3))"
-                        )
-                    )
-                ).alias("gram"),
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams = F.explode(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)), "
+                "p -> substring(text, p, 3))"
             )
         )
-
-    ex = docs.filter(F.length("source") == 4)
-    inc = docs.filter(F.length("source") == 5)
-    gx = grams_of(ex)
-    gi = grams_of(inc)
-    sx = gx.groupBy("doc_id").agg(F.count("*").alias("sz_ex"))
-    si = gi.groupBy("doc_id").agg(F.count("*").alias("sz_in"))
-    inter = (
-        gi.withColumnRenamed("doc_id", "doc_in")
-        .join(gx.withColumnRenamed("doc_id", "doc_ex"), "gram")
-        .groupBy("doc_in", "doc_ex")
-        .agg(F.count("*").alias("inter"))
-    )
-    uni = F.col("sz_in") + F.col("sz_ex") - F.col("inter")
-    return (
-        inter.join(F.broadcast(si.withColumnRenamed("doc_id", "doc_in")), "doc_in")
-        .join(F.broadcast(sx.withColumnRenamed("doc_id", "doc_ex")), "doc_ex")
-        .filter(100 * F.col("inter") >= 60 * uni)
-        .select(
-            "doc_in",
-            "doc_ex",
-            "inter",
-            uni.cast("long").alias("uni"),
-            F.round(F.col("inter") / uni.cast("double"), 6).alias("jaccard"),
-        )
+    ).alias("item")
+    inc = docs.filter(F.length("source") == 5).select("doc_id", grams)
+    ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
+    pairs = jaccard_pairs_cross(inc, ex, threshold_pct=60)
+    return pairs.select(
+        "doc_in",
+        "doc_ex",
+        "inter",
+        "uni",
+        F.round(F.col("inter") / F.col("uni").cast("double"), 6).alias("jaccard"),
     )
