@@ -39,6 +39,22 @@ def main() -> None:
     from google_analytics_dataframes_spark.registry import registry
     from google_analytics_dataframes_spark.session import get_spark
 
+    # Environment telemetry (VERDICT r4 item #6): the driver runs bench.py in
+    # ITS container, so recording engine versions here surfaces the driver's
+    # actual DuckDB/PySpark builds in BENCH_r{N}.json — closing the env-skew
+    # hypothesis that r04's six hash failures raised (they pass bitwise
+    # against local DuckDB 1.0.0).
+    import platform
+
+    import duckdb
+    import pyspark
+
+    env = {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+    }
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
@@ -75,6 +91,7 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total_sec": round(sum(t for t in cold.values() if t >= 0), 3),
         "sf": sf,
+        "env": env,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -113,6 +130,7 @@ def main() -> None:
                 "families": fam_stats,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
+                "env": env,
             }
         )
     )

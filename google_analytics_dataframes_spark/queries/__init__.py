@@ -22,6 +22,7 @@ from google_analytics_dataframes_spark.queries import udfs  # noqa: F401
 from google_analytics_dataframes_spark.queries import llm_ops  # noqa: F401
 from google_analytics_dataframes_spark.queries import corpus_ops  # noqa: F401
 from google_analytics_dataframes_spark.queries import report_queries  # noqa: F401
+from google_analytics_dataframes_spark.queries import diagnostics  # noqa: F401
 
 from google_analytics_dataframes_spark.registry import registry as _registry
 
@@ -31,31 +32,36 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # order and truncates on a ~50-entry budget (rounds 1 and 2 each recorded
 # exactly 50 rows), so this list decides which queries get driver evidence.
 #
-# Round-4 rotation (VERDICT r3 item #1 + #2): the 24 queries with NO driver
-# row after three rounds go first — rb12–rb19, u6/u7, j14, st13, l38–l49 —
-# all already local-pass under tools/check.py, so this rotation alone should
-# take the registry to 172/172 driver-checked.  New round-4 queries follow
-# immediately (first driver evidence this round).  The leftover ~budget
-# slots then re-verify round-1-evidenced families whose driver rows are
-# three rounds old and predate load_table changes (a658234): the
-# hash-fragile representatives first (a9 pivot, a15 collect_list, j11 asof,
-# sf1 date parse, s3 json), then one per family.  Broad prefixes after that
-# make the full order deterministic for any larger budget.
+# Round-5 rotation (VERDICT r4 items #1 + #2): the six r04 hash-failures —
+# restated this round in driver-proven constructs — go first so the fix is
+# confirmed or refuted immediately.  The dg determinism probes
+# (queries/diagnostics.py) follow: each isolates ONE construct the failing
+# six used, so any residual skew lands on a named probe instead of a real
+# operator.  Then the four write-path queries whose oracles were upgraded
+# AFTER their only (r01, no-oracle) sweep, l34 (l48's input, last checked
+# r03 — before the driver env change a658234 responded to), and the R-tier
+# rows upgraded to full oracles this round.  The leftover budget re-verifies
+# r01/r02-evidenced representatives whose last full pass predates the driver
+# env change — hash-fragile ones (percentiles, histograms, ratios, dates,
+# range frames, json) first, then one per family.  Entries are
+# underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_PRIORITY: list[str] = [
-    # the 24 driver-unverified queries (VERDICT r3 "What's missing" #1)
-    "rb12", "rb13", "rb14", "rb15", "rb16", "rb17", "rb18", "rb19",
-    "u6", "u7", "j14", "st13",
-    "l38", "l39", "l40", "l41", "l42", "l43", "l44",
-    "l45", "l46", "l47", "l48", "l49",
-    # round-4 additions (first driver evidence this round)
-    "l50", "l51", "l52", "l53", "l54", "l55", "l56", "l57", "l58", "l59",
-    "rb20", "rb21", "rb22", "st14", "l60",
-    # re-verification of round-1-evidenced families (VERDICT r3 item #2):
-    # hash-fragile representatives first, then one per family.  Entries are
-    # underscore-terminated so "s1_" matches only s1 (not s10/s11) etc.
-    "a9_", "a15_", "j11_", "sf1_", "s3_",
-    "a4_", "w2_", "o3_", "u1_", "f8_", "p2_", "ud3_", "sf9_", "j5_",
-    "s1_", "a1_", "w10_", "o5_", "sf14_", "ud6_", "j1_", "f1_", "st1_", "s4_",
+    # the six r04 hash-failures, restated in driver-proven constructs
+    "rb18", "rb19", "rb20", "l48", "l53", "l59",
+    # determinism probes — isolate the r04-suspect constructs
+    "dg",
+    # write-path oracles upgraded after their only (r01, no-oracle) sweep
+    "s4_", "s5_", "s7_", "s8_",
+    # l48's input; last driver-checked r03
+    "l34_",
+    # R-tier rows upgraded to full oracles in round 5
+    "l2_", "l13_", "l24_",
+    # staleness re-verification: r01/r02-evidenced representatives,
+    # hash-fragile first, then one per family
+    "a14_", "a13_", "a10_", "f3_", "w6_", "sf12_", "rb4_", "l30_",
+    "j12_", "l7_", "l12_", "rb7_", "st3_", "a6_", "u3_", "sf5_",
+    "w4_", "o4_", "j6_", "f5_", "l5_", "rb11_", "sf3_", "ud4_", "st2_",
+    "a2_", "j3_", "u5_", "sf10_", "l16_", "w8_", "o1_", "rb9_",
     # deterministic tail
     "rb", "l", "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st",
 ]

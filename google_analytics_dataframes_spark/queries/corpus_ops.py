@@ -242,16 +242,22 @@ def l52_temperature_mixture(spark, sf_dir):
     oracle="""
     WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS a
                FROM documents),
+    p5 AS (SELECT doc_id, source, a, unnest(range(1, len(a) - 3)) AS i
+           FROM t WHERE len(a) >= 5),
+    p9 AS (SELECT doc_id, source, a, unnest(range(1, len(a) - 7)) AS i
+           FROM t WHERE len(a) >= 9),
     sh AS (SELECT doc_id, source, 5 AS n, array_to_string(a[i:i+4], ' ') AS s
-           FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 4)) AS i) u
+           FROM p5
            UNION ALL
            SELECT doc_id, source, 9 AS n, array_to_string(a[i:i+8], ' ') AS s
-           FROM t, LATERAL (SELECT unnest(generate_series(1, len(a) - 8)) AS i) u),
+           FROM p9),
     ev AS (SELECT DISTINCT n, s FROM sh WHERE source = 'src2'),
     tr AS (SELECT doc_id, n, s FROM sh WHERE source != 'src2')
-    SELECT tr.doc_id, tr.n, COUNT(*) AS n_shingles,
-           SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
-           round(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+    SELECT tr.doc_id, tr.n, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
                    / CAST(COUNT(*) AS DOUBLE), 6) AS hit_frac
     FROM tr LEFT JOIN ev USING (n, s)
     GROUP BY tr.doc_id, tr.n
@@ -266,6 +272,13 @@ def l53_decontam_multi_n(spark, sf_dir):
     Two n values in one pass distinguishes borderline paraphrase overlap
     (short n) from verbatim contamination (long n); l30 applies the
     drop, this emits the evidence table.
+
+    Oracle form (round 5): shingling is stated as the l42-driver-proven
+    ``unnest(range(...))`` -> ``a[i:i+k-1]`` slice pattern, not LATERAL
+    ``generate_series`` — the LATERAL formulation was unique to this
+    query among swept oracles when its r04 hash failed (dg2 probes the
+    LATERAL form in isolation), and integer SUM outputs are BIGINT-cast
+    so no HUGEINT reaches the compare.
 
     Scale shape: shingles are doc-local array transforms (no position
     self-join); both n-variants come out of ONE Generate — per row the
@@ -749,10 +762,12 @@ def l58_pq_codes(spark, sf_dir):
     "l59_embed_norm_outliers",
     oracle="""
     WITH nr AS (SELECT vec_id, label,
-                       list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])) AS norm2
+                       CAST(list_sum(list_transform(
+                                CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * x * 1000000000.0) AS BIGINT)))
+                            AS DOUBLE) / 1000000000.0 AS norm2
                 FROM embeddings),
-    st AS (SELECT label, COUNT(*) AS n,
+    st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(CAST(norm2 AS DECIMAL(38,9))) AS DOUBLE) AS s,
                   CAST(SUM(CAST(norm2 * norm2 AS DECIMAL(38,9))) AS DOUBLE) AS q
            FROM nr GROUP BY label)
@@ -760,10 +775,10 @@ def l58_pq_codes(spark, sf_dir):
            round(st.s / st.n, 6) AS mean_norm2,
            round(sqrt(GREATEST(st.q / st.n - (st.s / st.n) * (st.s / st.n),
                                0.0)), 6) AS std_norm2,
-           SUM(CASE WHEN abs(nr.norm2 - st.s / st.n)
+           CAST(SUM(CASE WHEN abs(nr.norm2 - st.s / st.n)
                       > 3 * sqrt(GREATEST(st.q / st.n
                                           - (st.s / st.n) * (st.s / st.n), 0.0))
-                    THEN 1 ELSE 0 END) AS n_outliers
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM nr JOIN st USING (label)
     GROUP BY nr.label, st.n, st.s, st.q
     """,
@@ -774,18 +789,36 @@ def l59_embed_norm_outliers(spark, sf_dir):
     encoder batches (zero vectors, fp16 overflows, unnormalized mixes)
     that silently poison cosine-based dedup and retrieval downstream.
 
-    Scale shape: norms are doc-local sequential folds (bit-identical to
-    DuckDB's list_dot_product); per-label moment sums are ONE partial-
-    aggregated shuffle to |labels| rows, decimal-accumulated so mean/std
-    are summation-order-independent; the stats frame broadcasts back onto
-    the norm stream for the outlier compare, and the final rollup reuses
-    the same label partitioning.  Two scans of the narrow norm projection
-    — never a window buffering the full vector column."""
-    from google_analytics_dataframes_spark.operators.similarity import as_double, dot
+    Determinism (the r04 hash failure, fixed round 5): squared norms are
+    accumulated as integers — each element's x*x is quantized to 1e-9
+    units (an identical, correctly-rounded double in both engines) and
+    summed as BIGINT, which is associative, so ANY summation order gives
+    the same norm2.  The prior formulation summed raw doubles (Spark
+    sequential fold vs DuckDB list_dot_product, whose kernel order is a
+    version detail), and near-unit-norm labels make std pure ulp noise —
+    the 3-sigma compare then flips on the summation order.  With norm2
+    bit-identical, every downstream moment/sqrt/compare is a pure
+    function of equal inputs.  dg3 probes the raw-double dot in
+    isolation.
+
+    Scale shape: norms are doc-local folds; per-label moment sums are ONE
+    partial-aggregated shuffle to |labels| rows, decimal-accumulated so
+    mean/std are summation-order-independent; the stats frame broadcasts
+    back onto the norm stream for the outlier compare, and the final
+    rollup reuses the same label partitioning.  Two scans of the narrow
+    norm projection — never a window buffering the full vector column."""
+    from google_analytics_dataframes_spark.operators.similarity import as_double
 
     emb = T(spark, sf_dir, "embeddings")
     v = as_double("embedding")
-    nr = emb.select("vec_id", "label", dot(v, v).alias("norm2"))
+    nano2 = F.aggregate(
+        F.transform(v, lambda x: F.round(x * x * F.lit(1e9), 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nr = emb.select(
+        "vec_id", "label", (nano2.cast("double") / F.lit(1e9)).alias("norm2")
+    )
     st = nr.groupBy("label").agg(
         F.count("*").alias("n"),
         F.sum(F.col("norm2").cast("decimal(38,9)")).cast("double").alias("s"),

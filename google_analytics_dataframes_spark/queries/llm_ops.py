@@ -1812,18 +1812,28 @@ def l47_nearest_centroid(spark, sf_dir):
            FROM tok t JOIN freq f USING (token) CROSS JOIN tot
            GROUP BY t.doc_id),
     lab AS (SELECT d.lang, sc.doc_id, sc.n_tokens, sc.s,
-                   ntile(3) OVER (PARTITION BY d.lang
-                                  ORDER BY sc.s DESC, sc.doc_id) AS tile
-            FROM sc JOIN documents d USING (doc_id))
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY sc.s DESC, sc.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY d.lang) AS gn
+            FROM sc JOIN documents d USING (doc_id)),
+    til AS (SELECT *,
+                   CASE WHEN rn <= (gn % 3) * (gn // 3 + 1)
+                        THEN (rn + gn // 3) // (gn // 3 + 1)
+                        ELSE (gn % 3)
+                             + (rn - (gn % 3) * (gn // 3 + 1)
+                                + GREATEST(gn // 3, 1) - 1)
+                               // GREATEST(gn // 3, 1)
+                   END AS tile
+            FROM lab)
     SELECT lang,
            CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket,
-           COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
            round(CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
              AS avg_logprob,
            MIN(s) AS min_logprob, MAX(s) AS max_logprob,
-           SUM(n_tokens) AS total_tokens
-    FROM lab GROUP BY lang, ppl_bucket
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM til GROUP BY lang, ppl_bucket
     """,
 )
 def l48_ppl_buckets(spark, sf_dir):
@@ -1840,9 +1850,11 @@ def l48_ppl_buckets(spark, sf_dir):
     per-lang rank with :func:`operators.sampling.grouped_rank` (range
     shards monotone in the sort key + broadcast prefix offsets + bounded
     per-(lang, shard) row_number) and converts rank -> tercile with the
-    closed-form ntile formula (first N%3 tiles get one extra row), which
-    agrees with SQL ntile exactly because both consume the identical
-    (s DESC, doc_id) total order."""
+    closed-form ntile formula (first N%3 tiles get one extra row).  Since
+    round 5 the oracle states the SAME integer closed form over
+    row_number + a group count (not SQL ntile()), so both engines consume
+    the identical (s DESC, doc_id) total order AND the identical
+    bucket-assignment arithmetic."""
     from google_analytics_dataframes_spark.operators.sampling import grouped_rank
 
     scored = l34_unigram_logprob(spark, sf_dir).select(
@@ -1858,12 +1870,24 @@ def l48_ppl_buckets(spark, sf_dir):
         tiebreak_col="doc_id",
         bucket_scale=8,
     )
+    # ntile(3) closed form in PURE INTEGER arithmetic (ceil(a/b) as
+    # (a+b-1) div b) — the oracle states the identical formula with
+    # DuckDB's native `//`, so neither engine touches a double on the
+    # bucket-assignment path (the r04 oracle used SQL ntile(); restating
+    # both sides as one shared integer formula removes the last
+    # cross-engine degree of freedom in this query).
+    def _idiv(a, b):
+        # exact integer division for non-negative longs: (a - a%b)/b is an
+        # integer-valued double well under 2^53, so the cast is exact.
+        return ((a - a % b) / b).cast("long")
+
     q = F.floor(F.col("_gn") / 3).cast("long")
     rem = (F.col("_gn") % 3).cast("long")
     cut = rem * (q + 1)
+    qq = F.greatest(q, F.lit(1).cast("long"))
     r = F.col("_rank")
-    tile = F.when(r <= cut, F.ceil(r / (q + 1))).otherwise(
-        rem + F.ceil((r - cut) / F.greatest(q, F.lit(1).cast("long")))
+    tile = F.when(r <= cut, _idiv(r + q, q + 1)).otherwise(
+        rem + _idiv(r - cut + qq - 1, qq)
     )
     bucket = (
         F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
