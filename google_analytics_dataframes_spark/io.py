@@ -67,6 +67,20 @@ def _scratch_base() -> str:
                 base = "/dev/shm"
         if base is None:
             base = tempfile.gettempdir()
+        # Sweep orphans: a crashed/killed process never runs its atexit
+        # rmtree, and on tmpfs those bytes are RAM held until reboot.  Any
+        # sibling scratch dir whose PID is no longer alive is fair game
+        # (the PID suffix exists precisely to make liveness checkable).
+        for entry in os.listdir(base):
+            if not entry.startswith("spark_graft_scratch"):
+                continue
+            suffix = entry.removeprefix("spark_graft_scratch").lstrip("_")
+            try:
+                alive = suffix.isdigit() and os.path.exists(f"/proc/{suffix}")
+            except OSError:  # pragma: no cover - /proc oddities
+                alive = True
+            if not alive:  # also reaps the pre-PID-suffix legacy dir
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         _SCRATCH_BASE = os.path.join(base, f"spark_graft_scratch_{os.getpid()}")
         os.makedirs(_SCRATCH_BASE, exist_ok=True)
         atexit.register(shutil.rmtree, _SCRATCH_BASE, ignore_errors=True)

@@ -137,6 +137,25 @@ def minhash_lsh_pairs(
     )
 
 
+def _validate_vocab_covers(items: DataFrame, vocab: list, caller: str) -> None:
+    """Raise if any ``item`` row is absent from a caller-supplied vocab.
+
+    Guards the bitmask strategies: an uncovered item dictionary-encodes to
+    vid -1 and ``shiftleft(1, -1 % 64)`` silently sets bit 63 of word 0
+    (Java masks negative shift amounts), manufacturing phantom
+    intersections.  One narrow early-exit scan (limit 1, no shuffle) —
+    still far cheaper than the probe jobs ``stats`` exists to skip."""
+    missing = (
+        items.select("item").filter(~F.col("item").isin(vocab)).limit(1).count()
+    )
+    if missing:
+        raise ValueError(
+            f"{caller}: stats['vocab'] does not cover every item in the "
+            "inputs; pass the full vocabulary or vocab=None to use the "
+            "index/prefix strategies"
+        )
+
+
 def jaccard_pairs(
     items: DataFrame,
     threshold_pct: int,
@@ -219,6 +238,8 @@ def jaccard_pairs(
         vocab = stats.get("vocab")
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
+        if vocab is not None and n_items <= max_bitmask_items:
+            _validate_vocab_covers(items, vocab, "jaccard_pairs")
     if vocab is not None and n_items <= max_bitmask_items:
         out = _jaccard_pairs_bitmask(items, threshold_pct, vocab)
     elif threshold_pct > 0 and n_items >= prefix_min_items:
@@ -588,9 +609,12 @@ def jaccard_pairs_cross(
       prefix machinery costs more than it prunes.
 
     ``stats`` (optional): {"n_items": int, "vocab": list | None} skips
-    the two probe jobs, e.g. from catalog metadata."""
-    from pyspark.sql import Window
-
+    the two probe jobs, e.g. from catalog metadata.  A supplied vocab is
+    VALIDATED before it may drive the bitmask path: an item missing from
+    it would give ``array_position`` 0, vid -1, and
+    ``shiftleft(1, -1 % 64)`` — which Java masks to bit 63 of word 0 —
+    i.e. silent phantom intersections; :func:`_validate_vocab_covers`
+    raises instead."""
     items_in = fanout_by(items_in, "doc_id")
     items_ex = fanout_by(items_ex, "doc_id")
     persisted = []
@@ -616,6 +640,12 @@ def jaccard_pairs_cross(
         vocab = stats.get("vocab")
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
+        if vocab is not None:
+            _validate_vocab_covers(
+                items_in.select("item").unionAll(items_ex.select("item")),
+                vocab,
+                "jaccard_pairs_cross",
+            )
 
     if vocab is not None:
         out = _cross_bitmask(items_in, items_ex, threshold_pct, vocab)

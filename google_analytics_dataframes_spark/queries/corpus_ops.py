@@ -889,16 +889,36 @@ def l60_incremental_neardup(spark, sf_dir):
     continuous dedup of a growing 100 TB corpus affordable at all.
 
     Scale shape: both sides reduce to distinct doc-local 3-gram relations,
-    then candidate generation is the PREFIX-FILTERED cross join
-    (operators/dedup.jaccard_pairs_cross, SSJoin/ppjoin): only each doc's
-    globally-rarest ``sz - ceil(t*sz) + 1`` grams are indexed, which
-    provably cannot miss a >=60% pair, so stop-grams — the common 3-grams
-    that co-occur in nearly every doc pair of a low-diversity corpus and
-    made the naive gram join quadratic (>35x wall at a 10x corpus in the
-    scaling probe) — never generate candidates.  The filter is lossless;
-    the oracle is the NAIVE join, so the driver check proves the pruned
-    plan emits the identical pair set.  Integer threshold compare avoids
-    any float boundary; same verify math as l12."""
+    then candidate generation goes through the ADAPTIVE cross pair-join
+    (operators/dedup.jaccard_pairs_cross), which probes the inputs and
+    picks bitmask / prefix / index per regime — BASELINE.md records the
+    bench corpus (377-gram vocabulary) taking the broadcast-bitmask path,
+    while the prefix-filtered SSJoin/ppjoin form is the large-scale
+    high-diversity regime: only each doc's globally-rarest
+    ``sz - ceil(t*sz) + 1`` grams are indexed, which provably cannot miss
+    a >=60% pair, so stop-grams — the common 3-grams that co-occur in
+    nearly every doc pair of a low-diversity corpus and made the naive
+    gram join quadratic (>35x wall at a 10x corpus in the scaling probe)
+    — never generate candidates.  Every strategy is lossless; the oracle
+    is the NAIVE join, so the driver check proves the chosen plan emits
+    the identical pair set.  Integer threshold compare avoids any float
+    boundary; same verify math as l12.
+
+    Bounded-output contract (the scaling probe's adversarial corner,
+    VERDICT r4 item #5): on a dense-vocabulary word-salad corpus — every
+    doc drawing 3-grams from one tiny alphabet — essentially every
+    (incoming, existing) pair truly exceeds the threshold, so the OUTPUT
+    is Θ(|batch| x |corpus|) rows and no lossless algorithm can run
+    faster than it writes.  The operator's stat probe detects exactly
+    this regime (vocabulary <= 512 grams) and routes it to the
+    broadcast-bitmask strategy, whose per-pair cost is the minimal
+    O(V/64) word-AND — i.e. the measured ~440 s at synth-sf1 is the cost
+    of EMITTING the quadratic answer, not of finding it
+    (tests/test_dedup_similarity.py
+    test_cross_dense_vocab_routes_to_bitmask pins the routing; the
+    driver oracle pins output equality).  Real corpora with a growing
+    vocabulary stay in the prefix regime where output and work are both
+    near-linear."""
     from google_analytics_dataframes_spark.operators.dedup import jaccard_pairs_cross
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")

@@ -89,15 +89,57 @@ def l1_exact_dedup(spark, sf_dir):
     return D.exact_dedup_groups(T(spark, sf_dir, "documents"))
 
 
-@register("l2_near_dedup_minhash", oracle=None, tier="R")
+@register(
+    "l2_near_dedup_minhash",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      len(list_distinct(string_split(text, ' '))) AS sz
+               FROM documents WHERE doc_id < 10)
+    SELECT doc_id AS doc_orig,
+           CASE WHEN doc_id < 5 THEN 'exact' ELSE 'near' END AS kind,
+           round(CASE WHEN doc_id < 5 THEN 1.0
+                      ELSE sz / (sz + 1.0) END, 6) AS jaccard
+    FROM t
+    """,
+)
 def l2_near_dedup_minhash(spark, sf_dir):
     """MinHash(32 perms)/LSH(8 bands) near-dup pairs, exact-Jaccard
-    verified at >=30% (operators/dedup.py).  Algorithm-defined -> R-tier.
-    Verified invariant: planted near-duplicates are recalled and unrelated
-    short-overlap docs rejected (tests/test_dedup_similarity.py
-    test_minhash_lsh_recalls_planted_neardups /
-    test_minhash_rejects_unrelated_short_overlap)."""
-    return D.minhash_lsh_pairs(T(spark, sf_dir, "documents"))
+    verified at >=30% (operators/dedup.py), emitted as a PLANTED-PROBE
+    RECALL AUDIT so the driver can hash-check it (upgraded from rows-only
+    in round 5, VERDICT r4 item #3): docs 0-4 get exact clones and docs
+    5-9 get one-token-appended near clones, all under fresh negative ids;
+    the full LSH+verify pipeline runs over corpus ∪ probes and the query
+    emits each intended (probe, source) pair with its verified Jaccard.
+    The oracle recomputes the ground truth independently — the exact
+    token-set Jaccard of (text, text) and (text, text+' zzqxneardup') is
+    1.0 and sz/(sz+1) — so a missed recall fails the row count and a
+    wrong verify fails the value hash.  Exact clones share the full
+    signature (recall certain); the appended-token clones' band-collision
+    probability is 1-(1-J^4)^8 at J=sz/(sz+1)≈0.99 — a ~5e-12 miss rate,
+    and deterministic under the fixed hash family (locally confirmed at
+    sf0.001/0.01/0.1).  The corpus-wide pair mining itself is exercised
+    by tests/test_dedup_similarity.py.
+
+    Scale shape: unchanged from the raw operator — probe construction is
+    a 10-row transform unioned onto the scan; no extra shuffles."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 10)
+    probes = base.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.when(F.col("doc_id") < 5, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" zzqxneardup")))
+        .alias("text"),
+    )
+    pairs = D.minhash_lsh_pairs(docs.unionByName(probes))
+    orig = (-F.col("doc_a") - 1).cast("long")
+    return (
+        pairs.filter((F.col("doc_a") < 0) & (F.col("doc_b") == orig))
+        .select(
+            F.col("doc_b").alias("doc_orig"),
+            F.when(F.col("doc_b") < 5, "exact").otherwise("near").alias("kind"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
 
 
 @register("l11_simhash_neardup", oracle=None, tier="R")
@@ -143,7 +185,13 @@ def l12_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("l13_embed_neardup", oracle=None, tier="R")
+@register(
+    "l13_embed_neardup",
+    oracle="""
+    SELECT vec_id AS vec_orig, 1.0 AS cos
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
 def l13_embed_neardup(spark, sf_dir):
     """Embedding near-dup pairs: 16-plane hyperplane-LSH buckets, exact
     cosine >= 0.9 verify (operators/similarity.py).
@@ -168,7 +216,18 @@ def l13_embed_neardup(spark, sf_dir):
             "embedding"
         ),
     )
-    return S.hyperplane_lsh_pairs(emb.unionByName(probes))
+    pairs = S.hyperplane_lsh_pairs(emb.unionByName(probes))
+    # Full-oracle upgrade (round 5, VERDICT r4 item #3): emit the intended
+    # (probe, source) pairs only — negative probe ids sort first, so the
+    # probe is always vec_a and its source is vec_b == -vec_a-1.  Scaling
+    # by 2 leaves cosine at exactly 1.0 after the operator's round(·, 4)
+    # (doubling is distributive over the fold, so dot(x,2x) == 2·dot(x,x)
+    # and |2x| == 2|x| bitwise), which the oracle states as a literal.  A
+    # missed bucket collision drops a row (row-count FAIL); a cosine
+    # mis-verify breaks the hash.
+    return pairs.filter(
+        (F.col("vec_a") < 0) & (F.col("vec_b") == (-F.col("vec_a") - 1).cast("long"))
+    ).select(F.col("vec_b").alias("vec_orig"), "cos")
 
 
 # --------------------------------------------------------- similarity ----
@@ -682,21 +741,76 @@ def l23_mixture_sample(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("kept"))
 
 
-@register("l24_stratified_sample", oracle=None, tier="R")
+@register(
+    "l24_stratified_sample",
+    oracle="""
+    WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+               FROM documents
+               WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+               GROUP BY lang),
+    p AS (SELECT lang, n_total,
+                 CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                           WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.2
+                           ELSE 0.1 END AS frac
+          FROM n)
+    SELECT lang, n_total,
+           CAST(GREATEST(floor(n_total * frac
+                   - 5 * sqrt(n_total * frac * (1 - frac)) - 1), 0) AS BIGINT)
+             AS lo,
+           CAST(ceil(n_total * frac
+                   + 5 * sqrt(n_total * frac * (1 - frac)) + 1) AS BIGINT)
+             AS hi,
+           1 AS within
+    FROM p
+    """,
+)
 def l24_stratified_sample(spark, sf_dir):
-    """Native seeded per-stratum Bernoulli sampling (sampleBy) — engine-RNG-
-    specific, hence R-tier; the deterministic path is l23.  Verified
-    invariant: the sample is a subset of the source, reproducible under the
-    fixed seed, and each stratum's rate is within binomial tolerance of its
-    requested fraction (tests/test_invariants.py
-    test_stratified_sample_subset_reproducible_proportional)."""
+    """Native seeded per-stratum Bernoulli sampling (sampleBy), emitted as
+    a TOLERANCE-BOUND AUDIT so the driver can hash-check it (upgraded
+    from rows-only in round 5, VERDICT r4 item #3).  The engine RNG's
+    exact keep-set is partitioning-dependent, so the raw sample can't be
+    oracled; what CAN be is the binomial envelope: per stratum the query
+    emits the source count, the [np - 5σ - 1, np + 5σ + 1] bounds, and an
+    integer flag that the realized sample count landed inside them
+    (P[violation] < 1e-6 per stratum for ANY seed realization).  The
+    oracle recomputes the totals and bounds from the same table with the
+    same formula — identical doubles, identical floor/ceil — and states
+    within = 1, so a broken sampler (rate drift, dropped stratum,
+    double-sampling) breaks the hash.  The deterministic sampling path
+    remains l23; subset/reproducibility invariants stay in
+    tests/test_invariants.py."""
     from google_analytics_dataframes_spark.operators.sampling import stratified_sample
 
+    fracs = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
     docs = T(spark, sf_dir, "documents")
-    s = stratified_sample(
-        docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    kept = (
+        stratified_sample(docs, "lang", fracs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
     )
-    return s.groupBy("lang").agg(F.count("*").alias("kept"))
+    totals = (
+        docs.filter(F.col("lang").isin(*fracs))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"))
+    )
+    frac = F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "zh", 0.1).otherwise(0.2)
+    mu = F.col("n_total") * frac
+    sigma = F.sqrt(F.col("n_total") * frac * (1 - frac))
+    lo = F.greatest(F.floor(mu - 5 * sigma - 1), F.lit(0).cast("long")).cast("long")
+    hi = F.ceil(mu + 5 * sigma + 1).cast("long")
+    return (
+        totals.join(kept, "lang", "left")
+        .withColumn("kept", F.coalesce("kept", F.lit(0)))
+        .select(
+            "lang",
+            "n_total",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            ((F.col("kept") >= lo) & (F.col("kept") <= hi))
+            .cast("int")
+            .alias("within"),
+        )
+    )
 
 
 @register(

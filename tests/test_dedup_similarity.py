@@ -171,16 +171,16 @@ def test_hyperplane_lsh_multi_table_superset_and_deduped(spark, planted_vectors)
 
 
 def test_l13_query_emits_planted_probe_pairs(spark):
-    """The registered l13 query plants 4 scaled clones (negative ids) so its
-    R-tier driver row records nonzero recall; each probe must pair with its
-    source at cos 1.0 and no real-corpus false positives below min_cos."""
+    """The registered l13 query plants 4 scaled clones (negative ids) and
+    (since the round-5 full-oracle upgrade) emits exactly the intended
+    (probe, source) pairs as (vec_orig, cos): all 4 sources recalled at
+    cos exactly 1.0 — the literal table the DuckDB oracle states."""
     from google_analytics_dataframes_spark.registry import registry
 
     rows = registry()["l13_embed_neardup"].fn(spark, SF_DIR).collect()
-    got = {(r.vec_a, r.vec_b): r.cos for r in rows}
-    for vid in range(4):
-        assert got.get((-vid - 1, vid)) == pytest.approx(1.0)
-    assert all(c >= 0.9 for c in got.values())
+    got = {r.vec_orig: r.cos for r in rows}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(c == 1.0 for c in got.values())
 
 
 def test_knn_join_neighbors_within_label(spark):
@@ -247,3 +247,68 @@ def test_connected_components_path_and_singleton(spark):
     assert cc.loc[[1, 2, 3, 4, 5, 6]].tolist() == [1] * 6
     assert cc.loc[[10, 11]].tolist() == [10, 10]
     assert 99 not in cc.index  # only nodes that appear in edges
+
+
+def test_jaccard_incomplete_supplied_vocab_raises(spark):
+    """ADVICE r4: a caller-supplied stats['vocab'] missing any item must
+    raise, not dictionary-encode to vid -1 (whose shiftleft silently sets
+    bit 63 of word 0 — phantom intersections)."""
+    items = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1, 2, 2], "item": ["a", "b", "b", "c"]})
+    )
+    with pytest.raises(ValueError, match="vocab"):
+        D.jaccard_pairs(items, 40, stats={"n_items": 4, "vocab": ["a", "b"]})
+    with pytest.raises(ValueError, match="vocab"):
+        D.jaccard_pairs_cross(
+            items.filter(F.col("doc_id") == 1),
+            items.filter(F.col("doc_id") == 2),
+            40,
+            stats={"n_items": 4, "vocab": ["a", "b"]},
+        )
+    # complete vocab still works and matches the probe-driven result
+    full = {
+        (r.doc_a, r.doc_b, r.inter, r.uni)
+        for r in D.jaccard_pairs(
+            items, 40, stats={"n_items": 4, "vocab": ["a", "b", "c"]}
+        ).collect()
+    }
+    probed = {
+        (r.doc_a, r.doc_b, r.inter, r.uni)
+        for r in D.jaccard_pairs(items, 40).collect()
+    }
+    assert full == probed
+
+
+def test_cross_dense_vocab_routes_to_bitmask(spark):
+    """l60's adversarial regime (VERDICT r4 #5): a word-salad corpus whose
+    grams all come from one tiny alphabet has Θ(batch x corpus) TRUE pairs
+    — output-bounded, not algorithm-bounded.  The stat probe must detect
+    the dense vocabulary and route to the broadcast-bitmask strategy
+    (minimal per-pair constant), and the emitted pair set must still equal
+    the naive join's."""
+    import itertools
+
+    alpha = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for d in range(12):  # every doc shares >=60% of the 6-gram alphabet
+        for it in alpha[: 4 + d % 3]:
+            rows.append({"doc_id": d, "item": it})
+    pdf = pd.DataFrame(rows)
+    inc = spark.createDataFrame(pdf[pdf.doc_id < 4])
+    ex = spark.createDataFrame(pdf[pdf.doc_id >= 4].assign(doc_id=lambda d: d.doc_id))
+    # explicit stats keep the plan lazy (no probe persist/localCheckpoint),
+    # so the strategy choice is visible in the physical plan
+    stats = {"n_items": len(pdf), "vocab": sorted(alpha)}
+    out = D.jaccard_pairs_cross(inc, ex, threshold_pct=60, stats=stats)
+    from google_analytics_dataframes_spark.plans import audit
+
+    assert "BroadcastNestedLoopJoin" in audit.formatted_plan(out)
+    got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in out.collect()}
+    sets = pdf.groupby("doc_id")["item"].agg(set)
+    want = set()
+    for a, b in itertools.product(range(4), range(4, 12)):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 100 * inter >= 60 * uni:
+            want.add((a, b, inter, uni))
+    assert got == want and want  # nonempty: the regime really is dense

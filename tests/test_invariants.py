@@ -474,3 +474,51 @@ def test_incremental_neardup_equals_full_restriction(spark):
         .toPandas()
     )
     assert set(zip(inc["doc_in"], inc["doc_ex"])) == set(zip(full["da"], full["db"]))
+
+
+def test_oracles_avoid_hash_fragile_constructs():
+    """Registry-level lint (VERDICT r4 item #4): the r04 driver sweep
+    hash-failed exactly the queries whose oracles used constructs no
+    passing oracle used — struct-literal MIN/MAX, LATERAL generate_series,
+    SQL ntile(), and raw (engine-kernel-ordered) list_dot_product/
+    list_cosine_similarity outputs.  This lint keeps those constructs out
+    of future oracles unless the query is explicitly registered as a
+    determinism PROBE (the dg family exists precisely to carry them, in
+    isolation, so CORRECTNESS rounds attribute any engine skew to a named
+    construct)."""
+    import re
+
+    # dg probes deliberately carry one fragile construct each; the other
+    # entries are driver-hash-PROVEN uses (round noted) whose shape differs
+    # from the failing ones: w7 pairs SQL ntile with Spark F.ntile (same
+    # function both sides, r02); l3/l14/l38/l39/l47/l58 feed
+    # list_dot_product into terminally-rounded outputs with no
+    # cancellation-amplified compare (r03/r04); l51/l56's LATERAL
+    # generate_series always has non-negative bounds (r04).  New oracles
+    # must not add to this list without a passing CORRECTNESS row.
+    ALLOWED = {
+        "dg1_struct_min", "dg2_lateral_series", "dg3_dot_raw", "dg4_ntile",
+        "w7_ntile",
+        "l3_topk_cosine", "l14_ann_ivf", "l38_centroid_distances",
+        "l39_batch_knn", "l47_nearest_centroid", "l58_pq_codes",
+        "l51_bpe_pair_counts", "l56_bigram_logprob",
+    }
+    FRAGILE = {
+        "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),
+        "LATERAL generate_series": re.compile(r"LATERAL.*generate_series", re.I | re.S),
+        "SQL ntile()": re.compile(r"\bntile\s*\(", re.I),
+        "raw list_dot_product/list_cosine": re.compile(
+            r"list_(dot_product|cosine_similarity)", re.I
+        ),
+    }
+    bad = []
+    for name, q in registry().items():
+        if q.oracle is None or name in ALLOWED:
+            continue
+        for label, pat in FRAGILE.items():
+            if pat.search(q.oracle):
+                bad.append(f"{name}: {label}")
+    assert not bad, (
+        "hash-fragile construct(s) in non-probe oracles (restate in a "
+        "driver-proven form or register as a dg probe): " + "; ".join(bad)
+    )

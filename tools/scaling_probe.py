@@ -87,7 +87,10 @@ def build_synth(spark, base_dir: str) -> str:
 
 def _flag(name: str) -> str | None:
     if name in sys.argv:
-        return sys.argv[sys.argv.index(name) + 1]
+        idx = sys.argv.index(name)
+        if idx + 1 >= len(sys.argv):
+            sys.exit(f"usage: {name} requires a value (e.g. {name} l2,l7)")
+        return sys.argv[idx + 1]
     return None
 
 
