@@ -96,18 +96,39 @@ def a3_count_distinct(spark, sf_dir):
     )
 
 
-@register("a4_approx_distinct", oracle=None, tier="R")
+@register(
+    "a4_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def a4_approx_distinct(spark, sf_dir):
     """Approximate distinct via HyperLogLog++ (GA `samplingLevel` tolerance
     analog [K]; the scale path for `users` at 100 TB — constant memory per
-    group vs expand-shuffle for exact).  Estimator differs from DuckDB's HLL
-    so this is R-tier.  Verified invariant: estimate within the 1% rsd of the
-    exact per-group distinct count (tests/test_invariants.py
-    test_approx_distinct_within_rsd)."""
-    return (
+    group vs expand-shuffle for exact).  The raw estimate differs from
+    DuckDB's HLL, so the query emits a TOLERANCE AUDIT the driver can hash
+    (VERDICT r4 item #4 pattern, upgraded from rows-only in round 5): the
+    exact per-group distinct count plus a flag asserting the HLL++ estimate
+    (rsd 0.01) landed within 5x its configured rsd of the exact answer —
+    a broken sketch flips the flag and fails the value hash.  The oracle
+    recomputes the exact count and states the guarantee."""
+    agg = (
         T(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_rsd"),
     )
 
 
@@ -371,45 +392,102 @@ def a16_multikey_count(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-@register("a17_approx_percentile", oracle=None, tier="R")
+@register(
+    "a17_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a17_approx_percentile(spark, sf_dir):
     """Approximate percentiles per group via the Greenwald-Khanna sketch
     (`approx_percentile`) — the 100 TB path for a14: constant memory per
     group and a mergeable partial-agg buffer, where exact `percentile`
     buffers every value through the shuffle.  Sketch merge order is not
-    pinned by the plan -> R-tier.  Verified invariant: every reported
-    quantile lies inside the exact-value bracket at +/- 1/accuracy rank
-    error (tests/test_invariants.py test_approx_percentile_within_rank_error).  Output flattened to scalar q25/q50/q75 columns
-    (not one array column) so order-insensitive canonicalizers can sort and
-    hash the rows."""
+    pinned by the plan, so the raw quantiles are engine-run-specific; the
+    query instead emits a RANK-ERROR AUDIT the driver can hash (upgraded
+    from rows-only in round 5): each GK quantile at accuracy 10000
+    (guaranteed rank error n/10000) is checked against the exact
+    interpolated-percentile bracket at p +/- 0.001 — a 10x margin — and
+    the flags plus the exact group count are the output.  The oracle
+    recomputes the count and states the guarantee; a sketch that drifts
+    past its bound flips a flag and fails the value hash."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
         F.approx_percentile(
             "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-        ).alias("_q")
-    ).select(
+        ).alias("_q"),
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.249), F.lit(0.499), F.lit(0.749))
+        ).alias("_lo"),
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.251), F.lit(0.501), F.lit(0.751))
+        ).alias("_hi"),
+    )
+
+    def ok(i):
+        q = F.element_at("_q", i).cast("double")
+        return (q >= F.element_at("_lo", i) - 1e-9) & (
+            q <= F.element_at("_hi", i) + 1e-9
+        )
+
+    return agg.select(
         "l_returnflag",
-        F.element_at("_q", 1).cast("double").alias("q25"),
-        F.element_at("_q", 2).cast("double").alias("q50"),
-        F.element_at("_q", 3).cast("double").alias("q75"),
+        "n",
+        ok(1).alias("q25_ok"),
+        ok(2).alias("q50_ok"),
+        ok(3).alias("q75_ok"),
     )
 
 
-@register("a18_freq_topk", oracle=None, tier="R")
+@register(
+    "a18_freq_topk",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events),
+    heavy AS (SELECT event_type FROM events, tot
+              GROUP BY event_type, tot.n HAVING COUNT(*) > 0.1 * tot.n)
+    SELECT COALESCE(string_agg(event_type, ',' ORDER BY event_type), '')
+             AS true_heavy_hitters,
+           TRUE AS superset_ok
+    FROM heavy
+    """,
+)
 def a18_freq_topk(spark, sf_dir):
     """Single-pass approximate heavy hitters (`DataFrame.stat.freqItems`,
     a count-sketch variant): candidate items with frequency > 10% of rows,
-    without the full groupBy+sort a o5-style exact top-k pays.  Output is a
-    superset of the true frequent items (algorithm guarantee); order within
-    the array is engine-defined -> sorted + joined to one scalar string for
-    stability (scalar columns keep canonicalizers array-free), R-tier.
-    Verified invariant: the candidate set contains EVERY item with true
-    frequency > support (tests/test_invariants.py
-    test_freq_topk_superset_of_true_heavy_hitters)."""
+    without the full groupBy+sort a o5-style exact top-k pays.  The raw
+    candidate ARRAY is a superset whose extra members are engine-defined,
+    so the query emits the algorithm's GUARANTEE as the hashable output
+    (upgraded from rows-only in round 5): the exact heavy-hitter set
+    (true frequency > support, independently recomputed by the oracle)
+    plus a flag asserting every true heavy hitter appears among the
+    sketch's candidates — the one property freqItems promises.  A sketch
+    that drops a true heavy hitter flips the flag and fails the hash."""
     ev = T(spark, sf_dir, "events")
-    out = ev.freqItems(["event_type"], support=0.1)
-    return out.select(
-        F.array_join(
-            F.sort_array(F.col("event_type_freqItems")), ","
-        ).alias("frequent_event_types")
+    cand = ev.stat.freqItems(["event_type"], support=0.1).select(
+        F.col("event_type_freqItems").alias("cand")
+    )
+    truth = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("n"))))
+        .filter(F.col("c") > 0.1 * F.col("n"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("event_type")), ","
+            ).alias("true_heavy_hitters")
+        )
+    )
+    return truth.crossJoin(F.broadcast(cand)).select(
+        "true_heavy_hitters",
+        F.when(F.col("true_heavy_hitters") == "", F.lit(True))
+        .otherwise(
+            F.size(
+                F.array_except(F.split("true_heavy_hitters", ","), F.col("cand"))
+            )
+            == 0
+        )
+        .alias("superset_ok"),
     )

@@ -142,13 +142,67 @@ def l2_near_dedup_minhash(spark, sf_dir):
     )
 
 
-@register("l11_simhash_neardup", oracle=None, tier="R")
+@register(
+    "l11_simhash_neardup",
+    oracle="""
+    SELECT doc_id AS doc_orig,
+           CASE WHEN doc_id < 5 THEN 'exact' ELSE 'near' END AS kind,
+           TRUE AS locality_ok
+    FROM documents WHERE doc_id < 10
+    """,
+)
 def l11_simhash_neardup(spark, sf_dir):
-    """SimHash-64 near-dup candidates (16-bit band join, hamming<=8).
-    Verified invariant: identical docs pair at hamming 0 and dissimilar
-    docs are excluded (tests/test_dedup_similarity.py
-    test_simhash_identical_docs_zero_hamming)."""
-    return D.simhash_pairs(T(spark, sf_dir, "documents"))
+    """SimHash-64 near-dup candidates (16-bit band join, hamming<=8),
+    emitted as a PLANTED-PROBE AUDIT so the driver can hash-check it
+    (same upgrade pattern as l2, round 5), in two parts matching what the
+    algorithm actually guarantees: docs 0-4 get EXACT clones under fresh
+    negative ids and must be recalled by the FULL sign-band-verify
+    pipeline at hamming 0 (identical signature -> band collision is
+    certain); docs 5-9 get one-token-appended NEAR clones whose
+    signature-level hamming must land in [1, 12] — the locality property
+    (small edit -> few sign flips; measured 1-8 across
+    sf0.001/0.01/0.1, vs ~32 expected for unrelated docs).  Near clones
+    deliberately do NOT assert LSH detection: 4x16-bit bands only
+    guarantee recall to hamming 3, and the measured flips scatter across
+    bands (honest LSH behavior, documented rather than tuned around).
+    A pipeline recall miss fails the row count; a signature regression
+    flips locality_ok and fails the value hash.  Corpus-wide pair mining
+    is exercised by tests/test_dedup_similarity.py.
+
+    Scale shape: unchanged from the raw operator — probe construction is
+    a 10-row transform unioned onto the scan; no extra shuffles."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 10)
+    exact_probes = base.filter(F.col("doc_id") < 5).select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
+    )
+    near_src = base.filter(F.col("doc_id") >= 5)
+    near_probes = near_src.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat("text", F.lit(" zzqxneardup")).alias("text"),
+    )
+    pairs = D.simhash_pairs(docs.unionByName(exact_probes))
+    orig = (-F.col("doc_a") - 1).cast("long")
+    det = pairs.filter((F.col("doc_a") < 0) & (F.col("doc_b") == orig)).select(
+        F.col("doc_b").alias("doc_orig"),
+        F.lit("exact").alias("kind"),
+        (F.col("hamming") == 0).alias("locality_ok"),
+    )
+    sig = D.simhash_signatures(near_src.unionByName(near_probes))
+    sp = sig.filter(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - 1).alias("doc_orig"), F.col("simhash").alias("_sp")
+    )
+    so = sig.filter(F.col("doc_id") >= 0).select(
+        F.col("doc_id").alias("doc_orig"), F.col("simhash").alias("_so")
+    )
+    near = sp.join(so, "doc_orig").select(
+        "doc_orig",
+        F.lit("near").alias("kind"),
+        F.bit_count(F.col("_sp").bitwiseXOR(F.col("_so")))
+        .between(1, 12)
+        .alias("locality_ok"),
+    )
+    return det.unionByName(near)
 
 
 @register(
@@ -252,13 +306,38 @@ def l3_topk_cosine(spark, sf_dir):
     return S.brute_force_topk(T(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@register("l4_knn_join", oracle=None, tier="R")
+@register(
+    "l4_knn_join",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    p AS (SELECT a.label AS label, a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS c
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT label, vec_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT CAST(label AS INTEGER) AS label, vec_id, neighbor_id,
+           round(c, 4) AS cos, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
 def l4_knn_join(spark, sf_dir):
-    """Blocked k-NN self-join (numpy matmul per label block via
-    applyInPandas).  Verified invariant: neighbors stay within the blocking
-    label, rank <= k, no self-pairs (tests/test_dedup_similarity.py
-    test_knn_join_neighbors_within_label); planted-nearest recall via
-    test_brute_force_topk_finds_planted_nearest."""
+    """Blocked k-NN self-join (float64 numpy matmul per label block via
+    applyInPandas), with a full SQL twin (upgraded from rows-only in round
+    5): the oracle recomputes every within-label pair's cosine and ranks
+    by (cos DESC, neighbor_id).  Cross-engine rank stability holds because
+    the only exact cosine ties in the corpus come from planted duplicate
+    vectors — identical inputs give identical per-engine dot products, so
+    BOTH engines fall through to the neighbor_id tiebreak — while distinct
+    vectors' cosines differ by far more than the ~1e-15 summation-order
+    skew between numpy's pairwise matmul and DuckDB's sequential
+    list_dot_product fold; emitted cos is rounded to 4dp (the l14
+    contract).  Invariants additionally tested in
+    tests/test_dedup_similarity.py test_knn_join_neighbors_within_label."""
     return S.knn_join_blocked(T(spark, sf_dir, "embeddings"), k=3)
 
 
@@ -672,17 +751,54 @@ def l41_pii_redact(spark, sf_dir):
     return X.pii_redact(T(spark, sf_dir, "documents"))
 
 
-@register("l40_compression_ratio", oracle=None, tier="R")
+@register(
+    "l40_compression_ratio",
+    oracle="""
+    WITH base AS (SELECT doc_id,
+                         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                  FROM documents),
+    probes(doc_id, n_bytes) AS (VALUES
+        (CAST(-1 AS BIGINT), CAST(4000 AS BIGINT)),
+        (CAST(-2 AS BIGINT), CAST(1280 AS BIGINT)))
+    SELECT doc_id, n_bytes, TRUE AS band_ok
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM probes)
+    """,
+)
 def l40_compression_ratio(spark, sf_dir):
     """zlib compression ratio per doc (operators/text.py compression_ratio)
     — the redundancy-based quality filter (repetitive/templated text
-    compresses far below natural prose).  No SQL twin exists for the codec
-    -> R-tier.  Verified invariant: ratios in (0, 1.2] on ASCII text and
-    planted repetitive text compresses strictly below the corpus median
-    (tests/test_invariants.py test_compression_ratio_bounds_and_ordering);
-    zlib at a fixed level is bit-deterministic, so rows are stable across
-    runs and partitionings."""
-    return X.compression_ratio(T(spark, sf_dir, "documents"))
+    compresses far below natural prose).  DuckDB has no codec, so the query
+    emits a BAND AUDIT the driver can hash (upgraded from rows-only in
+    round 5): every corpus doc's exact byte length plus a flag asserting
+    its ratio landed in the ASCII-text band (0, 1.2], and two PLANTED
+    EXTREME PROBES — 'ab'x2000 (must compress below 0.3; measured 0.007)
+    and a 1280-char sha256-hex chain (near-incompressible, must stay above
+    0.45; measured 0.561) — that pin the codec's direction at both ends.
+    Any zlib-path regression (wrong level, truncation, encoding bug) flips
+    a flag or shifts n_bytes and fails the value hash; the raw per-doc
+    ratio surface remains available via the operator API.  zlib at a fixed
+    level is bit-deterministic, so the bands are stable across
+    runs/partitionings (tests/test_invariants.py
+    test_compression_ratio_bounds_and_ordering)."""
+    import hashlib
+
+    rep = "ab" * 2000
+    hx = "".join(
+        hashlib.sha256(f"seed{i}".encode()).hexdigest() for i in range(20)
+    )
+    probes = spark.createDataFrame(
+        [(-1, rep), (-2, hx)], "doc_id long, text string"
+    )
+    docs = (
+        T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(probes)
+    )
+    rat = X.compression_ratio(docs)
+    band_ok = (
+        F.when(F.col("doc_id") == -1, F.col("zlib_ratio") < 0.3)
+        .when(F.col("doc_id") == -2, F.col("zlib_ratio") > 0.45)
+        .otherwise((F.col("zlib_ratio") > 0) & (F.col("zlib_ratio") <= 1.2))
+    )
+    return rat.select("doc_id", "n_bytes", band_ok.alias("band_ok"))
 
 
 @register(

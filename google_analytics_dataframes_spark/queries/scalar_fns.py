@@ -395,12 +395,39 @@ def sf14_hash_fns(spark, sf_dir):
     )
 
 
-@register("sf14b_xxhash", oracle=None, tier="R")
+@register(
+    "sf14b_xxhash",
+    oracle="""
+    WITH probes(probe, h_xx) AS (VALUES
+        ('spark',    CAST(-1960931134668248110 AS BIGINT)),
+        ('',         CAST(-7444071767201028348 AS BIGINT)),
+        ('xxhash64', CAST(-5669603901411035060 AS BIGINT))),
+    agg AS (SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct_hashes
+            FROM documents)
+    SELECT p.probe, p.h_xx, a.n_rows, a.n_distinct_hashes
+    FROM probes p CROSS JOIN agg a
+    """,
+)
 def sf14b_xxhash(spark, sf_dir):
     """xxhash64 — Spark's cheap 64-bit content key (the workhorse for
-    MinHash perms in l2).  No DuckDB twin -> rows-only.  Verified invariant:
-    hashes are identical across independent runs/partitionings and
-    collision-free on distinct texts at this sf (tests/test_invariants.py
-    test_xxhash_stable_across_runs)."""
+    MinHash perms in l2).  DuckDB has no xxhash64, but the function IS
+    fully pinned by two oracle-checkable facts (upgraded from rows-only in
+    round 5): (1) KNOWN-ANSWER probes — xxhash64 (seed 42) of three fixed
+    literals, whose 64-bit values the oracle states as constants (the
+    XXH64 algorithm is standardized and Spark's implementation is stable
+    across versions); (2) an INJECTIVITY audit — the corpus-wide distinct
+    hash count must equal the distinct text count (a 64-bit collision on
+    ~1e5 docs has probability ~1e-10; confirmed across sf0.001/0.01/0.1).
+    A changed seed, truncation, or byte-order bug breaks (1); any
+    collision-introducing regression breaks (2)."""
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", F.xxhash64("text").alias("h_xx"))
+    agg = d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.xxhash64("text")).alias("n_distinct_hashes"),
+    )
+    probes = spark.createDataFrame(
+        [("spark",), ("",), ("xxhash64",)], "probe string"
+    )
+    return probes.select("probe", F.xxhash64("probe").alias("h_xx")).crossJoin(
+        F.broadcast(agg)
+    )

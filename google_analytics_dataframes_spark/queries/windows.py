@@ -258,7 +258,18 @@ def w10_rolling_distinct(spark, sf_dir):
     )
 
 
-@register("w11_rolling_hll", oracle=None, tier="R")
+@register(
+    "w11_rolling_hll",
+    oracle="""
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS active_7d,
+           TRUE AS within_rsd
+    FROM days d JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+    """,
+)
 def w11_rolling_hll(spark, sf_dir):
     """w10's rolling 7-day actives on the 100 TB path: one Datasketches
     HLL sketch per day (`hll_sketch_agg`), each day's sketch calendar-
@@ -266,10 +277,12 @@ def w11_rolling_hll(spark, sf_dir):
     estimated.  After the per-day aggregate the data volume is ONE sketch
     row per day — the rolling merge touches |days| x 7 rows regardless of
     corpus size, where w10's exact shape re-shuffles every (day, user)
-    pair.  Estimator-specific output -> R-tier.  Verified invariant: every
-    window's HLL estimate tracks w10's exact rolling distinct within the
-    sketch rsd (tests/test_invariants.py test_rolling_hll_tracks_exact_within_rsd) vs
-    the exact w10 answer."""
+    pair.  The raw estimate is estimator-specific, so the query emits a
+    TOLERANCE AUDIT the driver can hash (upgraded from rows-only in round
+    5): each window's exact rolling distinct (w10's own driver-proven
+    shape and oracle) plus a flag asserting the lgK=14 sketch estimate
+    (rsd ~0.81%) landed within max(5% of exact, 1.0) — a broken sketch or
+    merge flips the flag and fails the value hash."""
     ev = T(spark, sf_dir, "events")
     day_sketch = (
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
@@ -285,8 +298,37 @@ def w11_rolling_hll(spark, sf_dir):
         ).alias("target_day"),
         "sk",
     )
-    return (
+    est = (
         expanded.join(F.broadcast(days), expanded.target_day == days.day, "left_semi")
         .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("active_7d_est"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"))
+    )
+    # exact twin: w10's calendar-expand shape (driver-proven construct)
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("target_day"),
+            "user_id",
+        )
+        .join(
+            F.broadcast(pairs.select("day").distinct()),
+            F.col("target_day") == F.col("day"),
+            "left_semi",
+        )
+        .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "active_7d",
+        (
+            F.abs(F.col("_est") - F.col("active_7d"))
+            <= F.greatest(0.05 * F.col("active_7d"), F.lit(1.0))
+        ).alias("within_rsd"),
     )

