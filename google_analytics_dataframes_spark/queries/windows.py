@@ -282,31 +282,40 @@ def w11_rolling_hll(spark, sf_dir):
     5): each window's exact rolling distinct (w10's own driver-proven
     shape and oracle) plus a flag asserting the lgK=14 sketch estimate
     (rsd ~0.81%) landed within max(5% of exact, 1.0) — a broken sketch or
-    merge flips the flag and fails the value hash."""
+    merge flips the flag and fails the value hash.
+
+    Plan shape: the exchange count (~6) reads high but every one is
+    post-partial-agg — the raw event projection is map-side combined
+    before BOTH the per-day sketch aggregate and the (day, user)
+    distinct, so no exchange ever carries the raw stream; `days` is the
+    |days|-row sketch output reused (broadcast) by both semi-joins.  The
+    production sketch path alone is 2 exchanges — the other ~4 belong to
+    the AUDIT's exact twin, which a 100 TB deployment would run only as
+    a sampled harness, not per-report."""
     ev = T(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
     day_sketch = (
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
         .groupBy("day")
         .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     )
     days = day_sketch.select("day")
-    expanded = day_sketch.select(
-        F.explode(
-            F.sequence(
-                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
-            )
-        ).alias("target_day"),
-        "sk",
-    )
     est = (
-        expanded.join(F.broadcast(days), expanded.target_day == days.day, "left_semi")
+        day_sketch.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("target_day"),
+            "sk",
+        )
+        .join(F.broadcast(days), F.col("target_day") == F.col("day"), "left_semi")
         .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"))
     )
     # exact twin: w10's calendar-expand shape (driver-proven construct)
-    pairs = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
     exact = (
         pairs.select(
             F.explode(
@@ -316,11 +325,7 @@ def w11_rolling_hll(spark, sf_dir):
             ).alias("target_day"),
             "user_id",
         )
-        .join(
-            F.broadcast(pairs.select("day").distinct()),
-            F.col("target_day") == F.col("day"),
-            "left_semi",
-        )
+        .join(F.broadcast(days), F.col("target_day") == F.col("day"), "left_semi")
         .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )

@@ -336,3 +336,20 @@ def test_grouped_rank_input_materialized(spark):
     df = registry()["l48_ppl_buckets"].fn(spark, SF_DIR)
     assert len(audit.scan_info(df)) == 0
     assert audit.count_exchanges(df) <= 6
+
+
+def test_rolling_hll_audit_exchanges_are_post_partial_agg(spark):
+    """w11 (round-5 audit form): the exchange count includes the exact
+    twin, but NO exchange may carry the raw event stream — both the
+    per-day sketch aggregate and the (day, user) distinct must show a
+    map-side partial aggregate below their exchange, so every shuffled
+    relation is already day- or pair-reduced."""
+    df = registry()["w11_rolling_hll"].fn(spark, SF_DIR)
+    assert audit.count_exchanges(df) <= 7
+    plan = audit.formatted_plan(df)
+    # partial aggregates precede final ones 1:1 — nothing shuffles raw
+    import re
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    names = audit.node_names(df)
+    assert names.count("HashAggregate") % 2 == 0
+    assert names.count("ObjectHashAggregate") % 2 == 0  # sketch agg partial+final

@@ -48,6 +48,12 @@ QUERIES = [
     "l53_decontam_multi_n",
     "l56_bigram_logprob",
     "l60_incremental_neardup",
+    # round-5: exact rolling-distinct vs its HLL sketch path — the pair
+    # whose relative cost is the sketch path's whole argument (w11's
+    # rolling merge touches |days| x 7 sketch rows regardless of user
+    # count; w10's exact shape re-shuffles every (day, user) pair)
+    "w10_rolling_distinct",
+    "w11_rolling_hll",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
@@ -59,7 +65,7 @@ def build_synth(spark, base_dir: str) -> str:
     import pyspark.sql.functions as F
 
     out = os.path.join(SYNTH_DIR, "documents.parquet")
-    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT3")):
+    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT4")):
         return SYNTH_DIR
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -81,7 +87,30 @@ def build_synth(spark, base_dir: str) -> str:
         "n_chars",  # translate is length-preserving
     )
     synth.repartition(8).write.mode("overwrite").parquet(out)
-    open(os.path.join(SYNTH_DIR, "_BUILT3"), "w").close()
+
+    # 10x events: copy 0 verbatim, copies 1-9 with user_id/event_id offset
+    # into disjoint ranges (same calendar days — the realistic axis: a
+    # 10x-traffic property has more users per day, not more days).  The
+    # distinct (day, user) pair stream w10 shuffles grows 10x; w11's
+    # post-aggregate sketch stream stays |days| rows.
+    ev_out = os.path.join(SYNTH_DIR, "events.parquet")
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    nu = ev.agg(F.max("user_id")).first()[0] + 1
+    ne = ev.agg(F.max("event_id")).first()[0] + 1
+    ev_synth = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"), "*"
+    ).select(
+        (F.col("event_id") + F.col("copy") * F.lit(ne)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * F.lit(nu)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev_synth.repartition(8).write.mode("overwrite").parquet(ev_out)
+    open(os.path.join(SYNTH_DIR, "_BUILT4"), "w").close()
     return SYNTH_DIR
 
 
