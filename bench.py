@@ -57,6 +57,18 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # session confs that change plans or hash-relevant semantics
+    for k in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.master",
+    ):
+        try:
+            env[k] = spark.conf.get(k)
+        except Exception:
+            env[k] = None
     reg = registry()
 
     def execute(name: str) -> float:

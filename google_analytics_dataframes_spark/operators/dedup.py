@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 from google_analytics_dataframes_spark.io import fanout, fanout_by
 
+# Upper bound on the incoming-side packed-mask table a bitmask cross join
+# may broadcast (bytes).  128 MB ~ Spark's own practical broadcast comfort
+# zone on a 100-executor cluster; past it jaccard_pairs_cross falls back to
+# the prefix/index strategies even when the vocabulary is bounded.
+_BITMASK_BROADCAST_CAP = 128 << 20
+
 
 def tokens(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
@@ -576,7 +582,7 @@ def jaccard_pairs_cross(
     items_in: DataFrame,
     items_ex: DataFrame,
     threshold_pct: int,
-    max_bitmask_vocab: int = 512,
+    max_bitmask_vocab: int = 4096,
     prefix_min_items: int = 2_000_000,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -590,15 +596,19 @@ def jaccard_pairs_cross(
     Adaptive physical strategy, the cross-side twin of
     :func:`jaccard_pairs` (same stat, same crossover logic):
 
-    * **bounded vocabulary** (union vocab <= max_bitmask_vocab): encode
-      both sides as packed-long bitmasks and BROADCAST the incoming
-      (batch) side's mask table over the corpus side — |I| is
-      bit_count(a&b) per word, no shuffle of the corpus, no candidate
-      explosion.  On low-diversity corpora every frequent item co-occurs
-      in nearly every cross pair, so candidate-generation strategies do
-      Theta(|in| x |ex|) pair work ANYWAY — the bitmask form does it at a
-      ~100x smaller constant (measured: the prefix path was 5x SLOWER
-      than even the naive index join on the 377-gram bench corpus).
+    * **bounded vocabulary** (union vocab <= max_bitmask_vocab, incoming
+      mask table <= _BITMASK_BROADCAST_CAP): encode both sides as
+      packed-long bitmasks and BROADCAST the incoming (batch) side's mask
+      table over the corpus side — |I| is bit_count(a&b) per word, no
+      shuffle of the corpus, no candidate explosion.  On low-diversity
+      corpora every frequent item co-occurs in nearly every cross pair,
+      so candidate-generation strategies do Theta(|in| x |ex|) pair work
+      ANYWAY — the bitmask form does it at a ~100x smaller constant
+      (measured: the prefix path was 5x SLOWER than even the naive index
+      join on the 377-gram bench corpus; on the 1891-gram Caesar-synth
+      word-salad corpus the verify-by-array_intersect paths exceeded the
+      probe cap while bitmask enumerates the same output-bounded pair set
+      in packed-word compares).
     * **large vocabulary, large input** (>= prefix_min_items index rows):
       prefix-filtered cross index join (SSJoin/ppjoin, one GLOBAL
       frequency order over the union): each doc indexes only its
@@ -608,13 +618,19 @@ def jaccard_pairs_cross(
     * **otherwise**: plain cross inverted-index join — at small scale the
       prefix machinery costs more than it prunes.
 
-    ``stats`` (optional): {"n_items": int, "vocab": list | None} skips
-    the two probe jobs, e.g. from catalog metadata.  A supplied vocab is
-    VALIDATED before it may drive the bitmask path: an item missing from
-    it would give ``array_position`` 0, vid -1, and
-    ``shiftleft(1, -1 % 64)`` — which Java masks to bit 63 of word 0 —
-    i.e. silent phantom intersections; :func:`_validate_vocab_covers`
-    raises instead."""
+    ``stats`` (optional): {"n_items": int, "vocab": list | None,
+    "n_in_docs": int | None} skips the probe jobs, e.g. from catalog
+    metadata.  A supplied vocab is VALIDATED before it may drive the
+    bitmask path: an item missing from it would give ``array_position``
+    0, vid -1, and ``shiftleft(1, -1 % 64)`` — which Java masks to bit 63
+    of word 0 — i.e. silent phantom intersections;
+    :func:`_validate_vocab_covers` raises instead.
+
+    The bitmask regime is bounded on TWO axes: vocabulary (<=
+    max_bitmask_vocab, 4096 -> at most 64 packed longs = 512 B/doc) and
+    broadcast size (incoming-side mask table must fit
+    ``_BITMASK_BROADCAST_CAP``; past it the strategy falls back even on a
+    tiny vocabulary — a giant batch must not be broadcast)."""
     items_in = fanout_by(items_in, "doc_id")
     items_ex = fanout_by(items_ex, "doc_id")
     persisted = []
@@ -635,9 +651,11 @@ def jaccard_pairs_cross(
             if len(vocab_rows) <= max_bitmask_vocab
             else None
         )
+        n_in_docs = None
     else:
         n_items = stats["n_items"]
         vocab = stats.get("vocab")
+        n_in_docs = stats.get("n_in_docs")
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
         if vocab is not None:
@@ -646,6 +664,15 @@ def jaccard_pairs_cross(
                 vocab,
                 "jaccard_pairs_cross",
             )
+
+    if vocab is not None:
+        # broadcast guard: the incoming mask table (one row per batch doc,
+        # ~8 B/word + row overhead) must be broadcastable
+        n_words = (len(vocab) + 63) // 64
+        if n_in_docs is None:
+            n_in_docs = items_in.select("doc_id").distinct().count()
+        if n_in_docs * (n_words * 8 + 48) > _BITMASK_BROADCAST_CAP:
+            vocab = None
 
     if vocab is not None:
         out = _cross_bitmask(items_in, items_ex, threshold_pct, vocab)
@@ -663,9 +690,18 @@ def jaccard_pairs_cross(
 def _cross_bitmask(
     items_in: DataFrame, items_ex: DataFrame, threshold_pct: int, vocab: list
 ) -> DataFrame:
-    """Bounded-vocab strategy: packed-long masks, broadcast incoming side."""
+    """Bounded-vocab strategy: packed-long masks, broadcast incoming side.
+
+    Item -> bit-position lookup is a broadcast hash join against the
+    |vocab|-row dictionary, NOT ``array_position`` over a literal array —
+    the literal form is a linear scan per item (O(|vocab|) string
+    compares), which at the 4096-gram ceiling would cost more than the
+    mask compare it feeds; the hash join is O(1) per item at any vocab
+    size within the regime."""
     n_words = (len(vocab) + 63) // 64
-    vid = F.array_position(F.lit(vocab), F.col("item")) - 1
+    vdf = items_in.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(vocab)], ["item", "vid"]
+    )
     mask_aggs = [
         F.bit_or(
             F.when(
@@ -678,7 +714,7 @@ def _cross_bitmask(
 
     def masks_of(items):
         return (
-            items.select("doc_id", vid.alias("vid"))
+            items.join(F.broadcast(vdf), "item")
             .groupBy("doc_id")
             .agg(F.count("*").alias("sz"), *mask_aggs)
         )

@@ -910,9 +910,11 @@ def l60_incremental_neardup(spark, sf_dir):
     (incoming, existing) pair truly exceeds the threshold, so the OUTPUT
     is Θ(|batch| x |corpus|) rows and no lossless algorithm can run
     faster than it writes.  The operator's stat probe detects exactly
-    this regime (vocabulary <= 512 grams) and routes it to the
-    broadcast-bitmask strategy, whose per-pair cost is the minimal
-    O(V/64) word-AND — i.e. the measured ~440 s at synth-sf1 is the cost
+    this regime (vocabulary <= 4096 grams — at most 64 packed longs —
+    behind a 128 MB broadcast guard on the incoming mask table) and
+    routes it to the broadcast-bitmask strategy, whose per-pair cost is
+    the minimal O(V/64) word-AND — i.e. the measured ~440-449 s at
+    synth-sf1 (r4 and r5, BASELINE.md) is the cost
     of EMITTING the quadratic answer, not of finding it
     (tests/test_dedup_similarity.py
     test_cross_dense_vocab_routes_to_bitmask pins the routing; the
