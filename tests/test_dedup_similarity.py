@@ -312,3 +312,33 @@ def test_cross_dense_vocab_routes_to_bitmask(spark):
         if 100 * inter >= 60 * uni:
             want.add((a, b, inter, uni))
     assert got == want and want  # nonempty: the regime really is dense
+
+
+def test_cross_bitmask_broadcast_guard_falls_back(spark):
+    """Round-5 guard: even with a bitmask-eligible vocabulary, an incoming
+    side whose mask table would exceed the broadcast cap must NOT be
+    broadcast — the router falls back to a candidate-generation strategy
+    (and still emits the identical pair set on a small example)."""
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 2, 2, 3, 3],
+                "item": ["a", "b", "b", "c", "a", "b"],
+            }
+        )
+    )
+    inc = items.filter(F.col("doc_id") == 1)
+    ex = items.filter(F.col("doc_id") > 1)
+    stats = {"n_items": 6, "vocab": ["a", "b", "c"]}
+    from google_analytics_dataframes_spark.plans import audit
+
+    fast = D.jaccard_pairs_cross(inc, ex, 40, stats=stats)
+    assert "BroadcastNestedLoopJoin" in audit.formatted_plan(fast)
+    # an (asserted) enormous incoming side trips the guard -> no BNLJ
+    slow = D.jaccard_pairs_cross(
+        inc, ex, 40, stats={**stats, "n_in_docs": 10_000_000_000}
+    )
+    assert "BroadcastNestedLoopJoin" not in audit.formatted_plan(slow)
+    want = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in fast.collect()}
+    got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in slow.collect()}
+    assert got == want and want
