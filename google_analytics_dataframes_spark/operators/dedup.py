@@ -830,3 +830,58 @@ def _cross_prefix(
         )
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
+
+
+def exact_substr_spans(docs: DataFrame, min_len: int = 30) -> DataFrame:
+    """Cross-document exact-substring spans (the ExactSubstr protocol of
+    Lee et al. 2022): (doc_a, doc_b, shared_windows, max_run) for every
+    pair sharing a verbatim run of >= ``min_len`` chars.
+
+    Sliding ``min_len``-char windows are a doc-local array transform; one
+    equi-join on the window finds cross-doc matches; matches on one
+    (pair, pa-pb) diagonal with consecutive pa are one verbatim run
+    (islands trick: ``pa - row_number()`` constant per run).  At corpus
+    scale the join key becomes xxhash64(window) with raw-span
+    re-verification; the raw key keeps small-scale runs exactly
+    SQL-twinnable (queries/llm_ops.l61)."""
+    from pyspark.sql import Window
+
+    L = min_len
+    w = (
+        fanout(docs.filter(F.length("text") >= L))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {L - 1}), "
+                    f"p -> struct(p AS p, substring(text, p, {L}) AS win))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.p").alias("p"), F.col("e.win").alias("win"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.win") == F.col("b.win"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    wnd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wnd))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.count("*").alias("n_win"),
+            (F.max("pa") - F.min("pa") + L).alias("run_len"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("n_win").cast("long").alias("shared_windows"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+    )

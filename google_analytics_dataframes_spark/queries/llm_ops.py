@@ -1495,6 +1495,58 @@ def l35_dup_ngram_fraction(spark, sf_dir):
 
 
 @register(
+    "l61_exact_substr_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS win
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 29, 0) + 1)) AS p
+            FROM documents)
+    ),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+          FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+    d AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                 pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                         ORDER BY pa) AS isl
+          FROM m),
+    r AS (SELECT doc_a, doc_b, COUNT(*) AS n_win,
+                 MAX(pa) - MIN(pa) + 30 AS run_len
+          FROM d GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, CAST(SUM(n_win) AS BIGINT) AS shared_windows,
+           CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM r GROUP BY doc_a, doc_b
+    """,
+)
+def l61_exact_substr_spans(spark, sf_dir):
+    """Cross-document EXACT-SUBSTRING span detection — the ExactSubstr
+    protocol of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document pair sharing a verbatim
+    character run of >= L (= 30) chars, emit how many L-windows they
+    share and the longest merged run.  Complements the gram-Jaccard
+    family (l7/l12): Jaccard finds near-duplicate DOCUMENTS; this finds
+    verbatim PASSAGES (boilerplate, licenses, quoted spans) inside
+    otherwise-unrelated documents — the paper's dedup unit.
+
+    Shape: L-char sliding windows are a doc-local array transform (no
+    position self-join); one equi-join on the window string finds
+    cross-doc matches; runs are merged with the islands trick — matches
+    on one (pair, pa-pb) diagonal with consecutive pa belong to one
+    verbatim run, so `pa - row_number()` is constant per run and a
+    two-level aggregate emits (shared_windows, max_run) per pair.
+
+    Scale: window stream is ~L x text bytes; at 100 TB the join key
+    would be xxhash64(win) (8-byte shuffle keys, ~1e-19 collision odds
+    at corpus scale, survivors re-verified on the raw span) — here the
+    raw 30-char key keeps the DuckDB twin exact.  Join output is bounded
+    by TRUE shared windows (random corpora collide nowhere); the islands
+    window partitions by (pair, diagonal) — cardinality of real shared
+    runs, never a hot key."""
+    return D.exact_substr_spans(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), min_len=30
+    )
+
+
+@register(
     "l36_char_entropy",
     oracle="""
     WITH ch AS (SELECT doc_id, substr(text, CAST(p AS INTEGER), 1) AS c

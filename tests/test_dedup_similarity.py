@@ -342,3 +342,36 @@ def test_cross_bitmask_broadcast_guard_falls_back(spark):
     want = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in fast.collect()}
     got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in slow.collect()}
     assert got == want and want
+
+
+def test_exact_substr_spans_finds_planted_passage(spark):
+    """l61 (ExactSubstr, Lee et al. 2022): two otherwise-unrelated docs
+    sharing one verbatim 60-char passage must pair with max_run == 60 and
+    shared_windows == 31 (60 - 30 + 1 window positions); docs with no
+    30-char overlap must not pair."""
+    import hashlib
+
+    passage = "the quick brown fox jumps over the lazy dog again and again".ljust(60, "x")[:60]
+
+    def filler(seed):
+        return " ".join(
+            hashlib.sha256(f"{seed}{i}".encode()).hexdigest() for i in range(6)
+        )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    filler("a") + " " + passage,
+                    passage + " " + filler("b"),
+                    filler("c"),
+                ],
+            }
+        )
+    )
+    rows = {
+        (x.doc_a, x.doc_b): (x.shared_windows, x.max_run)
+        for x in D.exact_substr_spans(df, min_len=30).collect()
+    }
+    assert rows == {(1, 2): (31, 60)}

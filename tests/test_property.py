@@ -127,3 +127,137 @@ def test_filter_dsl_equals_handbuilt(spark, lo, hi, et):
         & (F.col("value") <= float(hi))
     ).count()
     assert got == want
+
+
+_cross_corpus = st.tuples(
+    st.lists(  # incoming docs
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=10, unique=True),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(  # existing docs
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=10, unique=True),
+        min_size=1,
+        max_size=6,
+    ),
+)
+
+
+@given(corpus=_cross_corpus, pct=st.sampled_from([10, 40, 60, 100]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_all_cross_jaccard_strategies_agree(spark, corpus, pct):
+    """The three cross-side strategies (broadcast-bitmask, inverted index,
+    prefix-filtered) are result-identical on arbitrary batch-vs-corpus
+    splits and thresholds — the property the l60 router relies on when it
+    picks per-input."""
+    from google_analytics_dataframes_spark.operators.dedup import (
+        _cross_bitmask,
+        _cross_index,
+        _cross_prefix,
+    )
+
+    inc_docs, ex_docs = corpus
+    inc_rows = [(i, it) for i, items in enumerate(inc_docs) for it in items]
+    ex_rows = [
+        (100 + i, it) for i, items in enumerate(ex_docs) for it in items
+    ]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, item string")
+    ex = spark.createDataFrame(ex_rows, "doc_id long, item string")
+    vocab = sorted({it for _, it in inc_rows + ex_rows})
+    results = {
+        "bitmask": _cross_bitmask(inc, ex, pct, vocab),
+        "index": _cross_index(inc, ex, pct),
+        "prefix": _cross_prefix(inc, ex, pct),
+    }
+    seen = {
+        name: {
+            (r["doc_in"], r["doc_ex"], r["inter"], r["uni"])
+            for r in df.collect()
+        }
+        for name, df in results.items()
+    }
+    assert seen["bitmask"] == seen["index"] == seen["prefix"]
+
+
+_event_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user_id
+        st.integers(min_value=0, max_value=12_000), # t in seconds
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_event_stream)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionization_equals_sequential_reference(spark, events):
+    """The rb18-20 session frame (lag/cumsum 30-min-gap model, struct
+    min/max landing-exit) must agree with a sequential per-user pass on
+    arbitrary event streams — gap exactly at the 1800 s boundary, ties on
+    ts broken by event_id, single-event sessions, multi-user interleaving."""
+    from google_analytics_dataframes_spark.queries.report_queries import (
+        _sessions,
+    )
+
+    rows = [
+        (u, eid, et, t * 1_000_000)
+        for eid, (u, t, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+
+    # sequential reference
+    per_user: dict[int, list] = {}
+    for u, eid, et, ts in rows:
+        per_user.setdefault(u, []).append((ts, eid, et))
+    want = set()
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        cur: list = []
+        prev = None
+        for ts, eid, et in evs + [(None, None, None)]:
+            if ts is None or prev is None or ts - prev >= 1_800_000_000:
+                if cur:
+                    start = min(cur)[0]
+                    end = max(cur)[0]
+                    want.add(
+                        (
+                            u,
+                            sid,
+                            start,
+                            len(cur),
+                            (end - start) // 1_000_000,
+                            min(cur)[2],
+                            max(cur)[2],
+                            sum(1 for c in cur if c[2] == "purchase"),
+                        )
+                    )
+                if ts is None:
+                    break
+                sid += 1
+                cur = []
+            cur.append((ts, eid, et))
+            prev = ts
+    got = {
+        (
+            r.user_id, r.session_id, r.start_us, r.n_events,
+            r.duration_sec, r.landing, r.exit_type, r.purchases,
+        )
+        for r in _sessions(df).collect()
+    }
+    assert got == want
