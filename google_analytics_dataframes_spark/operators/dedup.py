@@ -461,11 +461,21 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", guarded.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame | None = None,
+    max_hamming: int = 8,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup candidates by SimHash: 4x16-bit band equi-join (any pair
     within hamming<=3 shares a band; wider radii trade recall), verified by
-    bit_count(xor) <= max_hamming."""
-    sig = simhash_signatures(docs)
+    bit_count(xor) <= max_hamming.
+
+    Pass ``sig`` (a (doc_id, simhash) frame, e.g. a materialized
+    :func:`simhash_signatures`) to skip signature computation — the band
+    self-join references its input TWICE, so a caller that materializes
+    the signatures first halves the signature passes (l11 does)."""
+    if sig is None:
+        sig = simhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -173,26 +173,32 @@ def l11_simhash_neardup(spark, sf_dir):
     a 10-row transform unioned onto the scan; no extra shuffles."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") < 10)
-    exact_probes = base.filter(F.col("doc_id") < 5).select(
-        (-F.col("doc_id") - 1).alias("doc_id"), "text"
-    )
-    near_src = base.filter(F.col("doc_id") >= 5)
-    near_probes = near_src.select(
+    probes = base.select(
         (-F.col("doc_id") - 1).alias("doc_id"),
-        F.concat("text", F.lit(" zzqxneardup")).alias("text"),
+        F.when(F.col("doc_id") < 5, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" zzqxneardup")))
+        .alias("text"),
     )
-    pairs = D.simhash_pairs(docs.unionByName(exact_probes))
+    # ONE signature pass over corpus ∪ probes, materialized — the band
+    # self-join references its input twice and the near-audit reads it a
+    # third time, so without this the 64-bit-vote aggregate (the dominant
+    # cost) would run 3x
+    sig = D.simhash_signatures(docs.unionByName(probes)).localCheckpoint(
+        eager=True
+    )
+    pairs = D.simhash_pairs(sig=sig)
     orig = (-F.col("doc_a") - 1).cast("long")
-    det = pairs.filter((F.col("doc_a") < 0) & (F.col("doc_b") == orig)).select(
+    det = pairs.filter(
+        (F.col("doc_a") >= -5) & (F.col("doc_a") < 0) & (F.col("doc_b") == orig)
+    ).select(
         F.col("doc_b").alias("doc_orig"),
         F.lit("exact").alias("kind"),
         (F.col("hamming") == 0).alias("locality_ok"),
     )
-    sig = D.simhash_signatures(near_src.unionByName(near_probes))
-    sp = sig.filter(F.col("doc_id") < 0).select(
+    sp = sig.filter(F.col("doc_id") < -5).select(
         (-F.col("doc_id") - 1).alias("doc_orig"), F.col("simhash").alias("_sp")
     )
-    so = sig.filter(F.col("doc_id") >= 0).select(
+    so = sig.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
         F.col("doc_id").alias("doc_orig"), F.col("simhash").alias("_so")
     )
     near = sp.join(so, "doc_orig").select(
