@@ -57,8 +57,8 @@ SWEEP_PRIORITY: list[str] = [
     # R-tier rows upgraded to full oracles in round 5
     "l2_", "l13_", "l24_",
     "a4_", "a17_", "a18_", "w11_", "sf14b_", "l11_", "l4_", "l40_",
-    # new in round 5: ExactSubstr cross-doc span detection
-    "l61_",
+    # new in round 5: ExactSubstr span detection, semantic decontamination
+    "l61_", "l62_",
     # staleness re-verification: r01/r02-evidenced representatives,
     # hash-fragile first, then one per family
     "a14_", "a13_", "a10_", "f3_", "w6_", "sf12_", "rb4_", "l30_",

@@ -1553,6 +1553,74 @@ def l61_exact_substr_spans(spark, sf_dir):
 
 
 @register(
+    "l62_semantic_decontam",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE label = 0),
+    tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t
+           FROM embeddings WHERE label <> 0),
+    c AS (SELECT tr.vec_id,
+                 list_dot_product(t, e)
+                   / (sqrt(list_dot_product(t, t))
+                      * sqrt(list_dot_product(e, e))) AS c
+          FROM tr CROSS JOIN ev),
+    m AS (SELECT vec_id, MAX(c) AS mc FROM c GROUP BY vec_id)
+    SELECT vec_id, round(mc, 4) AS max_eval_cos, mc >= 0.8 AS contaminated
+    FROM m
+    """,
+)
+def l62_semantic_decontam(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram protocols (l30/l53): for every training vector, its maximum
+    cosine against the held-out eval set (label 0 plays the eval role),
+    plus a >= 0.8 contamination flag.  N-gram overlap misses paraphrased
+    or translated eval leakage; embedding similarity is the standard
+    second net (e.g. phi-style decontamination).
+
+    Scale shape: the eval set is bounded BY DESIGN (benchmarks are
+    thousands of rows, not corpus-sized — the same premise as the
+    centroid/codebook broadcasts), so it ships to every task as a
+    broadcast float64 matrix and the train side streams scan-parallel
+    through one Arrow-batched GEMM per batch (numpy matmul, the l4/LSH-
+    verify convention) — no shuffle of the corpus at all, and no
+    per-element interpreted fold (the zip_with/aggregate formulation ran
+    |corpus| x |eval| interpreted lambdas: 8.2 s at sf0.1 vs well under
+    1 s for the GEMM).  At 100 TB prune with the IVF/LSH prefilter
+    (l13/l14) when |eval| grows past a few thousand.  Cross-engine
+    determinism: float64 GEMM vs DuckDB's sequential fold differ by
+    ~1e-15; the emitted max is terminally round(4) and the 0.8 threshold
+    compare sits nowhere near that noise floor (the l4 contract)."""
+    emb = T(spark, sf_dir, "embeddings")
+    ev_rows = (
+        emb.filter(F.col("label") == 0)
+        .select(S.as_double("embedding").alias("e"))
+        .collect()
+    )  # bounded eval set — metadata-sized by the operator's premise
+    E = np.stack([r.e for r in ev_rows]).astype("float64")
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(En)
+    tr = fanout(emb.filter(F.col("label") != 0)).select(
+        "vec_id", S.as_double("embedding").alias("t")
+    )
+
+    def max_cos(batches):
+        M = bc.value
+        for pdf in batches:
+            tm = np.stack(pdf["t"].to_numpy()).astype("float64")
+            tm = tm / np.linalg.norm(tm, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "mc": (tm @ M.T).max(axis=1)}
+            )
+
+    mc = tr.mapInPandas(max_cos, "vec_id long, mc double")
+    return mc.select(
+        "vec_id",
+        F.round("mc", 4).alias("max_eval_cos"),
+        (F.col("mc") >= 0.8).alias("contaminated"),
+    )
+
+
+@register(
     "l36_char_entropy",
     oracle="""
     WITH ch AS (SELECT doc_id, substr(text, CAST(p AS INTEGER), 1) AS c

@@ -514,6 +514,10 @@ def test_oracles_avoid_hash_fragile_constructs():
         "l39_batch_knn", "l47_nearest_centroid", "l58_pq_codes",
         "l51_bpe_pair_counts", "l56_bigram_logprob",
         "l4_knn_join",
+        # l62 (round-5): same l3/l14 shape — sequential-fold cosines into
+        # MAX + terminal round(4); threshold flag compares identical
+        # doubles on both engines
+        "l62_semantic_decontam",
     }
     FRAGILE = {
         "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),
