@@ -54,6 +54,10 @@ QUERIES = [
     # count; w10's exact shape re-shuffles every (day, user) pair)
     "w10_rolling_distinct",
     "w11_rolling_hll",
+    # round-5: ExactSubstr span join — window stream ~30x text bytes; on
+    # the Caesar synth the rotated copies share no cross-copy 30-char
+    # runs, so output (and join collisions) scale linearly with corpus
+    "l61_exact_substr_spans",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
