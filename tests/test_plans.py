@@ -353,3 +353,27 @@ def test_rolling_hll_audit_exchanges_are_post_partial_agg(spark):
     names = audit.node_names(df)
     assert names.count("HashAggregate") % 2 == 0
     assert names.count("ObjectHashAggregate") % 2 == 0  # sketch agg partial+final
+
+
+def test_exact_substr_join_is_equi_not_cartesian(spark):
+    """l61: the window match must plan as an EQUI-join on the window
+    string (hash or sort-merge; AQE may broadcast the small side at test
+    scale) — never a cartesian/nested-loop pair enumeration."""
+    df = registry()["l61_exact_substr_spans"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert not any("CartesianProduct" in n for n in names)
+    assert not any("BroadcastNestedLoopJoin" in n for n in names)
+    assert any(
+        "SortMergeJoin" in n or "ShuffledHashJoin" in n or "BroadcastHashJoin" in n
+        for n in names
+    )
+
+
+def test_semantic_decontam_corpus_never_shuffles(spark):
+    """l62: the eval matrix broadcasts (driver-side bounded collect), so
+    the train side's only exchange is the fanout round-robin — no join
+    node and no aggregate exchange appear at all."""
+    df = registry()["l62_semantic_decontam"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert not any("Join" in n for n in names)
+    assert audit.count_exchanges(df) <= 1
