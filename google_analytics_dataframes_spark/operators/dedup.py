@@ -475,6 +475,8 @@ def simhash_pairs(
     self-join references its input TWICE, so a caller that materializes
     the signatures first halves the signature passes (l11 does)."""
     if sig is None:
+        if docs is None:
+            raise ValueError("simhash_pairs: pass docs or sig")
         sig = simhash_signatures(docs)
     bands = sig.select(
         "doc_id",
@@ -680,6 +682,19 @@ def jaccard_pairs_cross(
         # ~8 B/word + row overhead) must be broadcastable
         n_words = (len(vocab) + 63) // 64
         if n_in_docs is None:
+            if stats is not None:
+                # stats callers exist to SKIP probe jobs; this fallback
+                # re-scans the (unpersisted) incoming lineage — pass
+                # "n_in_docs" in stats to avoid it
+                import warnings
+
+                warnings.warn(
+                    "jaccard_pairs_cross: stats supplied without 'n_in_docs'; "
+                    "counting incoming docs with a full scan of the "
+                    "unpersisted input lineage (the probe-skip you paid for "
+                    "stats to avoid)",
+                    stacklevel=2,
+                )
             n_in_docs = items_in.select("doc_id").distinct().count()
         if n_in_docs * (n_words * 8 + 48) > _BITMASK_BROADCAST_CAP:
             vocab = None

@@ -182,7 +182,12 @@ def l11_simhash_neardup(spark, sf_dir):
     # ONE signature pass over corpus ∪ probes, materialized — the band
     # self-join references its input twice and the near-audit reads it a
     # third time, so without this the 64-bit-vote aggregate (the dominant
-    # cost) would run 3x
+    # cost) would run 3x.  The checkpoint blocks CANNOT be unpersisted
+    # here: the returned frame is consumed lazily by the caller and a
+    # localCheckpoint truncates lineage, so dropping the blocks early
+    # would lose the only copy.  Cleanup relies on ContextCleaner GC'ing
+    # the checkpointed RDD once the result frame is unreachable (~KB of
+    # (doc_id, long) rows per invocation, bounded across a sweep).
     sig = D.simhash_signatures(docs.unionByName(probes)).localCheckpoint(
         eager=True
     )

@@ -295,6 +295,7 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
     t = 1_700_000_000 + len(parts) * 60
     os.utime(dst, (t, t))
     shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE[key] = d
     return d
 
 
