@@ -32,42 +32,51 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # order and truncates on a ~50-entry budget (rounds 1 and 2 each recorded
 # exactly 50 rows), so this list decides which queries get driver evidence.
 #
-# Round-5 rotation (VERDICT r4 items #1 + #2): the six r04 hash-failures —
-# restated this round in driver-proven constructs — go first so the fix is
-# confirmed or refuted immediately.  The dg determinism probes
-# (queries/diagnostics.py) follow: each isolates ONE construct the failing
-# six used, so any residual skew lands on a named probe instead of a real
-# operator.  Then the four write-path queries whose oracles were upgraded
-# AFTER their only (r01, no-oracle) sweep, l34 (l48's input, last checked
-# r03 — before the driver env change a658234 responded to), and the R-tier
-# rows upgraded to full oracles this round.  The leftover budget re-verifies
-# r01/r02-evidenced representatives whose last full pass predates the driver
-# env change — hash-fragile ones (percentiles, histograms, ratios, dates,
-# range frames, json) first, then one per family.  Entries are
-# underscore-terminated so "s4_" matches only s4 (not s40).
-SWEEP_PRIORITY: list[str] = [
-    # the six r04 hash-failures, restated in driver-proven constructs
-    "rb18", "rb19", "rb20", "l48", "l53", "l59",
-    # determinism probes — isolate the r04-suspect constructs
+# Round-6 structure (VERDICT r5 item #1): SWEEP_HEAD is now a NAMED,
+# test-enforced section — tools/stale_evidence.py computes, from git span
+# history vs CORRECTNESS file commit times, every query whose
+# implementation (own function span or a transitively-referenced
+# family-specific helper) changed AFTER its last recorded driver sweep,
+# and tests/test_invariants.py::test_stale_evidence_queries_lead_the_sweep
+# asserts each one matches a SWEEP_HEAD prefix.  "Green on latest check"
+# is thereby restored mechanically every round instead of by hand-audit.
+# Entries are underscore-terminated so "s4_" matches only s4 (not s40).
+SWEEP_HEAD: list[str] = [
+    # round-5 post-sweep code changes (streaming staging cache a72d786 +
+    # this round's flush-cache fix; l60/l11 via the dedup guard commits)
+    "st9_", "st10_", "st11_", "st12_", "st13_", "st14_",
+    "l60_", "l11_",
+    # round-5 dedup/report helper changes that r03/r04-evidenced
+    # dependents never re-swept (a64c4cb bitmask vocab guard; 43460bc
+    # report FilterExpression helpers; a0e7ae3 llm_ops helper motion)
+    "l29_", "l33_", "l36_", "l44_", "l55_",
+    "rb1_", "rb2_", "rb3_",
+    # determinism probes re-run every round; dg7 is the standing HUGEINT
+    # witness (expected FAIL by design)
     "dg",
-    # write-path oracles upgraded after their only (r01, no-oracle) sweep
-    "s4_", "s5_", "s7_", "s8_",
-    # l48's input; last driver-checked r03
-    "l34_",
-    # R-tier rows upgraded to full oracles in round 5
-    "l2_", "l13_", "l24_",
-    "a4_", "a17_", "a18_", "w11_", "sf14b_", "l11_", "l4_", "l40_",
-    # new in round 5: ExactSubstr span detection, semantic decontamination
-    "l61_", "l62_",
-    # staleness re-verification: r01/r02-evidenced representatives,
-    # hash-fragile first, then one per family
-    "a14_", "a13_", "a10_", "f3_", "w6_", "sf12_", "rb4_", "l30_",
-    "j12_", "l7_", "l12_", "rb7_", "st3_", "a6_", "u3_", "sf5_",
-    "w4_", "o4_", "j6_", "f5_", "l5_", "rb11_", "sf3_", "ud4_", "st2_",
-    "a2_", "j3_", "u5_", "sf10_", "l16_", "w8_", "o1_", "rb9_",
-    # deterministic tail
+    # new in round 6: hashed-window ExactSubstr and prefiltered semantic
+    # decontamination — the 100-TB paths round 5 only promised
+    "l61b_", "l62b_", "l63_",
+]
+
+# Staleness rotation: oldest-evidence representatives (r01/r02 passes that
+# predate two driver-environment changes), hash-fragile shapes first.
+SWEEP_ROTATION: list[str] = [
+    "a1_", "a3_", "a5_", "a7_", "a8_", "a11_", "a12_", "a16_",
+    "f1_", "f2_", "f4_", "f6_", "f7_",
+    "j1_", "j2_", "j4_", "j5_", "j7_", "j8_", "j9_", "j10_", "j13_",
+    "p1_", "s1_", "s2_", "w1_",
+    "o2_", "o5_", "u2_", "u4_", "ud1_", "ud2_", "sf4_", "sf7_",
+    "st1_", "w3_", "w5_", "w7_", "w9_", "sf2_", "sf6_", "sf8_", "sf9_",
+    "u5_", "ud5_", "ud6_", "a13_", "a14_",
+]
+
+# Deterministic tail: whatever budget remains walks the families.
+SWEEP_TAIL: list[str] = [
     "rb", "l", "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st",
 ]
+
+SWEEP_PRIORITY: list[str] = SWEEP_HEAD + SWEEP_ROTATION + SWEEP_TAIL
 
 
 def REGISTRY():

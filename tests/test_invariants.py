@@ -538,3 +538,80 @@ def test_oracles_avoid_hash_fragile_constructs():
         "hash-fragile construct(s) in non-probe oracles (restate in a "
         "driver-proven form or register as a dg probe): " + "; ".join(bad)
     )
+
+
+def test_oracles_never_emit_hugeint_columns():
+    """Registry-level lint (VERDICT r5 item #2, the dg7 finding codified):
+    DuckDB widens integer SUM (and integer products/deltas built on it) to
+    HUGEINT/int128, and the driver's value-hash does NOT normalize that
+    against Spark's BIGINT — dg7_hugeint_sum is the standing witness
+    (rows+schema match, hash differs, FAIL r05 by design).  Until round 5
+    the rule "cast every integer aggregate in the final SELECT" lived only
+    in convention; this lint makes it mechanical by DESCRIBE-ing every
+    oracle in DuckDB (plan-only, nothing executes) and rejecting any
+    output column typed HUGEINT.  dg7 alone is exempt — it exists to keep
+    witnessing the driver gap."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    def hugeint_cols(sql):
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        return [name for name, typ, *_ in desc if "HUGEINT" in typ.upper()]
+
+    # the lint must actually bite: a seeded bare integer SUM is rejected
+    assert hugeint_cols("SELECT SUM(o_custkey) AS s FROM orders") == ["s"]
+    # and the driver-proven cast form passes
+    assert hugeint_cols(
+        "SELECT CAST(SUM(o_custkey) AS BIGINT) AS s FROM orders"
+    ) == []
+
+    bad = []
+    for name, q in registry().items():
+        if q.oracle is None or name == "dg7_hugeint_sum":
+            continue
+        cols = hugeint_cols(q.oracle)
+        if cols:
+            bad.append(f"{name}: {cols}")
+    assert not bad, (
+        "oracle(s) emit HUGEINT column(s) — the driver hash-fails these "
+        "(dg7); wrap in CAST(... AS BIGINT): " + "; ".join(bad)
+    )
+
+
+def test_stale_evidence_queries_lead_the_sweep():
+    """Stale-evidence guard (VERDICT r5 item #1): every registered query
+    whose implementation changed in git AFTER its last recorded driver
+    sweep (own function span — decorator+oracle included — or any
+    transitively-referenced family helper; tools/stale_evidence.py) must
+    match a SWEEP_HEAD prefix, so the next budget-truncated driver sweep
+    re-records its evidence FIRST.  Round 5 shipped 7 silently-stale
+    queries; this makes that state a test failure instead of a judge
+    finding.  Never-swept (newly registered) queries are held to the same
+    rule."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import stale_evidence as SE
+
+    from google_analytics_dataframes_spark.queries import SWEEP_HEAD
+
+    rep = SE.stale_report()
+    uncovered = [
+        name
+        for name in rep
+        if not any(name == p or name.startswith(p) for p in SWEEP_HEAD)
+    ]
+    assert not uncovered, (
+        "queries with stale/absent driver evidence not covered by any "
+        "SWEEP_HEAD prefix (add them so the next sweep re-verifies them "
+        "first): " + ", ".join(f"{n} ({rep[n]['reason']})" for n in sorted(uncovered))
+    )
