@@ -857,7 +857,9 @@ def _cross_prefix(
     )
 
 
-def exact_substr_spans(docs: DataFrame, min_len: int = 30) -> DataFrame:
+def exact_substr_spans(
+    docs: DataFrame, min_len: int = 30, hashed: bool = False
+) -> DataFrame:
     """Cross-document exact-substring spans (the ExactSubstr protocol of
     Lee et al. 2022): (doc_a, doc_b, shared_windows, max_run) for every
     pair sharing a verbatim run of >= ``min_len`` chars.
@@ -865,37 +867,82 @@ def exact_substr_spans(docs: DataFrame, min_len: int = 30) -> DataFrame:
     Sliding ``min_len``-char windows are a doc-local array transform; one
     equi-join on the window finds cross-doc matches; matches on one
     (pair, pa-pb) diagonal with consecutive pa are one verbatim run
-    (islands trick: ``pa - row_number()`` constant per run).  At corpus
-    scale the join key becomes xxhash64(window) with raw-span
-    re-verification; the raw key keeps small-scale runs exactly
-    SQL-twinnable (queries/llm_ops.l61)."""
+    (islands trick: ``pa - row_number()`` constant per run).
+
+    ``hashed=False`` (l61): the join key is the raw L-char window —
+    exactly SQL-twinnable, right at bench scale, but the shuffle carries
+    ~L bytes per corpus character.
+
+    ``hashed=True`` (l61b, the 100-TB path): the window stream shuffles
+    only ``xxhash64(win)`` — an 8-byte key regardless of L, shrinking the
+    uncompressed shuffle/sort row ~(L+20)/20x (~2.5x at L=30; on-wire
+    1.36x after lz4, which compresses overlapping window text far better
+    than hashes — measured at sf0.1, BASELINE.md) and turning the join
+    comparator into a single long compare — then candidate pairs
+    re-verify on the RAW span by
+    equi-joining (doc_id -> text) on each side and comparing
+    ``substring(text, p, L)``.  Candidates are bounded by true matches
+    plus ~|corpus windows|^2 / 2^64 hash collisions (~0 below exabyte
+    scale), so the re-verify joins probe a tiny build side against the
+    doc scan (AQE broadcasts it); output is IDENTICAL to the raw-key
+    path on any input, collisions included, because verification is
+    exact."""
     from pyspark.sql import Window
 
     L = min_len
-    w = (
-        fanout(docs.filter(F.length("text") >= L))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {L - 1}), "
-                    f"p -> struct(p AS p, substring(text, p, {L}) AS win))"
-                )
-            ).alias("e"),
+    eligible = docs.filter(F.length("text") >= L)
+    win_struct = F.explode(
+        F.expr(
+            f"transform(sequence(1, length(text) - {L - 1}), "
+            f"p -> struct(p AS p, substring(text, p, {L}) AS win))"
         )
-        .select("doc_id", F.col("e.p").alias("p"), F.col("e.win").alias("win"))
+    ).alias("e")
+    w = fanout(eligible).select("doc_id", win_struct).select(
+        "doc_id", F.col("e.p").alias("p"), F.col("e.win").alias("win")
     )
-    a, b = w.alias("a"), w.alias("b")
-    m = a.join(
-        b,
-        (F.col("a.win") == F.col("b.win"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.p").alias("pa"),
-        (F.col("a.p") - F.col("b.p")).alias("diag"),
-    )
+    if hashed:
+        # shuffle only the 8-byte hash; the raw window never leaves its
+        # map task
+        wh = w.select("doc_id", "p", F.xxhash64("win").alias("h"))
+        a, b = wh.alias("a"), wh.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+        )
+        ta = eligible.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")
+        )
+        tb = eligible.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")
+        )
+        m = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(
+                F.expr(f"substring(_ta, pa, {L}) = substring(_tb, pb, {L})")
+            )
+            .select(
+                "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+            )
+        )
+    else:
+        a, b = w.alias("a"), w.alias("b")
+        m = a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            (F.col("a.p") - F.col("b.p")).alias("diag"),
+        )
     wnd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     return (
         m.withColumn("isl", F.col("pa") - F.row_number().over(wnd))

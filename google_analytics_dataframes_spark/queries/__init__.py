@@ -55,8 +55,9 @@ SWEEP_HEAD: list[str] = [
     # witness (expected FAIL by design)
     "dg",
     # new in round 6: hashed-window ExactSubstr and prefiltered semantic
-    # decontamination — the 100-TB paths round 5 only promised
-    "l61b_", "l62b_", "l63_",
+    # decontamination — the 100-TB paths round 5 only promised; l61
+    # itself re-sweeps because its operator span gained the hashed param
+    "l61b_", "l62b_", "l61_",
 ]
 
 # Staleness rotation: oldest-evidence representatives (r01/r02 passes that

@@ -1558,6 +1558,61 @@ def l61_exact_substr_spans(spark, sf_dir):
 
 
 @register(
+    "l61b_exact_substr_hashed",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 30) AS win
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 29, 0) + 1)) AS p
+            FROM documents)
+    ),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+          FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+    d AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                 pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                         ORDER BY pa) AS isl
+          FROM m),
+    r AS (SELECT doc_a, doc_b, COUNT(*) AS n_win,
+                 MAX(pa) - MIN(pa) + 30 AS run_len
+          FROM d GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, CAST(SUM(n_win) AS BIGINT) AS shared_windows,
+           CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM r GROUP BY doc_a, doc_b
+    """,
+)
+def l61b_exact_substr_hashed(spark, sf_dir):
+    """ExactSubstr span detection, HASHED-KEY form — the 100-TB path the
+    l61 docstring promises, now a first-class registered operator
+    (VERDICT r5 item #3).  Identical output contract to l61 (same pairs,
+    same shared_windows/max_run, same oracle — the driver proves the two
+    physical strategies agree), different shuffle economics: the window
+    equi-join keys on ``xxhash64(win)`` so the corpus-sized exchange
+    carries an 8-byte long per window instead of the L-char string, and
+    candidate pairs are re-verified EXACTLY on the raw span by joining
+    each side's doc text back in (substring compare; candidates are true
+    matches + ~2^-64 collisions, so the verify build side is tiny and
+    AQE broadcasts it against the doc scan).  Measured at sf0.1 with
+    broadcast disabled (the cluster join shape, BASELINE.md): the window
+    exchange writes 24.4 MB vs l61's 33.3 MB over the same 1.34M window
+    rows — only 1.36x ON THE WIRE because lz4 compresses the
+    overlapping window text far better than incompressible hashes — but
+    the UNCOMPRESSED row (what sort buffers, spill files, and the
+    sort-merge comparator actually hold) shrinks ~2.5x at L=30 and
+    ~(L+20)/20 generally, and the join comparator becomes a single long
+    compare instead of a 30-char memcmp.  Wall at sf0.1 is parity (the
+    corpus fits either way); the path exists for the regime where the
+    window exchange dominates and L is large.  This is the Lee et al.
+    2022 suffix-free variant: lossless by verification, not by trusting
+    the hash.  tests/test_plans.py pins the plan: the window join must
+    key on xxhash64 with no raw-window shuffle, and stay equi-join."""
+    return D.exact_substr_spans(
+        T(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_len=30,
+        hashed=True,
+    )
+
+
+@register(
     "l62_semantic_decontam",
     oracle="""
     WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1622,6 +1677,148 @@ def l62_semantic_decontam(spark, sf_dir):
         "vec_id",
         F.round("mc", 4).alias("max_eval_cos"),
         (F.col("mc") >= 0.8).alias("contaminated"),
+    )
+
+
+@register(
+    "l62b_semantic_decontam_ivf",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+                FROM embeddings WHERE label = 0),
+    tr0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM embeddings WHERE label <> 0),
+    pe AS (SELECT -vec_id - 1 AS vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS t,
+                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                   + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                   + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE label = 0 ORDER BY vec_id LIMIT 4)),
+    tr AS (SELECT * FROM tr0 UNION ALL SELECT * FROM pe),
+    pr AS (SELECT vec_id, t,
+                  unnest([cell, xor(cell, 1), xor(cell, 2),
+                          xor(cell, 4), xor(cell, 8)]) AS pcell
+           FROM tr),
+    c AS (SELECT pr.vec_id,
+                 list_dot_product(t, e)
+                   / (sqrt(list_dot_product(t, t))
+                      * sqrt(list_dot_product(e, e))) AS c
+          FROM pr JOIN ev ON ev.cell = pr.pcell),
+    p AS (SELECT vec_id, MAX(c) AS mc FROM c GROUP BY vec_id),
+    x AS (SELECT tr.vec_id,
+                 MAX(list_dot_product(t, e)
+                     / (sqrt(list_dot_product(t, t))
+                        * sqrt(list_dot_product(e, e)))) AS mx
+          FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+    SELECT tr.vec_id,
+           round(coalesce(p.mc, -2.0), 4) AS max_eval_cos,
+           coalesce(p.mc >= 0.8, FALSE) AS contaminated,
+           coalesce(p.mc >= 0.8, FALSE) = (x.mx >= 0.8) AS recall_ok
+    FROM tr LEFT JOIN p USING (vec_id) JOIN x USING (vec_id)
+    """,
+)
+def l62b_semantic_decontam_ivf(spark, sf_dir):
+    """PREFILTERED semantic decontamination — the unbounded-eval-set path
+    the l62 docstring promises, registered first-class (VERDICT r5 item
+    #4).  A 4-bit sign-LSH coarse quantizer (axis-aligned hyperplanes on
+    dims 1-4, 16 cells) partitions the eval set; each training vector
+    probes its own cell plus the 4 hamming-1 neighbors (5/16 of eval in
+    expectation, ~3.2x less per-train work) and takes its max cosine over
+    ONLY the probed eval vectors.  The in-query audit column ``recall_ok``
+    compares the prefiltered contamination flag against the EXACT flag
+    (l62's full sweep, computed in the same Arrow batch) — so the driver
+    hash records, per training vector, whether the prefilter's verdict
+    matched exact decontamination; measured recall is part of the result,
+    not a docstring claim.
+
+    Scale shape: eval still broadcasts (as 16 per-own-cell concatenated
+    probe matrices + the full matrix for the audit), the train side
+    streams scan-parallel through one cell-grouped numpy GEMM per batch —
+    zero corpus shuffle (same plan pin as l62).  At a 10x eval set the
+    prefiltered GEMM row count grows ~10x but stays 5/16 of the exact
+    sweep's (BASELINE.md probe); past broadcast limits the same cell key
+    becomes an equi-join key and the corpus shuffles ONCE on it — the
+    standard IVF trade.  Cross-engine determinism: identical to l62's
+    contract (float64 GEMM vs DuckDB sequential fold ~1e-15, terminal
+    round(4), thresholds far from the noise floor); cell assignment is
+    integer-exact in both engines (sign compare on the same parquet
+    floats).  A train vector whose 5 probed cells hold no eval vector
+    emits the explicit -2.0 no-candidate sentinel (both engines), never
+    NULL/NaN.
+
+    The corpus contains no true cos>=0.8 contamination at any shipped
+    SF, so recall_ok over the raw table alone would be trivially TRUE:
+    four PLANTED probes (the l13 pattern) — the 4 smallest-id eval
+    vectors scaled by 2 under fresh negative train ids — are unioned
+    into the train side in BOTH engines.  Power-of-two scaling keeps
+    every sign bit (same cell) and normalizes away bitwise, so each
+    probe's exact max-cos is 1.0 against its source AND the prefilter
+    provably probes the source's own cell — the planted rows exercise
+    contaminated=TRUE and non-trivial recall on known positives."""
+    emb = T(spark, sf_dir, "embeddings")
+    ev_rows = (
+        emb.filter(F.col("label") == 0)
+        .select("vec_id", S.as_double("embedding").alias("e"))
+        .collect()
+    )  # bounded eval premise, same as l62; see docstring for the join form
+    probe_ids = sorted(r.vec_id for r in ev_rows)[:4]
+    probes = (
+        emb.filter(F.col("label") == 0)
+        .filter(F.col("vec_id").isin(probe_ids))
+        .select(
+            (-F.col("vec_id") - 1).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(2.0).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    E = np.stack([r.e for r in ev_rows]).astype("float64")
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    POW = np.array([1, 2, 4, 8])
+    ev_cell = (E[:, :4] >= 0).astype(int) @ POW
+    probe_mats = [
+        En[np.isin(ev_cell, [c, c ^ 1, c ^ 2, c ^ 4, c ^ 8])] for c in range(16)
+    ]
+    bc = spark.sparkContext.broadcast((En, probe_mats))
+    tr = fanout(
+        emb.filter(F.col("label") != 0)
+        .select("vec_id", "embedding")
+        .unionByName(probes)
+    ).select("vec_id", S.as_double("embedding").alias("t"))
+
+    def sweep(batches):
+        Efull, mats = bc.value
+        for pdf in batches:
+            tm = np.stack(pdf["t"].to_numpy()).astype("float64")
+            tcell = (tm[:, :4] >= 0).astype(int) @ POW
+            tm = tm / np.linalg.norm(tm, axis=1, keepdims=True)
+            mc = np.full(len(tm), -2.0)
+            mx = (tm @ Efull.T).max(axis=1)
+            for c in np.unique(tcell):
+                P = mats[c]
+                if P.size:
+                    rows = tcell == c
+                    mc[rows] = (tm[rows] @ P.T).max(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "mc": mc, "mx": mx}
+            )
+
+    out = tr.mapInPandas(sweep, "vec_id long, mc double, mx double")
+    pref = F.col("mc") >= 0.8
+    return out.select(
+        "vec_id",
+        F.round("mc", 4).alias("max_eval_cos"),
+        pref.alias("contaminated"),
+        (pref == (F.col("mx") >= 0.8)).alias("recall_ok"),
     )
 
 

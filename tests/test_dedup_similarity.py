@@ -375,3 +375,28 @@ def test_exact_substr_spans_finds_planted_passage(spark):
         for x in D.exact_substr_spans(df, min_len=30).collect()
     }
     assert rows == {(1, 2): (31, 60)}
+    # the hashed-key path (l61b) is output-identical by construction —
+    # verification is exact, so even a hash collision cannot change the
+    # result; pin it on the planted fixture too
+    hashed = {
+        (x.doc_a, x.doc_b): (x.shared_windows, x.max_run)
+        for x in D.exact_substr_spans(df, min_len=30, hashed=True).collect()
+    }
+    assert hashed == rows
+
+
+def test_exact_substr_hashed_matches_raw_on_corpus(spark):
+    """l61 vs l61b on the real sf0.001 documents table: the raw-key and
+    hashed-key (xxhash64 + raw-span re-verify) strategies must emit the
+    IDENTICAL pair set and identical (shared_windows, max_run) values —
+    the l61b contract that lets one oracle check both physical plans."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    raw = {
+        (x.doc_a, x.doc_b): (x.shared_windows, x.max_run)
+        for x in D.exact_substr_spans(docs, min_len=30).collect()
+    }
+    hashed = {
+        (x.doc_a, x.doc_b): (x.shared_windows, x.max_run)
+        for x in D.exact_substr_spans(docs, min_len=30, hashed=True).collect()
+    }
+    assert hashed == raw and len(raw) > 0

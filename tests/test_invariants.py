@@ -518,6 +518,9 @@ def test_oracles_avoid_hash_fragile_constructs():
         # MAX + terminal round(4); threshold flag compares identical
         # doubles on both engines
         "l62_semantic_decontam",
+        # l62b (round-6): l62's exact contract plus a sign-LSH prefilter;
+        # planted power-of-2 probes pin cos exactly 1.0 (l13 reasoning)
+        "l62b_semantic_decontam_ivf",
     }
     FRAGILE = {
         "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),

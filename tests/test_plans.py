@@ -374,11 +374,43 @@ def test_exact_substr_join_is_equi_not_cartesian(spark):
     )
 
 
+def test_exact_substr_hashed_shuffles_hash_not_window(spark):
+    """l61b (VERDICT r5 item #3): the corpus-sized window join must key on
+    xxhash64(win) — 8 bytes/window through the exchange — never the raw
+    30-char window string; re-verification joins are equi too.  Pinned by
+    (a) xxhash64 present in the plan, (b) every hashpartitioning exchange
+    free of the `win` attribute, (c) no cartesian/nested-loop node."""
+    import re
+
+    df = registry()["l61b_exact_substr_hashed"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert not any("CartesianProduct" in n for n in names)
+    assert not any("BroadcastNestedLoopJoin" in n for n in names)
+    plan = audit.formatted_plan(df)
+    assert "xxhash64" in plan
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\bwin#", args), (
+            "raw window string shuffled: " + args
+        )
+
+
 def test_semantic_decontam_corpus_never_shuffles(spark):
     """l62: the eval matrix broadcasts (driver-side bounded collect), so
     the train side's only exchange is the fanout round-robin — no join
     node and no aggregate exchange appear at all."""
     df = registry()["l62_semantic_decontam"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert not any("Join" in n for n in names)
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_semantic_decontam_ivf_corpus_never_shuffles(spark):
+    """l62b (VERDICT r5 item #4): the prefilter lives inside the broadcast
+    (16 per-cell eval matrices), so the plan keeps l62's shape — the
+    train+probe union streams through one mapInPandas with no join node
+    and at most the fanout exchange; prefiltering must not have
+    introduced a corpus shuffle."""
+    df = registry()["l62b_semantic_decontam_ivf"].fn(spark, SF_DIR)
     names = audit.node_names(df)
     assert not any("Join" in n for n in names)
     assert audit.count_exchanges(df) <= 1

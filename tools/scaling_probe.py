@@ -58,6 +58,9 @@ QUERIES = [
     # the Caesar synth the rotated copies share no cross-copy 30-char
     # runs, so output (and join collisions) scale linearly with corpus
     "l61_exact_substr_spans",
+    # round-6: the hashed-window twin — same output, 8-byte shuffle keys;
+    # probes that the re-verify joins stay linear too
+    "l61b_exact_substr_hashed",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
