@@ -54,10 +54,11 @@ SWEEP_HEAD: list[str] = [
     # determinism probes re-run every round; dg7 is the standing HUGEINT
     # witness (expected FAIL by design)
     "dg",
-    # new in round 6: hashed-window ExactSubstr and prefiltered semantic
-    # decontamination — the 100-TB paths round 5 only promised; l61
-    # itself re-sweeps because its operator span gained the hashed param
-    "l61b_", "l62b_", "l61_",
+    # new in round 6: hashed-window ExactSubstr, prefiltered semantic
+    # decontamination (the 100-TB paths round 5 only promised), and the
+    # real-BMP-codec round trip; l61/l62 re-sweep because their operator
+    # spans changed alongside (hashed param; probe-helper motion)
+    "l61b_", "l62b_", "l63_", "l61_", "l62_",
 ]
 
 # Staleness rotation: oldest-evidence representatives (r01/r02 passes that

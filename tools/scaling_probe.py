@@ -61,6 +61,15 @@ QUERIES = [
     # round-6: the hashed-window twin — same output, 8-byte shuffle keys;
     # probes that the re-verify joins stay linear too
     "l61b_exact_substr_hashed",
+    # round-6 (VERDICT r5 item #5): extend probe coverage beyond the
+    # l-family — session/report layer over 10x-users events, sketch
+    # aggregates over 10x lineitem/events, and one real stream at 10x
+    "rb18_session_metrics",
+    "rb21_active_users",
+    "a4_approx_distinct",
+    "a14_percentiles",
+    "a17_approx_percentile",
+    "st14_stream_sessionize",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
@@ -72,7 +81,7 @@ def build_synth(spark, base_dir: str) -> str:
     import pyspark.sql.functions as F
 
     out = os.path.join(SYNTH_DIR, "documents.parquet")
-    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT4")):
+    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT5")):
         return SYNTH_DIR
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -117,7 +126,27 @@ def build_synth(spark, base_dir: str) -> str:
         "props",
     )
     ev_synth.repartition(8).write.mode("overwrite").parquet(ev_out)
-    open(os.path.join(SYNTH_DIR, "_BUILT4"), "w").close()
+
+    # 10x lineitem: copies 1-9 offset l_orderkey into disjoint ranges,
+    # every value column verbatim — the per-copy value DISTRIBUTION is
+    # identical, so percentile/sketch answers are unchanged while the row
+    # stream is 10x (the right shape for probing sketch aggregates: cost
+    # should scale with rows, answers should not move).
+    li_out = os.path.join(SYNTH_DIR, "lineitem.parquet")
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    nk = li.agg(F.max("l_orderkey")).first()[0] + 1
+    li_synth = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"), "*"
+    ).select(
+        *[
+            (F.col("l_orderkey") + F.col("copy") * F.lit(nk)).alias("l_orderkey")
+            if c == "l_orderkey"
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    li_synth.repartition(8).write.mode("overwrite").parquet(li_out)
+    open(os.path.join(SYNTH_DIR, "_BUILT5"), "w").close()
     return SYNTH_DIR
 
 
