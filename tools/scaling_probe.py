@@ -150,6 +150,101 @@ def build_synth(spark, base_dir: str) -> str:
     return SYNTH_DIR
 
 
+def build_synth_full(spark, base_dir: str) -> str:
+    """FULL 10x dataset (VERDICT r5 item #8): every table scaled so the
+    ENTIRE registry can bench at synth-sf1, with foreign keys kept
+    consistent across copies — copy k's orders reference copy k's
+    customers, lineitem copy k references copy k's orders/parts/suppliers
+    — so join selectivities match the real-growth shape instead of
+    degenerating to empty or cross-copy joins.  Dimensions (region,
+    nation) stay verbatim: a 10x-business property has more facts, not
+    more nations.  Embeddings decorrelate copies by a per-copy cyclic
+    PERMUTATION of the 64 dims (orthogonal: within-copy cosines exact,
+    cross-copy essentially random) — the embedding-space analogue of the
+    Caesar shift; scaling copies instead would plant cos-1.0 duplicates
+    and blow up every LSH/kNN candidate count 45x by construction.
+    Documents/events/lineitem reuse build_synth's forms."""
+    import pyspark.sql.functions as F
+
+    build_synth(spark, base_dir)  # documents, events, lineitem
+    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT_FULL1")):
+        return SYNTH_DIR
+
+    def rd(t):
+        return spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+
+    def wr(df, t):
+        df.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(SYNTH_DIR, f"{t}.parquet")
+        )
+
+    for t in ("region", "nation"):
+        wr(rd(t), t)
+
+    nmax = {
+        t: rd(t).agg(F.max(k)).first()[0] + 1
+        for t, k in (
+            ("customer", "c_custkey"),
+            ("supplier", "s_suppkey"),
+            ("part", "p_partkey"),
+            ("orders", "o_orderkey"),
+            ("embeddings", "vec_id"),
+        )
+    }
+
+    def fan10(df):
+        return df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"), "*"
+        )
+
+    def offset(df, cols: dict):
+        return df.select(
+            *[
+                (F.col(c) + F.col("copy") * F.lit(cols[c])).alias(c)
+                if c in cols
+                else F.col(c)
+                for c in df.columns
+                if c != "copy"
+            ]
+        )
+
+    wr(offset(fan10(rd("customer")), {"c_custkey": nmax["customer"]}), "customer")
+    wr(offset(fan10(rd("supplier")), {"s_suppkey": nmax["supplier"]}), "supplier")
+    wr(offset(fan10(rd("part")), {"p_partkey": nmax["part"]}), "part")
+    wr(
+        offset(
+            fan10(rd("orders")),
+            {"o_orderkey": nmax["orders"], "o_custkey": nmax["customer"]},
+        ),
+        "orders",
+    )
+    # lineitem: rebuild with the FULL key set (build_synth's form only
+    # offsets l_orderkey, enough for the sketch probes but not for joins)
+    li = fan10(rd("lineitem"))
+    li_cols = {
+        "l_orderkey": nmax["orders"],
+        "l_partkey": nmax["part"],
+        "l_suppkey": nmax["supplier"],
+    }
+    wr(offset(li, {k: v for k, v in li_cols.items() if k in rd("lineitem").columns}), "lineitem")
+
+    emb = rd("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    rot = fan10(emb).select(
+        (F.col("vec_id") + F.col("copy") * F.lit(nmax["embeddings"])).alias(
+            "vec_id"
+        ),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"i -> element_at(embedding, CAST((i + copy * 7) % {dim} AS INT) + 1))"
+        ).alias("embedding"),
+        "label",
+    )
+    wr(rot, "embeddings")
+    open(os.path.join(SYNTH_DIR, "_BUILT_FULL1"), "w").close()
+    return SYNTH_DIR
+
+
 def _flag(name: str) -> str | None:
     if name in sys.argv:
         idx = sys.argv.index(name)
