@@ -59,6 +59,14 @@ SWEEP_HEAD: list[str] = [
     # real-BMP-codec round trip; l61/l62 re-sweep because their operator
     # spans changed alongside (hashed param; probe-helper motion)
     "l61b_", "l62b_", "l63_", "l61_", "l62_",
+    # new in round 6: streaming content-level dedup (ingest-time l1)
+    "st15_",
+    # round-6 fix: a4's exact+sketch aggregates split into two jobs (the
+    # combined form materialized an HLL buffer per distinct pair at sf1)
+    "a4_",
+    # helper-closure flag from the l63 addition (guard over-approximation
+    # — cheap to re-sweep rather than argue with)
+    "l27_",
 ]
 
 # Staleness rotation: oldest-evidence representatives (r01/r02 passes that

@@ -113,16 +113,26 @@ def a4_approx_distinct(spark, sf_dir):
     exact per-group distinct count plus a flag asserting the HLL++ estimate
     (rsd 0.01) landed within 5x its configured rsd of the exact answer —
     a broken sketch flips the flag and fails the value hash.  The oracle
-    recomputes the exact count and states the guarantee."""
-    agg = (
-        T(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-        )
+    recomputes the exact count and states the guarantee.
+
+    The exact and approx aggregates run as TWO separate jobs joined on the
+    5-row result, never one combined agg: Spark rewrites a mixed
+    distinct/non-distinct aggregate through Expand into a partial grouped
+    by (event_type, user_id), which would materialize the rsd-0.01 HLL++
+    buffer (~2^17 registers, >100 KB) once PER DISTINCT PAIR — measured at
+    sf1 that was millions of buffers, a spill-and-GC storm taking the
+    query from ~2 s to 77 s and degrading every later query in the
+    session.  Split, the sketch keeps one buffer per event_type per task
+    and each side is a plain scan-side partial aggregate (sf1: 77 s ->
+    ~2 s warm)."""
+    ev = T(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
     )
-    return agg.select(
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx")
+    )
+    return exact.join(approx, "event_type").select(
         "event_type",
         "exact_users",
         (

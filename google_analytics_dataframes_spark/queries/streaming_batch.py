@@ -299,6 +299,90 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
     return d
 
 
+def _stage_doc_stream(spark, sf_dir: str) -> str:
+    """Stage DOCUMENTS as a 2-file re-crawl stream: file 0 is the full
+    corpus (doc_id, text); file 1 "re-crawls" every 7th document — same
+    text, fresh doc_id offset past the id space (what a crawler emits
+    when it refetches a URL or hits a mirror).  Ascending mtimes deliver
+    the corpus before the re-crawls, so the replay batch exercises
+    existing dedup state."""
+    import os
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    key, cached = _stage_cached(spark, sf_dir, "stream_docs")
+    if cached is not None:
+        return cached
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_dir(f"stream_docs_{sf_tag}")
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    stage = d + "_stage"
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "full"))
+    docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(n)).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "recrawl"))
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i, sub in enumerate(("full", "recrawl")):
+        [part] = [
+            f for f in os.listdir(os.path.join(stage, sub)) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(d, f"{i}_{sub}.parquet")
+        shutil.copyfile(os.path.join(stage, sub, part), dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE[key] = d
+    return d
+
+
+@register(
+    "st15_stream_content_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT)
+             AS n_seen
+    FROM documents GROUP BY text
+    """,
+)
+def st15_stream_content_dedup(spark, sf_dir):
+    """Streaming CONTENT-level dedup, EXECUTED as a stream (round-6
+    addition): documents arrive as a 2-batch re-crawl source (full corpus,
+    then every-7th doc re-sent verbatim under a fresh id) and a stateful
+    aggregate per content hash keeps (keeper_id = min doc_id, n_seen =
+    arrivals) — the ingest-time counterpart of batch l1, and the shape a
+    continuously-crawled 100 TB corpus actually needs (dedup ON ARRIVAL,
+    not as a nightly batch).  streaming/jobs.st15_content_dedup.
+
+    Oracle exactness: min() makes the keeper independent of within-batch
+    arrival order; re-crawled ids are offset past the id space so the
+    original always wins; n_seen per text = corpus occurrences + re-crawls
+    (doc_id % 7 == 0), a closed form over the batch table.  The hash
+    itself is not emitted (DuckDB's hash is a different function) — the
+    (keeper, count) pair is the engine-portable contract.  Complete
+    output mode + availableNow => the memory table is the final state;
+    scale notes (RocksDB, update-mode changefeed, ingest-time watermark)
+    in the operator docstring."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_doc_stream(spark, sf_dir)
+    docs = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st15_content_dedup(docs),
+            f"st15_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="complete",
+        )
+    return out.select("keeper_id", "n_seen")
+
+
 from contextlib import contextmanager
 
 

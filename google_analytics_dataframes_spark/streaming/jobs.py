@@ -281,6 +281,28 @@ def st11_stream_dedup(events: DataFrame, lateness: str = "90 days") -> DataFrame
     )
 
 
+def st15_content_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming CONTENT-level dedup — the ingest-time counterpart of the
+    batch l1 operator: an arriving document stream is collapsed per
+    content hash (xxhash64 of the text) into (keeper_id = min doc_id seen,
+    n_seen = arrivals), so re-sent or re-crawled payloads under fresh ids
+    never enter the corpus twice and the keeper choice is DETERMINISTIC
+    (min, not first-arrival — first-arrival within a microbatch depends on
+    partition order, min does not).
+
+    State is one (hash, min, count) row per DISTINCT content — the same
+    cardinality a batch exact-dedup shuffles, held incrementally.  At
+    100 TB: RocksDB state store, and the complete-output memory sink used
+    by the availableNow harness becomes update-mode changefeed into a
+    keyed sink (the standard complete->update swap); if re-crawl horizons
+    are bounded, withWatermark on ingest time bounds state like st11's
+    event dedup."""
+    return docs.groupBy(F.xxhash64("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_seen"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> DataFrame:

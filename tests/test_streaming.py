@@ -170,6 +170,35 @@ def test_stream_dedup_drops_replayed_file(spark):
     assert got["event_id"].is_unique
 
 
+def test_stream_content_dedup_keeps_min_and_counts_recrawls(spark):
+    """st15 (registered query): the staged re-crawl source re-sends every
+    7th document verbatim under an offset id; the content-hash state must
+    (a) emit one row per distinct text, (b) keep the ORIGINAL (minimum)
+    id as keeper even though the re-crawl arrived later, and (c) count
+    arrivals = corpus occurrences + re-crawls of that text."""
+    from google_analytics_dataframes_spark.registry import registry
+
+    got = registry()["st15_stream_content_dedup"].fn(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    n_ids = docs["doc_id"].max() + 1
+    assert len(got) == docs["text"].nunique()
+    # no keeper is a re-crawl id, and every re-crawled text counted twice
+    assert (got["keeper_id"] < n_ids).all()
+    by_text = docs.groupby("text")["doc_id"].agg(
+        ["min", "count", lambda s: (s % 7 == 0).sum()]
+    )
+    by_text.columns = ["mn", "cnt", "recrawled"]
+    want = (
+        by_text.assign(expect=lambda d: d["cnt"] + d["recrawled"])
+        .set_index("mn")["expect"]
+    )
+    merged = got.set_index("keeper_id")["n_seen"].to_frame().join(
+        want, how="inner"
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_seen"] == merged["expect"]).all()
+
+
 def test_stateful_funnel_counts(spark, events_dir):
     stream = jobs.read_event_stream(spark, events_dir)
     out = jobs.run_available_now(
