@@ -375,19 +375,31 @@ def _jaccard_pairs_bitmask(
         ),
         start=F.lit(0).cast("long"),
     )
+    # FILTER FIRST, with `inter` occurring exactly ONCE (round-6 fix):
+    # CollapseProject inlines an aliased expression into every downstream
+    # reference, so the old select(inter)/withColumn(uni)/filter chain
+    # evaluated the full n_words-term popcount ~6x PER ENUMERATED PAIR —
+    # measured 687 s vs 101 s on the 625M-pair synth corner.  Algebra
+    # removes the second occurrence: 100*I >= t*(S - I) <=> (100+t)*I >=
+    # t*S, and for t >= 1 that already implies I >= 1 (S >= 2).  The
+    # survivor-only select below still re-inlines `inter`, but only over
+    # the emitted pairs — noise next to the enumeration.
+    sz_sum = F.col("a.sz") + F.col("b.sz")
+    keep = (
+        ((100 + threshold_pct) * inter >= threshold_pct * sz_sum)
+        if threshold_pct >= 1
+        # t = 0: every co-item pair qualifies; mirror the index path's
+        # inter >= 1 (still a single `inter` occurrence)
+        else (inter >= 1)
+    )
     pairs = (
         a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(keep)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             inter.alias("inter"),
-            (F.col("a.sz") + F.col("b.sz")).alias("_sz_sum"),
-        )
-        .withColumn("uni", F.col("_sz_sum") - F.col("inter"))
-        # inter >= 1 mirrors the index path, which only sees co-item pairs
-        .filter(
-            (F.col("inter") >= 1)
-            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+            (sz_sum - inter).alias("uni"),
         )
     )
     return pairs.select(
@@ -753,18 +765,23 @@ def _cross_bitmask(
         ),
         start=F.lit(0).cast("long"),
     )
+    # Single-occurrence filter-first form — see _jaccard_pairs_bitmask for
+    # the CollapseProject re-inlining analysis (the round-6 687 s -> ~100 s
+    # fix on the 625M-pair synth corner applies identically here).
+    sz_sum = F.col("a.sz") + F.col("b.sz")
+    keep = (
+        ((100 + threshold_pct) * inter >= threshold_pct * sz_sum)
+        if threshold_pct >= 1
+        else (inter >= 1)
+    )
     return (
         b.join(F.broadcast(a), F.lit(True))
+        .filter(keep)
         .select(
             F.col("a.doc_id").alias("doc_in"),
             F.col("b.doc_id").alias("doc_ex"),
             inter.alias("inter"),
-            (F.col("a.sz") + F.col("b.sz")).alias("_sz_sum"),
-        )
-        .withColumn("uni", F.col("_sz_sum") - F.col("inter"))
-        .filter(
-            (F.col("inter") >= 1)
-            & (100 * F.col("inter") >= threshold_pct * F.col("uni"))
+            (sz_sum - inter).alias("uni"),
         )
         .select(
             "doc_in", "doc_ex", "inter", "uni",

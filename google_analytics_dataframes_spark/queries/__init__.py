@@ -67,6 +67,9 @@ SWEEP_HEAD: list[str] = [
     # helper-closure flag from the l63 addition (guard over-approximation
     # — cheap to re-sweep rather than argue with)
     "l27_",
+    # round-6 bitmask-kernel fix (single-occurrence filter): every query
+    # whose pair-join can route through the rewritten kernels re-sweeps
+    "l7_", "l12_",
 ]
 
 # Staleness rotation: oldest-evidence representatives (r01/r02 passes that
