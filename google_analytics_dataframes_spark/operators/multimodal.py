@@ -3,11 +3,13 @@
 Images/audio/video ride through the engine as opaque `binary` columns with a
 typed metadata struct; decode / feature-extraction runs as Arrow-batched
 `mapInPandas` so each Python worker sees bounded batches, never a whole
-partition.  The decode step itself is STUBBED (no image/audio libs in this
-container): `fake_decode_features` computes deterministic stand-in features
-from the raw bytes, and `decode_real` raises NotImplementedError where a
-real codec would plug in.  The Spark-side plumbing — schema, batch shape,
-partition flow — is real and oracle-testable via the deterministic fake.
+partition.  `decode_real` REALLY decodes the formats a stdlib+numpy codec
+can honestly cover — 24-bit BMP, binary PPM (round 6), and 8-bit truecolor
+PNG with zlib inflate + full scanline un-filtering (round 7) — and raises
+NotImplementedError for JPEG/audio/video, which need libs this container
+does not ship; `fake_decode_features` keeps a deterministic stand-in for
+those.  The Spark-side plumbing — schema, batch shape, partition flow — is
+real and oracle-testable either way.
 """
 
 from __future__ import annotations
@@ -128,6 +130,164 @@ def decode_ppm(blob: bytes):
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img, filter_mode: str = "mixed") -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a REAL PNG (8-bit truecolor,
+    zlib/DEFLATE IDAT, CRC-checked chunks) with stdlib ``zlib`` + numpy
+    only — no codec libs.
+
+    ``filter_mode="mixed"`` applies scanline filter ``y % 5`` (None, Sub,
+    Up, Average, Paeth in rotation) so a round-trip exercises every
+    un-filter path in :func:`decode_png`, not just the trivial one;
+    ``"none"`` writes filter 0 rows.  Filters operate on the bytes the
+    decoder will have reconstructed — for the encoder that IS the raw
+    image, so predictors read the raw array directly (bpp = 3 bytes = one
+    pixel shift for RGB8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png: expected HxWx3 RGB")
+    raw = img.astype(np.int16)
+    scan = bytearray()
+    prev = np.zeros((w, 3), np.int16)
+    for y in range(h):
+        row = raw[y]
+        ft = y % 5 if filter_mode == "mixed" else 0
+        left = np.zeros((w, 3), np.int16)
+        left[1:] = row[:-1]
+        ul = np.zeros((w, 3), np.int16)
+        ul[1:] = prev[:-1]
+        if ft == 0:
+            pred = np.zeros((w, 3), np.int16)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = prev
+        elif ft == 3:
+            pred = (left + prev) // 2
+        else:  # Paeth, vectorized over the row
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+        scan.append(ft)
+        scan += ((row - pred) % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes):
+    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG into an
+    HxWx3 uint8 RGB array: chunk walk with CRC verification, zlib inflate,
+    and full scanline un-filtering (None/Sub/Up/Average/Paeth per the PNG
+    spec, bpp=3).  Palette/alpha/16-bit/interlaced variants raise
+    explicitly — this is the honest subset a stdlib-only codec covers."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("decode_png: not a PNG stream")
+    pos, idat, w, h = 8, bytearray(), None, None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"decode_png: bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "decode_png: only 8-bit truecolor non-interlaced "
+                    f"supported (depth={depth}, color={ctype}, "
+                    f"interlace={inter})"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("decode_png: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decode_png: scanline payload size mismatch")
+    out = np.zeros((h, w, 3), np.int16)
+    prev = np.zeros((w, 3), np.int16)
+    zero3 = np.zeros(3, np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        filt = (
+            np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+            .reshape(w, 3)
+            .astype(np.int16)
+        )
+        if ft == 0:
+            rec = filt
+        elif ft == 2:
+            rec = (filt + prev) % 256
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth need the just-reconstructed left pixel:
+            # sequential across the row (rows are short; cross-row state
+            # is only `prev`, so scanlines stream in O(stride) memory)
+            rec = np.zeros((w, 3), np.int16)
+            for x in range(w):
+                left = rec[x - 1] if x else zero3
+                up = prev[x]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev[x - 1] if x else zero3
+                    p = left + up - ul
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - up),
+                        np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                rec[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"decode_png: unknown filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
 def resize_nearest(img, width: int, height: int):
     """Nearest-neighbor resize of an HxWxC uint8 array — a REAL image
     resize (the same kernel PIL calls NEAREST), pure numpy indexing."""
@@ -142,19 +302,23 @@ def resize_nearest(img, width: int, height: int):
 
 def decode_real(blob: bytes) -> dict:
     """Real decode for the formats a pure-python/numpy codec can honestly
-    implement: 24-bit BMP and binary PPM, dispatched on magic bytes.
-    Everything else (JPEG/PNG entropy coding, audio, video) stays an
-    explicit NotImplementedError seam — those need libs this container
-    does not ship.  Returns {width, height, channels, pixels} with pixels
-    an HxWx3 uint8 RGB array."""
+    implement: 24-bit BMP, binary PPM, and 8-bit truecolor PNG (stdlib
+    zlib inflate + full scanline un-filtering), dispatched on magic bytes.
+    Everything else (JPEG entropy coding, audio, video) stays an explicit
+    NotImplementedError seam — those need libs this container does not
+    ship.  Returns {width, height, channels, pixels} with pixels an
+    HxWx3 uint8 RGB array."""
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
         px = decode_ppm(blob)
+    elif blob[:8] == _PNG_SIG:
+        px = decode_png(blob)
     else:
         raise NotImplementedError(
-            "real decode implemented only for BMP (24-bit BI_RGB) and PPM "
-            "(P6) in this container; JPEG/PNG/audio/video remain stubbed"
+            "real decode implemented only for BMP (24-bit BI_RGB), PPM "
+            "(P6) and PNG (8-bit truecolor) in this container; "
+            "JPEG/audio/video remain stubbed"
         )
     return {
         "width": px.shape[1],

@@ -42,46 +42,35 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # round-5 post-sweep code changes (streaming staging cache a72d786 +
-    # this round's flush-cache fix; l60/l11 via the dedup guard commits)
-    "st9_", "st10_", "st11_", "st12_", "st13_", "st14_",
-    "l60_", "l11_",
-    # round-5 dedup/report helper changes that r03/r04-evidenced
-    # dependents never re-swept (a64c4cb bitmask vocab guard; 43460bc
-    # report FilterExpression helpers; a0e7ae3 llm_ops helper motion)
-    "l29_", "l33_", "l36_", "l44_", "l55_",
-    "rb1_", "rb2_", "rb3_",
+    # round-7 code changes: w2's distinct-value-broadcast rank rewrite
+    # (VERDICT r6 item #1), sf11's parse-once Generate barrier (item #2),
+    # st15's collision-hardened (hash, length) group key (ADVICE r6)
+    "w2_", "sf11_", "st15_",
+    # VERDICT r6 item #4: l2/l42's driver evidence predates the round-6
+    # bitmask-filter change that touched their shared verify filter
+    "l2_", "l42_",
+    # new in round 7: PNG codec round-trip behind the multimodal seam;
+    # l63 re-sweeps because decode_real's dispatch (shared helper) changed
+    "l64_", "l63_",
     # determinism probes re-run every round; dg7 is the standing HUGEINT
     # witness (expected FAIL by design)
     "dg",
-    # new in round 6: hashed-window ExactSubstr, prefiltered semantic
-    # decontamination (the 100-TB paths round 5 only promised), and the
-    # real-BMP-codec round trip; l61/l62 re-sweep because their operator
-    # spans changed alongside (hashed param; probe-helper motion)
-    "l61b_", "l62b_", "l63_", "l61_", "l62_",
-    # new in round 6: streaming content-level dedup (ingest-time l1)
-    "st15_",
-    # round-6 fix: a4's exact+sketch aggregates split into two jobs (the
-    # combined form materialized an HLL buffer per distinct pair at sf1)
-    "a4_",
-    # helper-closure flag from the l63 addition (guard over-approximation
-    # — cheap to re-sweep rather than argue with)
-    "l27_",
-    # round-6 bitmask-kernel fix (single-occurrence filter): every query
-    # whose pair-join can route through the rewritten kernels re-sweeps
-    "l7_", "l12_",
 ]
 
-# Staleness rotation: oldest-evidence representatives (r01/r02 passes that
-# predate two driver-environment changes), hash-fragile shapes first.
+# Staleness rotation (VERDICT r6 item #4): oldest driver evidence first —
+# the r01-proofed rows, then the r02-proofed families, so after round 7 no
+# row's evidence predates r03.
 SWEEP_ROTATION: list[str] = [
-    "a1_", "a3_", "a5_", "a7_", "a8_", "a11_", "a12_", "a16_",
-    "f1_", "f2_", "f4_", "f6_", "f7_",
-    "j1_", "j2_", "j4_", "j5_", "j7_", "j8_", "j9_", "j10_", "j13_",
-    "p1_", "s1_", "s2_", "w1_",
-    "o2_", "o5_", "u2_", "u4_", "ud1_", "ud2_", "sf4_", "sf7_",
-    "st1_", "w3_", "w5_", "w7_", "w9_", "sf2_", "sf6_", "sf8_", "sf9_",
-    "u5_", "ud5_", "ud6_", "a13_", "a14_",
+    # r01 evidence
+    "a2_", "f5_", "j3_", "j5_", "j6_", "j7_", "j8_", "j9_", "j10_",
+    "j13_", "p1_", "s1_", "s2_", "w1_",
+    # r02 evidence
+    "o1_", "o2_", "o5_", "u2_", "u4_",
+    "ud1_", "ud2_", "ud3_", "ud4_", "ud5_", "ud6_",
+    "sf2_", "sf3_", "sf4_", "sf6_", "sf7_", "sf8_", "sf9_", "sf10_",
+    "sf13_", "sf14_",
+    "st1_", "st2_", "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
+    "a15_", "a9_",  # r04-evidenced stragglers after the r01/r02 block
 ]
 
 # Deterministic tail: whatever budget remains walks the families.

@@ -54,13 +54,42 @@ def w1_row_number(spark, sf_dir):
 )
 def w2_rank_dense(spark, sf_dir):
     """rank/dense_rank with ties (quantity repeats -> gaps vs no gaps);
-    rank depends only on the order key so ties are engine-stable."""
+    rank depends only on the order key so ties are engine-stable.
+
+    Scale: the naive ``rank() OVER (PARTITION BY l_returnflag ...)`` hashes
+    the whole fact table onto a 3-value key — at most 3 tasks ever work, and
+    each sorts its entire flag slice alone (measured 15.3x cost at 10x data
+    before this rewrite).  Because rank/dense_rank depend ONLY on the order
+    key, they are computable on the distinct-value table instead:
+
+    1. hash-agg to (flag, quantity, count) — map-side partial combine, the
+       only full-data shuffle, output is domain-bounded (3 flags x ~50
+       quantities regardless of row count);
+    2. rank the tiny table: rank = 1 + sum of counts of strictly-smaller
+       quantities, dense_rank = row_number — the window here partitions
+       ~150 metadata rows, not the fact table;
+    3. broadcast-join ranks back on (flag, quantity).
+
+    Same output, same oracle, and the fact table never sorts."""
+    li = T(spark, sf_dir, "lineitem")
+    dv = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").cast("long").alias("_n")
+    )
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    return T(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+    prior = F.coalesce(
+        F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    ranks = dv.select(
+        "l_returnflag",
+        "l_quantity",
+        (F.lit(1) + prior).cast("int").alias("rnk"),
+        F.row_number().over(w).alias("drnk"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .join(F.broadcast(ranks), ["l_returnflag", "l_quantity"])
+        .select("l_orderkey", "l_linenumber", "rnk", "drnk")
     )
 
 

@@ -290,14 +290,24 @@ def st15_content_dedup(docs: DataFrame) -> DataFrame:
     (min, not first-arrival — first-arrival within a microbatch depends on
     partition order, min does not).
 
-    State is one (hash, min, count) row per DISTINCT content — the same
-    cardinality a batch exact-dedup shuffles, held incrementally.  At
+    State is one (hash, len, min, count) row per DISTINCT content — the
+    same cardinality a batch exact-dedup shuffles, held incrementally.  At
     100 TB: RocksDB state store, and the complete-output memory sink used
     by the availableNow harness becomes update-mode changefeed into a
     keyed sink (the standard complete->update swap); if re-crawl horizons
     are bounded, withWatermark on ingest time bounds state like st11's
-    event dedup."""
-    return docs.groupBy(F.xxhash64("text").alias("content_hash")).agg(
+    event dedup.
+
+    Collision bound: a single 64-bit hash key silently merges two distinct
+    texts on collision — at ~10^10 docs the expected birthday collisions
+    are O(1), so the group key carries length(text) as an independent
+    discriminator (collision now needs equal hash AND equal length:
+    expected spurious merges ~collisions/|length distribution| << 1; for
+    cryptographic certainty swap in sha2(text, 256) at ~2x key bytes)."""
+    return docs.groupBy(
+        F.xxhash64("text").alias("content_hash"),
+        F.length("text").alias("content_len"),
+    ).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count("*").alias("n_seen"),
     )

@@ -309,8 +309,15 @@ def test_cross_dense_vocab_routes_to_bitmask(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # single-occurrence filter + survivor-only derivation: with a 1-word
     # mask, bit_count may appear in the filter once and in the survivor
-    # projection a couple of times — never the ~6x full re-inlining
-    assert 1 <= plan.count("bit_count") <= 4, plan.count("bit_count")
+    # projection a couple of times — never the ~6x full re-inlining.
+    # Pin per plan NODE (line), not a global count: a Spark upgrade that
+    # changes alias inlining or EXPLAIN layout can shift the total without
+    # any real re-evaluation regression; the regression signature is many
+    # bit_counts fused into ONE projection/filter node.
+    assert plan.count("bit_count") >= 1
+    for line in plan.splitlines():
+        n = line.count("bit_count")
+        assert n <= 3, f"{n} bit_count evals in one node: {line.strip()}"
     got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in out.collect()}
     sets = pdf.groupby("doc_id")["item"].agg(set)
     want = set()

@@ -125,9 +125,64 @@ def test_multimodal_bmp_roundtrip_known_answer():
 
     # the honest seam survives for formats needing real codec libs
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"\x89PNG")
+        M.decode_real(b"\xff\xd8\xff\xe0jpeg-soi")  # JPEG stays stubbed
     with pytest.raises(NotImplementedError):
         M.decode_bmp(M.encode_bmp(img)[:30] + b"\x08" + bmp[31:])  # 8bpp
+
+
+def test_multimodal_png_roundtrip_known_answer():
+    """Round-7 (VERDICT r6 item #6): PNG decodes for real — stdlib zlib
+    inflate + full scanline un-filtering.  Checks: (a) encode->decode is
+    the identity under the rotating filter schedule (every un-filter path
+    executes for h>=5) AND under all-None filtering, (b) the byte stream
+    is a spec PNG (signature, IHDR geometry big-endian, IEND), (c) chunk
+    CRC corruption is rejected, (d) unsupported color types raise the
+    honest seam error, (e) decode_real dispatches on the 8-byte
+    signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    img = (np.arange(6 * 5 * 3, dtype=np.uint32) * 41 % 256).astype(
+        np.uint8
+    ).reshape(6, 5, 3)
+    png = M.encode_png(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack_from(">II", png, 16)  # IHDR data starts at 16
+    assert (w, h) == (5, 6)
+    assert png.endswith(
+        b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+    assert np.array_equal(M.decode_png(png), img)
+    assert np.array_equal(
+        M.decode_png(M.encode_png(img, filter_mode="none")), img
+    )
+    out = M.decode_real(png)
+    assert (out["width"], out["height"], out["channels"]) == (5, 6, 3)
+    assert np.array_equal(out["pixels"], img)
+
+    # a larger random image stresses all five filters with full byte range
+    rs = np.random.RandomState(11)
+    big = rs.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(big)), big)
+
+    corrupt = bytearray(png)
+    corrupt[20] ^= 0xFF  # IHDR payload byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(corrupt))
+
+    # grayscale (color type 0) is outside the honest subset
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_multimodal_resize_nearest_known_answer():

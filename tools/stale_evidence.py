@@ -89,7 +89,14 @@ def sweep_rounds() -> dict[str, int]:
 
 
 def sweep_times() -> dict[int, int]:
-    """round -> commit time (unix) of its CORRECTNESS file."""
+    """round -> commit time (unix) of its CORRECTNESS file.
+
+    An on-disk but not-yet-committed CORRECTNESS file (the normal state
+    right after a driver sweep: the file is committed at the NEXT round's
+    start) must not read as sweep-time 0 — that would invert the guard and
+    mass-flag the freshest evidence as stale.  Mirror the UNCOMMITTED
+    handling for code spans: fall back to the file's mtime.
+    """
     out = {}
     for fname in os.listdir(REPO):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
@@ -97,6 +104,8 @@ def sweep_times() -> dict[int, int]:
             ct = _git("log", "-1", "--format=%ct", "--", fname)
             if ct:
                 out[rnd] = int(ct)
+            else:
+                out[rnd] = int(os.path.getmtime(os.path.join(REPO, fname)))
     return out
 
 
