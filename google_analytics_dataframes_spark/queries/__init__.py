@@ -52,6 +52,11 @@ SWEEP_HEAD: list[str] = [
     # new in round 7: PNG codec round-trip behind the multimodal seam;
     # l63 re-sweeps because decode_real's dispatch (shared helper) changed
     "l64_", "l63_",
+    # new in round 7: BM25 top-k retrieval, corpus snapshot delta
+    "l65_", "l66_",
+    # helper-closure flag from the l64 insertion (guard over-approximation
+    # — cheap to re-sweep rather than argue with)
+    "l27_",
     # determinism probes re-run every round; dg7 is the standing HUGEINT
     # witness (expected FAIL by design)
     "dg",

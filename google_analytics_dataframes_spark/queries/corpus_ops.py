@@ -944,3 +944,208 @@ def l60_incremental_neardup(spark, sf_dir):
         "uni",
         F.round(F.col("inter") / F.col("uni").cast("double"), 6).alias("jaccard"),
     )
+
+
+# ------------------------------------------------------------------- l65 ---
+
+#: BM25 query terms (fixed retrieval probe over the synthetic corpus) and
+#: the standard Robertson parameters.  Constants are exact binary doubles
+#: (1.2 is not, but it is the SAME literal both engines parse; 0.25/0.75
+#: are exact), and 1 - b is pre-folded to 0.25 so both formulations share
+#: one association order.
+_BM25_TERMS = ("join", "spark", "vector", "window", "customer")
+_BM25_K1 = 1.2
+_BM25_TOPK = 20
+
+
+@register(
+    "l65_bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT doc_id, len(toks) AS dl,
+          {", ".join(
+              f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+              for i, t in enumerate(_BM25_TERMS)
+          )}
+          FROM t),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sdl,
+          {", ".join(
+              f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+              f" AS df{i}"
+              for i in range(len(_BM25_TERMS))
+          )}
+          FROM p)
+    SELECT doc_id,
+           CAST(dl AS BIGINT) AS n_tokens,
+           CAST({" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))}
+                AS BIGINT) AS n_hits,
+           round({" + ".join(
+               f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+               f" * ((tf{i} * {_BM25_K1 + 1}) / (tf{i} + {_BM25_K1}"
+               f" * (0.25 + (0.75 * dl) / (CAST(sdl AS DOUBLE) / n))))"
+               for i in range(len(_BM25_TERMS))
+           )}, 6) AS bm25
+    FROM p, g
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def l65_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over the corpus (Robertson/Sparck-Jones Okapi
+    weighting, k1=1.2 b=0.75) for a fixed query-term set — the lexical
+    retrieval primitive a training pipeline runs for targeted corpus
+    slicing and eval-set mining, complementing the embedding-space top-k
+    (l3/l14).
+
+    100-TB shape: NO inverted index is materialized and the token stream
+    is never shuffled — per-doc term frequencies come from doc-local
+    higher-order expressions over ONE tokenization (explode(array(toks))
+    Generate barrier, the sf11 parse-once lesson, so split() runs once
+    per row however many term counters read it); corpus statistics
+    (N, sum dl, per-term df) reduce to a SINGLE row broadcast back; the
+    only wide operation is the final TakeOrderedAndProject at k=20.
+    Plan-pinned in tests/test_plans.py: exactly one split occurrence,
+    no full-table Exchange, TakeOrdered final.
+
+    Determinism: every float expression is written with IDENTICAL
+    association in both formulations (1-b pre-folded to the exact-binary
+    0.25; avgdl as one exact-integer-sum division), scores round to 1e-6
+    and order by (rounded score, doc_id), so the top-k cutoff cannot
+    drift between engines on last-bit libm noise."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    barrier = docs.select("doc_id", F.explode(F.array(toks)).alias("toks"))
+    nt = len(_BM25_TERMS)
+
+    def _eq(term):
+        # a closure factory, NOT `lambda x, t=t`: pyspark dispatches on the
+        # lambda's arity, and a second (defaulted) parameter makes it pass
+        # the array INDEX there instead
+        return lambda x: x == F.lit(term)
+
+    proj = barrier.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = proj.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(nt)
+        ],
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    score = None
+    for i in range(nt):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        s = idf * (
+            (tf * F.lit(_BM25_K1 + 1))
+            / (tf + F.lit(_BM25_K1) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl))
+        )
+        score = s if score is None else score + s
+    hits = None
+    for i in range(nt):
+        hits = F.col(f"tf{i}") if hits is None else hits + F.col(f"tf{i}")
+    return (
+        proj.join(F.broadcast(g))
+        .filter(hits > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("n_tokens"),
+            hits.cast("long").alias("n_hits"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ------------------------------------------------------------------- l66 ---
+
+
+@register(
+    "l66_corpus_delta",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, reverse(text)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN o.text <> n.text THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM d GROUP BY status
+    """,
+)
+def l66_corpus_delta(spark, sf_dir):
+    """Corpus snapshot delta (CDC census between two crawl versions): per
+    document, classify added / removed / changed / unchanged between the
+    base corpus and a deterministically-derived re-crawl (every 13th doc
+    dropped, every 7th re-edited, every 11th re-discovered under a new
+    id) and emit the per-status census — the freshness audit a
+    continuously-re-crawled corpus runs before each training snapshot,
+    and the batch complement of st15's ingest-time dedup.
+
+    100-TB shape: the full-outer join carries (doc_id, content
+    fingerprint) ONLY — the fingerprint is struct(xxhash64(text),
+    length(text)) computed scan-side, so the exchange moves ~20 bytes/row
+    instead of document text, and the combined key keeps spurious
+    hash-equal merges below the birthday bound at 10^10 docs (same
+    posture as st15).  The oracle compares raw text instead — different
+    mechanism, same classification — so a fingerprinting bug that
+    misclassifies any doc is a driver hash mismatch."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    new_kept = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new_added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.reverse("text").alias("text"),
+    )
+
+    def fp(df):
+        return df.select(
+            "doc_id",
+            F.struct(
+                F.xxhash64("text").alias("h"),
+                F.octet_length("text").alias("ln"),
+            ).alias("fp"),
+        )
+
+    old_fp = fp(docs).withColumnRenamed("fp", "fp_old")
+    new_fp = fp(new_kept.unionAll(new_added)).withColumnRenamed("fp", "fp_new")
+    d = old_fp.join(new_fp, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

@@ -443,6 +443,21 @@ def test_sf11_parses_json_exactly_once(spark):
     assert plan.count("from_json") == 1, plan
 
 
+def test_bm25_single_tokenize_no_wide_shuffle(spark):
+    """l65: BM25 must not materialize an inverted index or shuffle the
+    token stream — per-doc term counters read ONE tokenization per corpus
+    pass (Generate barrier; two passes: global stats + scoring), the
+    stats reduce to a single broadcast row, and the only ordering node is
+    the k=20 TakeOrderedAndProject."""
+    df = registry()["l65_bm25_topk"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert plan.count("split(") <= 2, plan  # one per corpus pass
+    assert "TakeOrderedAndProject" in audit.node_names(df)
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            raise AssertionError("token stream shuffled: " + line.strip())
+
+
 def test_semantic_decontam_ivf_corpus_never_shuffles(spark):
     """l62b (VERDICT r5 item #4): the prefilter lives inside the broadcast
     (16 per-cell eval matrices), so the plan keeps l62's shape — the

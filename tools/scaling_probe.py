@@ -70,6 +70,11 @@ QUERIES = [
     "a14_percentiles",
     "a17_approx_percentile",
     "st14_stream_sessionize",
+    # round-7 (VERDICT r6 item #7): the other two real streams at 10x —
+    # the stream-stream interval join (state = two watermark-bounded
+    # sides) and ingest-time content dedup (state = distinct contents)
+    "st9_stream_interval_join",
+    "st15_stream_content_dedup",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
