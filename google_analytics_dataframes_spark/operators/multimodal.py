@@ -215,6 +215,12 @@ def decode_png(blob: bytes):
     pos, idat, w, h = 8, bytearray(), None, None
     while pos + 8 <= len(blob):
         (ln,) = struct.unpack_from(">I", blob, pos)
+        # bound the declared length against the remaining stream BEFORE
+        # slicing: a truncated/corrupt blob must fail as the documented
+        # ValueError, not a struct.error from the CRC unpack below or a
+        # silent loop exit when truncation lands inside a chunk (ADVICE r7)
+        if pos + 12 + ln > len(blob):
+            raise ValueError("decode_png: truncated chunk")
         typ = blob[pos + 4 : pos + 8]
         data = blob[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)

@@ -1081,7 +1081,7 @@ def l65_bm25_topk(spark, sf_dir):
                AS text
       FROM documents WHERE doc_id % 13 <> 0
       UNION ALL
-      SELECT doc_id + 10000000, reverse(text)
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), reverse(text)
       FROM documents WHERE doc_id % 11 = 0
     ),
     d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -1121,9 +1121,22 @@ def l66_corpus_delta(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    new_added = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
-        F.reverse("text").alias("text"),
+    # re-discovered docs get ids past the live id space: offset =
+    # max(doc_id)+1, derived IN-PLAN (1-row agg broadcast onto the scan,
+    # not a driver collect) so the census stays collision-free at any sf —
+    # a fixed constant would alias 'added' ids onto surviving base ids the
+    # moment the corpus outgrows it, and the oracle sharing the constant
+    # would hide the corruption (ADVICE r7)
+    offset = F.broadcast(
+        docs.agg((F.max("doc_id") + F.lit(1)).alias("_id_offset"))
+    )
+    new_added = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .crossJoin(offset)
+        .select(
+            (F.col("doc_id") + F.col("_id_offset")).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
     )
 
     def fp(df):

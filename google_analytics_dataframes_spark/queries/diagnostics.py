@@ -213,23 +213,48 @@ def dg6_day_bucket(spark, sf_dir):
     )
 
 
+#: dg7's UN-cast form — kept as a named constant because the pytest witness
+#: (tests/test_invariants.py::test_hugeint_witness_uncast_dg7) runs it in
+#: DuckDB and asserts the output columns are HUGEINT/int128, preserving the
+#: evidence the three-round standing driver red used to carry.
+DG7_UNCAST_ORACLE = """
+    SELECT event_type,
+           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_big,
+           SUM(user_id % 10) AS digit_sum
+    FROM events GROUP BY event_type
+    """
+
+
 @register(
     "dg7_hugeint_sum",
     tier="O",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_big,
-           SUM(user_id % 10) AS digit_sum
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           CAST(SUM(user_id % 10) AS BIGINT) AS digit_sum
     FROM events GROUP BY event_type
     """,
 )
 def dg7_hugeint_sum(spark, sf_dir):
-    """Probe: UN-cast integer SUM outputs — DuckDB returns HUGEINT
-    (int128); certifies the driver compare's integer normalization."""
+    """Probe: integer SUM outputs under DuckDB's HUGEINT widening.
+
+    HISTORY (VERDICT r7 item #1): rounds 5-7 deliberately registered the
+    UN-cast form so the driver compare would hash-fail on DuckDB's int128
+    bytes vs Spark's int64 — proving the driver does NOT normalize
+    integer widths.  Three rounds of a by-design red row became standing
+    noise (training every reader to skim past FAIL), so the probe is
+    retired to a pytest: the registered twins now both CAST to 64-bit
+    (green), while ``DG7_UNCAST_ORACLE`` above stays under test —
+    tests/test_invariants.py::test_hugeint_witness_uncast_dg7 asserts the
+    un-cast DuckDB output is still HUGEINT, so the normalization witness
+    survives with zero driver-report noise."""
     ev = T(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_big"),
-        F.sum(F.col("user_id") % 10).alias("digit_sum"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big"),
+        F.sum(F.col("user_id") % 10).cast("long").alias("digit_sum"),
     )
 
 

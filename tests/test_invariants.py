@@ -659,13 +659,14 @@ def test_oracles_never_emit_hugeint_columns():
     """Registry-level lint (VERDICT r5 item #2, the dg7 finding codified):
     DuckDB widens integer SUM (and integer products/deltas built on it) to
     HUGEINT/int128, and the driver's value-hash does NOT normalize that
-    against Spark's BIGINT — dg7_hugeint_sum is the standing witness
-    (rows+schema match, hash differs, FAIL r05 by design).  Until round 5
-    the rule "cast every integer aggregate in the final SELECT" lived only
-    in convention; this lint makes it mechanical by DESCRIBE-ing every
-    oracle in DuckDB (plan-only, nothing executes) and rejecting any
-    output column typed HUGEINT.  dg7 alone is exempt — it exists to keep
-    witnessing the driver gap."""
+    against Spark's BIGINT — dg7_hugeint_sum carried the standing witness
+    as a by-design driver FAIL for rounds 5-7, now retired to
+    test_hugeint_witness_uncast_dg7 below (VERDICT r7 item #1).  Until
+    round 5 the rule "cast every integer aggregate in the final SELECT"
+    lived only in convention; this lint makes it mechanical by
+    DESCRIBE-ing every oracle in DuckDB (plan-only, nothing executes) and
+    rejecting any output column typed HUGEINT.  No query is exempt any
+    more — dg7's registered oracle casts like everything else."""
     import duckdb
 
     con = duckdb.connect()
@@ -691,7 +692,7 @@ def test_oracles_never_emit_hugeint_columns():
 
     bad = []
     for name, q in registry().items():
-        if q.oracle is None or name == "dg7_hugeint_sum":
+        if q.oracle is None:
             continue
         cols = hugeint_cols(q.oracle)
         if cols:
@@ -700,6 +701,49 @@ def test_oracles_never_emit_hugeint_columns():
         "oracle(s) emit HUGEINT column(s) — the driver hash-fails these "
         "(dg7); wrap in CAST(... AS BIGINT): " + "; ".join(bad)
     )
+
+
+def test_hugeint_witness_uncast_dg7():
+    """The HUGEINT normalization witness, moved out of the driver report
+    (VERDICT r7 item #1): for three rounds dg7 was deliberately registered
+    UN-cast so the driver's value-hash would fail on DuckDB's int128 bytes
+    vs Spark's int64 — evidence the driver does not normalize integer
+    widths.  A permanently-red row trains readers to skim past red, so the
+    registered dg7 twins now both CAST (driver green) and THIS test
+    carries the evidence instead: it EXECUTES the preserved un-cast oracle
+    and asserts DuckDB really materializes int128 (dtype object /
+    DESCRIBE HUGEINT), while the registered cast form comes back BIGINT
+    int64 — i.e. the un-cast form would still hash-fail, so the lint above
+    is still load-bearing."""
+    import duckdb
+
+    from google_analytics_dataframes_spark.queries.diagnostics import (
+        DG7_UNCAST_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    desc = {
+        name: typ
+        for name, typ, *_ in con.execute(
+            f"DESCRIBE {DG7_UNCAST_ORACLE}"
+        ).fetchall()
+    }
+    assert desc["n_big"] == "HUGEINT" and desc["digit_sum"] == "HUGEINT"
+    # and it actually EXECUTES as int128: pandas has no int128 column, so
+    # duckdb 1.0.0 widens HUGEINT to float64 on .df() — exactly the
+    # representation whose bytes the driver's value-hash compared against
+    # Spark's int64 for three red rounds
+    pdf = con.execute(DG7_UNCAST_ORACLE).df()
+    assert str(pdf["n_big"].dtype) == "float64"
+    assert str(pdf["digit_sum"].dtype) == "float64"
+    # the registered (cast) twin is int64 — the driver-green form
+    cast_pdf = con.execute(registry()["dg7_hugeint_sum"].oracle).df()
+    assert str(cast_pdf["n_big"].dtype) == "int64"
+    assert str(cast_pdf["digit_sum"].dtype) == "int64"
 
 
 def test_stale_evidence_queries_lead_the_sweep():

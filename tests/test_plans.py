@@ -419,17 +419,41 @@ def test_w2_rank_via_distinct_value_broadcast(spark):
     the domain-bounded (flag, quantity, count) table, ranks THAT, and
     broadcast-joins ranks back: the fact side reaches the join straight
     from the scan with no sort and no exchange."""
+    import re
+
     df = registry()["w2_rank_dense"].fn(spark, SF_DIR)
     nodes = audit.node_names(df)
     assert "BroadcastHashJoin" in nodes, nodes
     assert nodes.count("HashAggregate") >= 2  # partial+final fact reduction
     plan = audit.formatted_plan(df)
-    # the only Sort orders the distinct-value table on the broadcast build
-    # side — i.e. every Sort appears after the BroadcastExchange in tree
-    # order, never between the fact scan and the join
-    assert "BroadcastExchange" in plan
-    first_sort = plan.find("Sort")
-    assert first_sort == -1 or first_sort > plan.find("BroadcastExchange"), plan
+    # Pin shape (hardened per ADVICE r7 — `plan.find('Sort')` substring
+    # offsets matched SortAggregate/SortMergeJoin in detail sections):
+    # parse the TREE portion only (lines before the first numbered detail
+    # section), match whole node names, and assert the fact side — the
+    # probe subtree printed between the BroadcastHashJoin line and its
+    # BroadcastExchange build child — contains no Sort and no Exchange.
+    tree = []
+    for line in plan.splitlines():
+        if re.match(r"\s*\(\d+\)\s", line):  # first detail section
+            break
+        tree.append(line)
+    node_re = lambda name: re.compile(rf"(?:^|[*\-:\s]){name}\b")  # noqa: E731
+    join_i = next(
+        i for i, ln in enumerate(tree) if node_re("BroadcastHashJoin").search(ln)
+    )
+    bx_i = next(
+        i
+        for i, ln in enumerate(tree)
+        if i > join_i and node_re("BroadcastExchange").search(ln)
+    )
+    fact_side = tree[join_i + 1 : bx_i]  # pre-order: probe child first
+    assert any(node_re("Scan parquet").search(ln) for ln in fact_side), tree
+    for ln in fact_side:
+        assert not node_re("Sort").search(ln), ("fact-side Sort: " + ln, tree)
+        assert not node_re("Exchange").search(ln), (
+            "fact-side Exchange: " + ln,
+            tree,
+        )
 
 
 def test_sf11_parses_json_exactly_once(spark):

@@ -82,8 +82,9 @@ def main() -> None:
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
-        # a stopped context lingers in the builder cache; force re-create
-        SparkSession.builder._options = dict(SparkSession.builder._options)
+        # get_spark re-applies every conf on the fresh builder, so no
+        # builder-state reset is needed after stop() (a previous revision
+        # carried a self-copy no-op here that claimed otherwise; ADVICE r7)
         spark = get_spark(app_name="variance_probe")
         spark.sparkContext.setLogLevel("ERROR")
         return spark
