@@ -492,3 +492,99 @@ def test_semantic_decontam_ivf_corpus_never_shuffles(spark):
     names = audit.node_names(df)
     assert not any("Join" in n for n in names)
     assert audit.count_exchanges(df) <= 1
+
+
+def test_indexed_neardup_reads_stored_index(spark):
+    """l69 (VERDICT r7 item #7): the incremental near-dup must join the
+    incoming batch against the STORED bucketed gram index, not recompute
+    corpus signatures per run.  Pins: exactly two parquet scans — one
+    documents scan (the incoming side) and the gram_index catalog table
+    (Bucketed: true, all buckets selected); the gram-shredding expression
+    appears exactly once (incoming side only); and the gram key never
+    shuffles — at this regime the batch side BROADCASTS onto the
+    bucket-placed index, so the corpus moves zero bytes (at scale the
+    same physical contract degrades to a one-sided exchange of the
+    batch; the index side is hash-placed on disk either way)."""
+    import re
+
+    df = registry()["l69_indexed_neardup"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    scans = re.findall(r"\(\d+\) Scan parquet\s*(\S*)", plan)
+    assert len(scans) == 2, plan
+    assert sum("gram_index_" in s for s in scans) == 1, scans
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    # corpus grams come from storage: the shredding transform exists only
+    # above the incoming documents scan
+    assert plan.count("transform(sequence") == 1, plan
+    for line in plan.splitlines():
+        assert "hashpartitioning(item" not in line, (
+            "gram key shuffled: " + line.strip()
+        )
+
+
+def test_gram_index_row_groups_prunable(spark, tmp_path_factory):
+    """VERDICT r7 item #8 — the s8 write_clustered evidence extended to
+    the dedup index: within each bucket file the index is SORTED on the
+    gram key, so parquet row groups cover near-disjoint item ranges and a
+    point predicate on a gram prunes to ~1 row group per file via footer
+    stats alone.  At production scale a bucket file holds many 128 MB row
+    groups naturally; at toy scale we shrink parquet.block.size to
+    reproduce the same many-row-groups-per-file structure, using the SAME
+    relation lineage gram_index_table persists."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        corpus_gram_relation,
+        write_bucketed,
+    )
+
+    wh = str(tmp_path_factory.mktemp("gram_idx"))
+    rel = corpus_gram_relation(spark, SF_DIR)
+    try:
+        write_bucketed(
+            rel,
+            "gram_index_layout_probe",
+            "item",
+            4,
+            sort_col="item",
+            path=f"{wh}/t",
+            options={"parquet.block.size": 16 * 1024},
+        )
+        files = sorted(glob.glob(f"{wh}/t/*.parquet"))
+        assert files
+        total_rgs, probed = 0, []
+        ranges_by_file = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rgs = []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "item":
+                        st = col.statistics
+                        rgs.append((st.min, st.max))
+            assert rgs
+            # sorted within the bucket: row-group ranges are non-overlapping
+            # in file order (adjacent groups may share a boundary gram)
+            for (a_min, a_max), (b_min, b_max) in zip(rgs, rgs[1:]):
+                assert a_max <= b_min, (f, a_max, b_min)
+            total_rgs += len(rgs)
+            ranges_by_file.append(rgs)
+            probed.append(rgs[len(rgs) // 2][0])  # a mid-file gram
+        assert total_rgs >= 4 * len(files), (
+            "block-size shrink failed to produce multiple row groups; "
+            "the pruning assertion below would be vacuous"
+        )
+        # point predicate: in the owning bucket file, footer stats keep
+        # at most 2 of its row groups (boundary grams straddle one edge)
+        for f_idx, gram in enumerate(probed):
+            rgs = ranges_by_file[f_idx]
+            hit = [r for r in rgs if r[0] <= gram <= r[1]]
+            assert 1 <= len(hit) <= 2, (gram, hit)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gram_index_layout_probe")
