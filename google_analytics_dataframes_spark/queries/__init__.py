@@ -42,40 +42,40 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # round-7 code changes: w2's distinct-value-broadcast rank rewrite
-    # (VERDICT r6 item #1), sf11's parse-once Generate barrier (item #2),
-    # st15's collision-hardened (hash, length) group key (ADVICE r6)
-    "w2_", "sf11_", "st15_",
-    # VERDICT r6 item #4: l2/l42's driver evidence predates the round-6
-    # bitmask-filter change that touched their shared verify filter
-    "l2_", "l42_",
-    # new in round 7: PNG codec round-trip behind the multimodal seam;
-    # l63 re-sweeps because decode_real's dispatch (shared helper) changed
-    "l64_", "l63_",
-    # new in round 7: BM25 top-k retrieval, corpus snapshot delta
-    "l65_", "l66_",
-    # helper-closure flag from the l64 insertion (guard over-approximation
-    # — cheap to re-sweep rather than argue with)
-    "l27_",
-    # determinism probes re-run every round; dg7 is the standing HUGEINT
-    # witness (expected FAIL by design)
+    # new in round 8: baseline JPEG round trip, WAV/PCM round trip, the
+    # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
+    # and the PassJoin edit-distance sim-join
+    "l67_", "l68_", "l69_", "l70_",
+    # round-8 scale fix: the four append-mode streams switched from the
+    # memory sink to a parquet file sink (stream-probe finding — full
+    # output volume must not transit the driver; st10 at 10x: 33.6 s ->
+    # 3.5 s); re-prove all four through the driver after the sink change
+    "st9_", "st10_", "st11_", "st14_",
+    # round-8 code changes: dg7's cast twins (the HUGEINT witness retired
+    # to a pytest, VERDICT r7 item #1) and l66's in-plan max(doc_id)+1 id
+    # offset (ADVICE r7)
+    "dg7_", "l66_",
+    # decode_png's truncation bounds-check (ADVICE r7) touches the codec
+    # helpers l63/l64 reference; l27 is the helper-closure guard's
+    # over-approximation from the l67/l68 insertions — cheap to re-sweep
+    "l64_", "l63_", "l27_",
+    # determinism probes re-run every round (all green since the dg7 fix)
     "dg",
 ]
 
-# Staleness rotation (VERDICT r6 item #4): oldest driver evidence first —
-# the r01-proofed rows, then the r02-proofed families, so after round 7 no
-# row's evidence predates r03.
+# Staleness rotation (VERDICT r7 item #2): oldest driver evidence first —
+# the 12 remaining r02-proofed rows lead so round 8 finishes the "nothing
+# older than r03" bar the r02 tier missed last round.
 SWEEP_ROTATION: list[str] = [
-    # r01 evidence
-    "a2_", "f5_", "j3_", "j5_", "j6_", "j7_", "j8_", "j9_", "j10_",
-    "j13_", "p1_", "s1_", "s2_", "w1_",
-    # r02 evidence
-    "o1_", "o2_", "o5_", "u2_", "u4_",
-    "ud1_", "ud2_", "ud3_", "ud4_", "ud5_", "ud6_",
-    "sf2_", "sf3_", "sf4_", "sf6_", "sf7_", "sf8_", "sf9_", "sf10_",
-    "sf13_", "sf14_",
-    "st1_", "st2_", "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
-    "a15_", "a9_",  # r04-evidenced stragglers after the r01/r02 block
+    # r02 evidence (the 12 rows VERDICT r7 enumerated)
+    "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
+    "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
+    # r03 evidence next (oldest after the r02 tier clears)
+    "s9_", "s10_", "s11_",
+    "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l10_", "l14_", "l15_",
+    "l16_", "l17_", "l18_", "l19_", "l20_", "l21_", "l22_", "l23_",
+    "l25_", "l26_", "l28_", "l31_", "l32_", "l35_", "l37_",
+    "rb5_", "rb6_", "rb8_", "rb9_", "rb10_", "rb11_",
 ]
 
 # Deterministic tail: whatever budget remains walks the families.

@@ -1267,3 +1267,117 @@ def l69_indexed_neardup(spark, sf_dir):
         "uni",
         F.round(F.col("inter") / F.col("uni").cast("double"), 6).alias("jaccard"),
     )
+
+
+# ------------------------------------------------------------------- l70 ---
+
+#: l70 parameters: 24-char title prefix, edit threshold k=2, k+1=3 segments
+#: of 8 chars each (titles are fixed-length here; the shift set covers the
+#: general case).
+_ED_PFX = 24
+_ED_K = 2
+_ED_SEG = 8
+
+
+@register(
+    "l70_editdist_simjoin",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substr(text, 1, {_ED_PFX}) AS title
+               FROM documents WHERE len(text) >= {_ED_PFX})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+     AND levenshtein(a.title, b.title) <= {_ED_K}
+    """,
+)
+def l70_editdist_simjoin(spark, sf_dir):
+    """Edit-distance similarity self-join (fuzzy title dedup): all doc
+    pairs whose 24-char title prefixes are within Levenshtein distance 2 —
+    the near-dup family member that catches typo-level variants MinHash
+    and token-Jaccard both miss (a 1-char edit barely moves either
+    signature's sets, but here it IS the unit of distance).
+
+    Spark-first physical strategy — Pass-Join segment filtering (Li,
+    Deng, Feng: PassJoin, VLDB 2012), never the quadratic form the oracle
+    runs: split each indexed title into k+1 = 3 disjoint segments; by
+    pigeonhole, any string within edit distance k of it contains at least
+    one segment EXACTLY, starting within +-k of the segment's home
+    position (the net shift of preceding edits).  So the index side emits
+    3 (segment_id, substring) rows per doc and the probe side emits at
+    most 3*(2k+1) = 15 candidate substrings per doc; candidates come from
+    an EQUI-join on (segment_id, substring) — broadcastable/bucketable
+    like every other candidate join in the dedup family — and the few
+    survivors verify with one JVM-side levenshtein() each.  No cartesian
+    product, no BroadcastNestedLoopJoin (plan-pinned in
+    tests/test_plans.py::test_editdist_simjoin_is_equijoin_candidates).
+    On the word-salad corpus an 8-char aligned substring collision is
+    essentially evidence of a true near-pair, so candidate count tracks
+    output count, not |docs|^2.
+
+    Exactness: the segment scheme is provably lossless for <= k (the
+    oracle IS the naive join, so the driver hash certifies the pruned
+    plan finds the identical pair set — including distance-0 pairs from
+    duplicated title prefixes).  Both engines implement classic
+    unit-cost Levenshtein."""
+    docs = T(spark, sf_dir, "documents")
+    # fixed-length titles only (every shipped SF satisfies this for all
+    # docs): equal-length segments keep the pigeonhole argument exact —
+    # a truncated tail segment could silently miss pairs otherwise.  The
+    # oracle applies the identical restriction.
+    titles = fanout_by(
+        docs.filter(F.length("text") >= _ED_PFX).select(
+            "doc_id", F.substring("text", 1, _ED_PFX).alias("title")
+        ),
+        "doc_id",
+    )
+    n_seg = _ED_K + 1
+    seg_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring(
+                        "title", 1 + i * _ED_SEG, _ED_SEG
+                    ).alias("sub"),
+                )
+                for i in range(n_seg)
+            ]
+        )
+    ).alias("s")
+    index = titles.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        seg_rows,
+    ).select("doc_a", "title_a", "s.seg", "s.sub")
+    probe_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring(
+                        "title", 1 + i * _ED_SEG + d, _ED_SEG
+                    ).alias("sub"),
+                )
+                for i in range(n_seg)
+                for d in range(-_ED_K, _ED_K + 1)
+                if 1 + i * _ED_SEG + d >= 1
+                and i * _ED_SEG + d + _ED_SEG <= _ED_PFX
+            ]
+        )
+    ).alias("p")
+    probe = titles.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        probe_rows,
+    ).select("doc_b", "title_b", "p.seg", "p.sub")
+    cand = (
+        index.join(probe, ["seg", "sub"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "title_a", "title_b")
+        .distinct()
+    )
+    dist = F.levenshtein("title_a", "title_b")
+    return cand.filter(dist <= _ED_K).select(
+        "doc_a", "doc_b", dist.cast("int").alias("dist")
+    )

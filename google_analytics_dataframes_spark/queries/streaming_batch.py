@@ -422,8 +422,10 @@ def st9_stream_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join, EXECUTED as a stream:
     attribute purchases to same-user views in the preceding hour
     (streaming/jobs.py st9_attribution_join; j10's bounds).  Inner join +
-    append mode + availableNow => the final memory table is the complete
-    join result, so the batch SQL twin is an exact oracle."""
+    append mode + availableNow => the final sink table (a PARQUET file
+    sink — the full join volume must never funnel through the driver's
+    memory sink; round-8 stream-probe fix) is the complete join result,
+    so the batch SQL twin is an exact oracle."""
     import uuid
 
     from google_analytics_dataframes_spark.streaming import jobs
@@ -434,10 +436,9 @@ def st9_stream_interval_join(spark, sf_dir):
     # half the per-batch state-store fixed cost.
     stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
     with _few_state_partitions(spark):
-        out = jobs.run_available_now(
+        out = jobs.run_available_now_parquet(
             jobs.st9_attribution_join(stream),
-            f"st9_mem_{uuid.uuid4().hex[:8]}",
-            output_mode="append",
+            f"st9_pq_{uuid.uuid4().hex[:8]}",
         )
     return out.select(
         "user_id",
@@ -472,10 +473,9 @@ def st10_stream_static_enrich(spark, sf_dir):
     src = _stage_stream_dir(spark, sf_dir, ordered=False)
     stream = jobs.read_event_stream(spark, src)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    out = jobs.run_available_now(
+    out = jobs.run_available_now_parquet(
         jobs.st10_stream_static_enrich(stream, dim),
-        f"st10_mem_{uuid.uuid4().hex[:8]}",
-        output_mode="append",
+        f"st10_pq_{uuid.uuid4().hex[:8]}",
     )
     return out.select(
         "event_id",
@@ -581,8 +581,9 @@ def st11_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup, EXECUTED as a stream: the staged source is
     AT-LEAST-ONCE (file 2 replays every 5th event — bus redelivery), and
     `dropDuplicatesWithinWatermark` on event_id must restore exactly-once
-    (streaming/jobs.py st11_stream_dedup).  Append mode + availableNow =>
-    the memory table is the full deduped stream, so the plain batch table
+    (streaming/jobs.py st11_stream_dedup).  Append mode + availableNow
+    through a parquet file sink (full stream volume never transits the
+    driver; round-8 fix) => the sink table is the full deduped stream, so the plain batch table
     (event_id is unique there) is an exact oracle: every original event
     exactly once, every replay dropped."""
     import uuid
@@ -592,10 +593,9 @@ def st11_stream_dedup(spark, sf_dir):
     src = _stage_stream_dir_with_replays(spark, sf_dir)
     stream = jobs.read_event_stream(spark, src)
     with _few_state_partitions(spark):
-        out = jobs.run_available_now(
+        out = jobs.run_available_now_parquet(
             jobs.st11_stream_dedup(stream),
-            f"st11_mem_{uuid.uuid4().hex[:8]}",
-            output_mode="append",
+            f"st11_pq_{uuid.uuid4().hex[:8]}",
         )
     return out.select(
         "event_id",
@@ -663,10 +663,9 @@ def st14_stream_sessionize(spark, sf_dir):
     src = _stage_stream_dir_with_flush(spark, sf_dir)
     stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
     with _few_state_partitions(spark):
-        out = jobs.run_available_now(
+        out = jobs.run_available_now_parquet(
             jobs.st3_session_stream(stream),
-            f"st14_mem_{uuid.uuid4().hex[:8]}",
-            output_mode="append",
+            f"st14_pq_{uuid.uuid4().hex[:8]}",
         )
     return out.filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "n_events", "session_value"

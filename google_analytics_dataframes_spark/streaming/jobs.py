@@ -350,6 +350,49 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_available_now_parquet(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Append-mode availableNow execution through a PARQUET file sink,
+    returned as the sink directory read back.
+
+    Round-8 scale fix (stream-probe finding): the memory sink materializes
+    EVERY output row into the driver JVM — O(output volume) driver memory
+    and a single-threaded collect path.  For the append-mode streams whose
+    output is the full stream volume (enrichment, dedup pass-through,
+    interval-join matches, per-session rows) that made the sink, not the
+    stream, the measured cost: st10 at 10x data spent 20.5 s through the
+    memory sink vs 3.5 s through parquet for identical rows (6x).  A real
+    deployment lands these streams in files/Kafka anyway, so the file sink
+    is both the honest shape and the fast one; bounded-output
+    update/complete streams (counters, windowed aggs, keeper elections)
+    keep the memory sink.
+
+    The checkpoint is deleted after the run (nothing to recover, see
+    :func:`run_available_now`); the data directory lives until process
+    exit (io's scratch atexit sweep) because the returned DataFrame reads
+    it lazily."""
+    import shutil
+
+    from google_analytics_dataframes_spark.io import scratch_dir
+
+    ckpt = scratch_dir(f"ckpt_{query_name}")
+    out = scratch_dir(f"sink_{query_name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return stream_df.sparkSession.read.parquet(out)
+
+
 def run_foreach_batch(stream_df: DataFrame, collector: list) -> None:
     """st7: foreachBatch sink — per-microbatch callback (the arbitrary-sink
     escape hatch: upserts, external indexes).  Appends (batch_id, rows) to

@@ -123,9 +123,9 @@ def test_multimodal_bmp_roundtrip_known_answer():
     body[:, :15] = img[:, :, ::-1].reshape(3, 15)  # top-down BGR
     assert np.array_equal(M.decode_bmp(bytes(neg[:54]) + body.tobytes()), img)
 
-    # the honest seam survives for formats needing real codec libs
+    # the honest seam survives for formats still outside the codec set
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"\xff\xd8\xff\xe0jpeg-soi")  # JPEG stays stubbed
+        M.decode_real(b"GIF87a......")  # GIF (LZW) stays stubbed
     with pytest.raises(NotImplementedError):
         M.decode_bmp(M.encode_bmp(img)[:30] + b"\x08" + bmp[31:])  # 8bpp
 
@@ -899,4 +899,23 @@ def test_stale_evidence_queries_lead_the_sweep():
         "queries with stale/absent driver evidence not covered by any "
         "SWEEP_HEAD prefix (add them so the next sweep re-verifies them "
         "first): " + ", ".join(f"{n} ({rep[n]['reason']})" for n in sorted(uncovered))
+    )
+
+
+def test_readme_query_count_matches_registry():
+    """VERDICT r7 item #6: README's stated query count drifted from the
+    registry two rounds running (202 vs 204 at the r7 snapshot) because it
+    was hand-maintained.  This makes it mechanical: every "N registered
+    queries" claim in README.md must equal the live registry size, so a
+    new @register without a README bump fails the suite instead of eroding
+    the audit trail."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    claims = [int(m) for m in re.findall(r"(\d+) registered queries", text)]
+    assert len(claims) >= 2, "README no longer states the query count"
+    assert set(claims) == {len(registry())}, (
+        f"README claims {claims} registered queries; registry has "
+        f"{len(registry())}"
     )

@@ -588,3 +588,24 @@ def test_gram_index_row_groups_prunable(spark, tmp_path_factory):
             assert 1 <= len(hit) <= 2, (gram, hit)
     finally:
         spark.sql("DROP TABLE IF EXISTS gram_index_layout_probe")
+
+
+def test_editdist_simjoin_is_equijoin_candidates(spark):
+    """l70: PassJoin segment filtering must produce candidates through an
+    EQUI-join on (segment, substring) — never a cartesian/nested-loop
+    pair enumeration (the naive form the oracle runs).  The verify
+    levenshtein is a post-join Filter, and the probe-side fan-out is
+    bounded (<= 15 substrings/doc), so plan shape = two narrow explodes
+    into one hash join."""
+    df = registry()["l70_editdist_simjoin"].fn(spark, SF_DIR)
+    names = audit.node_names(df)
+    assert not any("CartesianProduct" in n for n in names), names
+    assert not any("BroadcastNestedLoopJoin" in n for n in names), names
+    plan = audit.formatted_plan(df)
+    assert "levenshtein" in plan
+    # the join keys are the segment columns, not the doc ids
+    joins = audit.join_algorithms(df)
+    assert joins and all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in joins
+    ), joins
