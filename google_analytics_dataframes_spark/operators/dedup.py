@@ -346,6 +346,24 @@ def _jaccard_pairs_prefix(items: DataFrame, threshold_pct: int) -> DataFrame:
     )
 
 
+def packed_mask_aggs(n_words: int) -> list:
+    """The bit_or aggregation expressions that pack a ``vid`` column
+    (0-based vocabulary position, null for out-of-vocabulary items —
+    nulls contribute nothing) into ``n_words`` 64-bit mask longs
+    ``m0..m{n-1}``.  Shared by the in-session bitmask strategies here and
+    the PERSISTENT mask index (sources/bucketed.mask_index_tables) so the
+    stored layout is bit-identical to the computed one."""
+    return [
+        F.bit_or(
+            F.when(
+                (F.col("vid") / 64).cast("int") == j,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{j}")
+        for j in range(n_words)
+    ]
+
+
 def _jaccard_pairs_bitmask(
     items: DataFrame, threshold_pct: int, vocab: list
 ) -> DataFrame:
@@ -357,16 +375,9 @@ def _jaccard_pairs_bitmask(
     n_words = (len(vocab) + 63) // 64
     vid = F.array_position(F.lit(vocab), F.col("item")) - 1
     encoded = items.select("doc_id", vid.alias("vid"))
-    mask_aggs = [
-        F.bit_or(
-            F.when(
-                (F.col("vid") / 64).cast("int") == j,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias(f"m{j}")
-        for j in range(n_words)
-    ]
-    masks = encoded.groupBy("doc_id").agg(F.count("*").alias("sz"), *mask_aggs)
+    masks = encoded.groupBy("doc_id").agg(
+        F.count("*").alias("sz"), *packed_mask_aggs(n_words)
+    )
     a, b = masks.alias("a"), masks.alias("b")
     inter = sum(
         (
@@ -739,21 +750,12 @@ def _cross_bitmask(
     vdf = items_in.sparkSession.createDataFrame(
         [(v, i) for i, v in enumerate(vocab)], ["item", "vid"]
     )
-    mask_aggs = [
-        F.bit_or(
-            F.when(
-                (F.col("vid") / 64).cast("int") == j,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vid % 64 AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias(f"m{j}")
-        for j in range(n_words)
-    ]
 
     def masks_of(items):
         return (
             items.join(F.broadcast(vdf), "item")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("sz"), *mask_aggs)
+            .agg(F.count("*").alias("sz"), *packed_mask_aggs(n_words))
         )
 
     a = masks_of(items_in).alias("a")  # incoming: the broadcast side

@@ -51,6 +51,10 @@ SWEEP_HEAD: list[str] = [
     # output volume must not transit the driver; st10 at 10x: 33.6 s ->
     # 3.5 s); re-prove all four through the driver after the sink change
     "st9_", "st10_", "st11_", "st14_",
+    # the packed_mask_aggs refactor (shared bitmask packing now one
+    # helper, reused by the persistent mask index) touches the bitmask
+    # strategies the whole Jaccard family transitively references
+    "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
     # round-8 code changes: dg7's cast twins (the HUGEINT witness retired
     # to a pytest, VERDICT r7 item #1) and l66's in-plan max(doc_id)+1 id
     # offset (ADVICE r7)

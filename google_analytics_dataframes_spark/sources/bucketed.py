@@ -106,6 +106,88 @@ def gram_index_table(
     return table
 
 
+#: Same cache policy as the gram index; value is (vocab_table, mask_table)
+#: or None when the corpus vocabulary exceeds the bitmask regime bound.
+_MASK_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def mask_index_tables(
+    spark: SparkSession, sf_dir: str, max_vocab: int = 4096
+):
+    """Materialize (or reuse) the corpus dedup index in its BITMASK form —
+    the physical strategy that wins on bounded-vocabulary corpora (see
+    operators/dedup.jaccard_pairs_cross: in that regime every frequent
+    gram co-occurs in nearly every cross pair, so an inverted-index join
+    enumerates Theta(|batch| x |corpus|) candidate rows through a shuffle
+    ANYWAY; packed-mask compares do the same pair work at a ~100x smaller
+    constant with ZERO corpus shuffle).  Returns (vocab_table,
+    mask_table), or None when the corpus gram vocabulary exceeds
+    ``max_vocab`` — the caller then falls back to the bucketed gram-table
+    index (:func:`gram_index_table`), whose prefix/index joins are the
+    large-vocabulary regime's strategy.
+
+    * ``vocab_table``  — (item, vid): the frozen dictionary.  Incremental
+      batches encode THEIR grams against it; a batch gram absent from the
+      corpus vocabulary cannot intersect any corpus doc, so it is dropped
+      from the mask but still counted in the batch doc's set size —
+      lossless for cross-pair Jaccard.
+    * ``mask_table`` — (doc_id, sz, m0..mN): each corpus doc's distinct
+      gram set packed into ceil(V/64) longs via the SAME aggregation the
+      in-session strategy uses (operators/dedup.packed_mask_aggs), plus
+      its distinct-gram count.  ~8V/64 bytes per doc regardless of text
+      size; the whole 100 TB corpus reduces to a scan-only table that
+      never shuffles and never re-reads text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from google_analytics_dataframes_spark.io import (
+        scratch_dir,
+        table_fingerprint,
+    )
+    from google_analytics_dataframes_spark.operators.dedup import (
+        packed_mask_aggs,
+    )
+
+    fp = table_fingerprint(sf_dir, "documents")
+    key = ("mask_index", spark.sparkContext.applicationId, sf_dir, fp, max_vocab)
+    if key in _MASK_INDEX_CACHE:
+        cached = _MASK_INDEX_CACHE[key]
+        if cached is None or all(
+            spark.catalog.tableExists(t) for t in cached
+        ):
+            return cached
+    grams = corpus_gram_relation(spark, sf_dir)
+    vocab_rows = grams.select("item").distinct().limit(max_vocab + 1).collect()
+    if len(vocab_rows) > max_vocab:
+        _MASK_INDEX_CACHE[key] = None
+        return None
+    vocab = sorted(r["item"] for r in vocab_rows)
+    n_words = (len(vocab) + 63) // 64
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    vocab_table = f"dedup_vocab_{sf_tag}_{fp}"
+    mask_table = f"dedup_masks_{sf_tag}_{fp}"
+    vdf = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vocab)], ["item", "vid"]
+    )
+    base = scratch_dir("mask_index")
+    for t in (vocab_table, mask_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    vdf.coalesce(1).write.mode("overwrite").option(
+        "path", os.path.join(base, vocab_table)
+    ).format("parquet").saveAsTable(vocab_table)
+    masks = (
+        grams.join(F.broadcast(vdf), "item")
+        .groupBy("doc_id", "sz")
+        .agg(*packed_mask_aggs(n_words))
+    )
+    masks.write.mode("overwrite").option(
+        "path", os.path.join(base, mask_table)
+    ).format("parquet").saveAsTable(mask_table)
+    _MASK_INDEX_CACHE[key] = (vocab_table, mask_table)
+    return vocab_table, mask_table
+
+
 def corpus_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-side signature relation the gram index stores: one row
     per (existing-corpus doc, distinct char-3-gram) with the per-doc

@@ -415,3 +415,26 @@ def test_exact_substr_hashed_matches_raw_on_corpus(spark):
         for x in D.exact_substr_spans(docs, min_len=30, hashed=True).collect()
     }
     assert hashed == raw and len(raw) > 0
+
+
+def test_indexed_neardup_paths_agree(spark):
+    """l69's two stored-index forms — the packed-mask table (bounded
+    vocabulary) and the bucketed gram table (large-vocabulary fallback,
+    forced here) — must emit the IDENTICAL (pair, inter, uni, jaccard)
+    set: one oracle certifies both physical plans, so the regime dispatch
+    can never silently change answers."""
+    from google_analytics_dataframes_spark.queries.corpus_ops import (
+        l69_indexed_neardup,
+    )
+
+    mask = {
+        (x.doc_in, x.doc_ex): (x.inter, x.uni, x.jaccard)
+        for x in l69_indexed_neardup(spark, SF_DIR).collect()
+    }
+    gram = {
+        (x.doc_in, x.doc_ex): (x.inter, x.uni, x.jaccard)
+        for x in l69_indexed_neardup(
+            spark, SF_DIR, _force_gram_path=True
+        ).collect()
+    }
+    assert mask == gram and len(mask) > 0

@@ -496,32 +496,47 @@ def test_semantic_decontam_ivf_corpus_never_shuffles(spark):
 
 def test_indexed_neardup_reads_stored_index(spark):
     """l69 (VERDICT r7 item #7): the incremental near-dup must join the
-    incoming batch against the STORED bucketed gram index, not recompute
-    corpus signatures per run.  Pins: exactly two parquet scans — one
-    documents scan (the incoming side) and the gram_index catalog table
-    (Bucketed: true, all buckets selected); the gram-shredding expression
-    appears exactly once (incoming side only); and the gram key never
-    shuffles — at this regime the batch side BROADCASTS onto the
-    bucket-placed index, so the corpus moves zero bytes (at scale the
-    same physical contract degrades to a one-sided exchange of the
-    batch; the index side is hash-placed on disk either way)."""
+    incoming batch against the STORED index, not recompute corpus
+    signatures per run — in BOTH physical forms.
+
+    Mask path (the registered regime on this bounded-vocab corpus):
+    exactly three parquet scans — one documents scan (the batch), the
+    frozen vocab dictionary, and the packed-mask table; the
+    gram-shredding expression appears exactly once (batch side only);
+    the gram key never shuffles ANYWHERE (no inverted-index join exists
+    at all — the batch mask table broadcasts over a pure scan of the
+    stored masks, so the corpus moves zero bytes and the only wide node
+    is the broadcast itself).
+
+    Gram path (the large-vocabulary fallback, forced): the bucketed
+    gram_index table scans with Bucketed: true and corpus grams still
+    come from storage."""
     import re
+
+    from google_analytics_dataframes_spark.queries.corpus_ops import (
+        l69_indexed_neardup,
+    )
 
     df = registry()["l69_indexed_neardup"].fn(spark, SF_DIR)
     plan = audit.formatted_plan(df)
     scans = re.findall(r"\(\d+\) Scan parquet\s*(\S*)", plan)
-    assert len(scans) == 2, plan
-    assert sum("gram_index_" in s for s in scans) == 1, scans
+    assert len(scans) == 3, plan
+    assert sum("dedup_masks_" in s for s in scans) == 1, scans
+    assert sum("dedup_vocab_" in s for s in scans) == 1, scans
     assert plan.count("documents.parquet") == 1, plan
-    assert "Bucketed: true" in plan, plan
-    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
-    # corpus grams come from storage: the shredding transform exists only
-    # above the incoming documents scan
     assert plan.count("transform(sequence") == 1, plan
+    assert "bit_count" in plan, plan
     for line in plan.splitlines():
         assert "hashpartitioning(item" not in line, (
             "gram key shuffled: " + line.strip()
         )
+
+    gram_df = l69_indexed_neardup(spark, SF_DIR, _force_gram_path=True)
+    gplan = audit.formatted_plan(gram_df)
+    gscans = re.findall(r"\(\d+\) Scan parquet\s*(\S*)", gplan)
+    assert sum("gram_index_" in s for s in gscans) == 1, gscans
+    assert "Bucketed: true" in gplan, gplan
+    assert gplan.count("transform(sequence") == 1, gplan
 
 
 def test_gram_index_row_groups_prunable(spark, tmp_path_factory):
