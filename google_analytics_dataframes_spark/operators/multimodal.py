@@ -815,6 +815,199 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
     return (pixels, coeffs) if return_coeffs else pixels
 
 
+# ------------------------------------------------------------------- GIF ---
+# GIF87a with REAL variable-width LZW, implemented from scratch (unlike the
+# PNG codec, which leans on stdlib zlib for DEFLATE, the LZW entropy stage
+# here is hand-rolled: dictionary growth 9->12 bits, clear/EOI codes,
+# LSB-first bit packing, 255-byte sub-block framing).  Honest subset:
+# single-frame, non-interlaced, 8-bit global color table; GIF89a extension
+# blocks are skipped per spec; interlace/animation raise explicitly.
+
+
+def encode_gif(indexed, palette) -> bytes:
+    """Encode an HxW uint8 INDEX array + a 256x3 palette as a GIF87a byte
+    stream: logical screen descriptor, global color table, image
+    descriptor, and a real variable-width LZW-compressed index stream
+    (min code size 8, dictionary 9->12 bits with clear-code resets,
+    LSB-first bits, sub-block framing).  GIF is lossless for indexed
+    content, so decode(encode(img)) round-trips bitwise."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indexed, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("encode_gif: palette must be 256x3")
+    h, w = idx.shape
+    out = bytearray(b"GIF87a")
+    # logical screen: global color table, 8 bits/pixel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW minimum code size
+
+    # --- LZW compress (variable width, MSB of stream = LSB-first bits) ---
+    CLEAR, EOI = 256, 257
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first: new bits above existing ones
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    seq = b""
+    for b in idx.tobytes():
+        cand = seq + bytes((b,))
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # width grows when the NEXT code to be assigned no longer fits
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12):
+            emit(CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code, width = 258, 9
+        seq = bytes((b,))
+    if seq:
+        emit(table[seq], width)
+    emit(EOI, width)
+    if nbits:
+        data.append(acc & 0xFF)
+
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(blob: bytes):
+    """Decode a GIF87a/89a stream: screen/image descriptors, global color
+    table, extension-block skipping, and full variable-width LZW
+    decompression (clear-code resets, deferred width growth, LSB-first
+    bit order).  Returns {width, height, indexed, palette, pixels} with
+    pixels the palette-mapped HxWx3 uint8 RGB array.  Interlaced images,
+    local color tables, and multi-frame animations raise
+    NotImplementedError — the honest subset boundary."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF stream")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("decode_gif: missing global color table")
+    gct_size = 2 << (flags & 0x07)
+    pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+    pos += gct_size * 3
+    while True:
+        if pos >= len(blob):
+            raise ValueError("decode_gif: truncated before image data")
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks, skip per spec
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("decode_gif: no image block")
+        else:
+            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
+    _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise NotImplementedError("decode_gif: interlaced images unsupported")
+    if iflags & 0x80:
+        raise NotImplementedError("decode_gif: local color tables unsupported")
+    min_code = blob[pos]
+    pos += 1
+    data = bytearray()
+    while blob[pos] != 0:
+        ln = blob[pos]
+        data += blob[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    if pos < len(blob) and blob[pos] == 0x2C:
+        raise NotImplementedError("decode_gif: multi-frame GIFs unsupported")
+
+    # --- LZW decompress ---
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nbits = 0
+    di = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes((i,)) for i in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal acc, nbits, di
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("decode_gif: truncated LZW stream")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code == CLEAR:
+            table = table[: (1 << min_code) + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("decode_gif: corrupt LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != iw * ih:
+        raise ValueError("decode_gif: pixel count mismatch")
+    idx = np.frombuffer(bytes(out), np.uint8).reshape(ih, iw)
+    return {
+        "width": iw,
+        "height": ih,
+        "indexed": idx,
+        "palette": pal,
+        "pixels": pal[idx],
+    }
+
+
 # ------------------------------------------------------------- WAV/PCM ---
 
 
@@ -912,12 +1105,14 @@ def decode_real(blob: bytes) -> dict:
         px = decode_jpeg(blob)
         if px.ndim == 2:
             px = px[:, :, None]
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif(blob)["pixels"]
     else:
         raise NotImplementedError(
             "real image decode implemented only for BMP (24-bit BI_RGB), "
-            "PPM (P6), PNG (8-bit truecolor) and baseline JPEG in this "
-            "container; audio has its own seam (decode_wav, 16-bit PCM "
-            "only) and video remains stubbed"
+            "PPM (P6), PNG (8-bit truecolor), baseline JPEG, and "
+            "single-frame GIF in this container; audio has its own seam "
+            "(decode_wav, 16-bit PCM only) and video remains stubbed"
         )
     return {
         "width": px.shape[1],

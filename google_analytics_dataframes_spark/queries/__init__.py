@@ -46,6 +46,10 @@ SWEEP_HEAD: list[str] = [
     # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
     # and the PassJoin edit-distance sim-join
     "l67_", "l68_", "l69_", "l70_",
+    # round-8 batch 2: MERGE/upsert apply, GIF87a LZW round trip, and the
+    # stream-stream LEFT OUTER interval join (whose dual-type flush
+    # sentinels also touched st14's staging helper)
+    "l71_", "l72_", "st16_",
     # round-8 scale fix: the four append-mode streams switched from the
     # memory sink to a parquet file sink (stream-probe finding — full
     # output volume must not transit the driver; st10 at 10x: 33.6 s ->

@@ -1443,3 +1443,118 @@ def l70_editdist_simjoin(spark, sf_dir):
     return cand.filter(dist <= _ED_K).select(
         "doc_a", "doc_b", dist.cast("int").alias("dist")
     )
+
+
+# ------------------------------------------------------------------- l71 ---
+
+
+@register(
+    "l71_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    offs AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    changes AS (
+      SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id, 'upsert', text || ' v2'
+      FROM documents WHERE doc_id % 9 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + (SELECT o FROM offs), 'upsert', reverse(text)
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN c.op = 'delete' THEN 'deleted'
+                  WHEN c.op = 'upsert' AND b.doc_id IS NOT NULL
+                    THEN 'updated'
+                  WHEN c.op = 'upsert' THEN 'inserted'
+                  ELSE 'kept' END AS status,
+             CASE WHEN c.op = 'upsert' THEN c.text
+                  WHEN c.op = 'delete' THEN NULL
+                  ELSE b.text END AS final_text
+      FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(COALESCE(SUM(try_cast(concat('0x',
+                substr(md5(final_text), 1, 8)) AS BIGINT)), 0) AS BIGINT)
+             AS content_checksum
+    FROM merged GROUP BY status
+    """,
+)
+def l71_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert-apply — the snapshot-maintenance operation a
+    continuously-updated training corpus runs between l66's delta CENSUS
+    and the next training snapshot: apply a change batch (deletes,
+    in-place updates, inserts under fresh ids) to the base table and
+    audit the result.  The change batch is derived deterministically
+    (every 13th doc deleted; every 9th surviving doc re-edited; every
+    17th doc re-submitted under id max(doc_id)+1+old — the l66 in-plan
+    offset, collision-free at any sf).
+
+    100-TB shape: one full-outer shuffle join on the snapshot key — the
+    irreducible core of MERGE — carrying per-side CONTENT CHECKSUMS
+    computed scan-side (8-hex-digit md5 prefix as a bigint — the l50
+    arithmetic both engines share, and < 2^32 per row so the census SUM
+    stays far from int64 overflow at any corpus size) instead of document text, so the
+    exchange moves ~25 B/row and the winning side's checksum is selected
+    post-join.  The emitted census (per-status count, id range, checksum
+    sum over FINAL text) proves the merge produced the right CONTENT,
+    not just the right row counts; the oracle recomputes it from raw
+    text with a different mechanism, so a checksum-plumbing bug
+    hash-fails.  Statuses: kept / updated / inserted / deleted (delete
+    wins over update for the same key by construction of the batch)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    cksum = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    offset = F.broadcast(
+        docs.agg((F.max("doc_id") + F.lit(1)).alias("_id_offset"))
+    )
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit("delete").alias("op"), F.lit(None).cast("long").alias("ck")
+    )
+    updates = (
+        docs.filter((F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id",
+            F.lit("upsert").alias("op"),
+            cksum(F.concat("text", F.lit(" v2"))).alias("ck"),
+        )
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .crossJoin(offset)
+        .select(
+            (F.col("doc_id") + F.col("_id_offset")).alias("doc_id"),
+            F.lit("upsert").alias("op"),
+            cksum(F.reverse("text")).alias("ck"),
+        )
+    )
+    changes = deletes.unionAll(updates).unionAll(inserts)
+    base = docs.select("doc_id", cksum("text").alias("ck_base"))
+    merged = base.join(changes, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("op") == "delete", F.lit("deleted"))
+        .when(
+            (F.col("op") == "upsert") & F.col("ck_base").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("op") == "upsert", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(F.col("op") == "upsert", F.col("ck"))
+        .when(F.col("op") == "delete", F.lit(None).cast("long"))
+        .otherwise(F.col("ck_base"))
+        .alias("final_ck"),
+    )
+    return merged.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.coalesce(F.sum("final_ck"), F.lit(0)).cast("long").alias(
+            "content_checksum"
+        ),
+    )

@@ -1344,6 +1344,89 @@ def l68_wav_roundtrip(spark, sf_dir):
 
 
 @register(
+    "l72_gif_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 7 AS w, 5 + doc_id % 6 AS h
+               FROM documents),
+    ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+    xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+    px AS (SELECT doc_id, (doc_id * 31 + y * 7 + x * 3) % 256 AS i
+           FROM xs),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(i) AS BIGINT) AS idx_sum,
+                   CAST(SUM((i * 7) % 256 + (i * 13) % 256 + (i * 29) % 256)
+                        AS BIGINT) AS px_sum
+            FROM px GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height, agg.idx_sum, agg.px_sum
+    FROM d JOIN agg USING (doc_id)
+    """,
+)
+def l72_gif_roundtrip(spark, sf_dir):
+    """REAL GIF87a round trip — the third from-scratch entropy coder in
+    the codec set (after PNG's DEFLATE-via-zlib and JPEG's canonical
+    Huffman, the LZW stage here is fully hand-rolled: variable-width
+    codes 9->12 bits, clear-code dictionary resets, the KwKwK corner,
+    LSB-first bit packing, 255-byte sub-block framing).  Per document: a
+    deterministic doc_id-keyed INDEX image (width 6+id%7, height 5+id%6,
+    idx(y,x) = (id*31 + y*7 + x*3) mod 256) under a fixed 256-entry
+    palette (entry i = (7i, 13i, 29i) mod 256) is encoded as an actual
+    GIF87a byte stream and decoded back
+    (operators/multimodal.encode_gif/decode_gif); bitwise index AND
+    palette-mapped pixel equality are required in-task, and the emitted
+    index sum + palette-mapped pixel sum have closed forms the DuckDB
+    oracle recomputes from doc_id.  GIF is lossless for indexed content,
+    so unlike JPEG no flat-block trick is needed — but unlike WAV the
+    entropy stage is nontrivial.  Interlace/animation/local color tables
+    stay honest NotImplementedError seams.
+
+    Scale shape: identical to l63/l64/l67/l68 — per-row Arrow-batched
+    compute on the scan, no shuffle, no driver involvement."""
+    import numpy as np
+
+    i = np.arange(256, dtype=np.int64)
+    _PAL = np.stack(
+        [(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1
+    ).astype(np.uint8)
+
+    def per_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 7, 5 + d % 6
+                y, x = np.indices((h, w), dtype=np.int64)
+                idx = ((d * 31 + y * 7 + x * 3) % 256).astype(np.uint8)
+                gif = M.encode_gif(idx, _PAL)
+                dec = M.decode_gif(gif)
+                if not np.array_equal(dec["indexed"], idx) or not np.array_equal(
+                    dec["pixels"], _PAL[idx]
+                ):
+                    raise ValueError(
+                        f"GIF round-trip mismatch for doc {d}"
+                    )
+                rows.append(
+                    (
+                        d,
+                        w,
+                        h,
+                        int(dec["indexed"].sum()),
+                        int(dec["pixels"].astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "idx_sum", "px_sum"],
+            )
+
+    docs = fanout(T(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(
+        per_batch,
+        "doc_id long, width int, height int, idx_sum long, px_sum long",
+    )
+
+
+@register(
     "l27_sequence_pack",
     oracle="""
     WITH t AS (SELECT doc_id,

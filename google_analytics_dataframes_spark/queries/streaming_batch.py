@@ -254,23 +254,37 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
     return d
 
 
-def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
-    """Ordered staging (see `_stage_stream_dir`) plus a final SENTINEL file
-    holding one event 2 hours past max(ts) for pseudo-user -1.  Append-mode
-    stateful queries only emit what the data-derived watermark has passed;
-    the sentinel is the explicit end-of-stream clock advance that finalizes
-    every real session/window (its own state stays beyond the watermark and
-    never emits).  Real buses do the same with idle-time punctuations."""
+def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> str:
+    """Ordered staging (see `_stage_stream_dir`) plus ``n_sentinels`` final
+    SENTINEL files, each holding one event 2h/4h/... past max(ts) for
+    pseudo-user -1.  Append-mode stateful queries only emit what the
+    data-derived watermark has passed; the sentinel is the explicit
+    end-of-stream clock advance that finalizes every real session/window
+    (its own state stays beyond the watermark and never emits).  Real
+    buses do the same with idle-time punctuations.
+
+    Why anyone needs TWO: Spark applies the watermark with a one-batch
+    delay — the watermark used while processing batch N derives from data
+    seen through batch N-1 — and stream-stream OUTER joins emit their
+    null-extended rows only on state eviction under the APPLIED
+    watermark.  With a single sentinel, the sentinel's own batch is the
+    last batch, so the watermark it advances is never applied and
+    preserved rows from the final `lateness` window never get their null
+    verdict (measured: st16 dropped exactly the last-2h unmatched
+    purchases).  A second, later sentinel file forces one more batch in
+    which the first sentinel's watermark is live.  Session windows (st14)
+    don't need this: their eviction check runs against the batch-start
+    watermark, which the single sentinel has already advanced by then."""
     import os
     import shutil
 
     from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
-    key, cached = _stage_cached(spark, sf_dir, "stream_flush")
+    key, cached = _stage_cached(spark, sf_dir, f"stream_flush{n_sentinels}")
     if cached is not None:
         return cached
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    d = scratch_dir(f"stream_flush_{sf_tag}")
+    d = scratch_dir(f"stream_flush{n_sentinels}_{sf_tag}")
     base = _stage_stream_dir(spark, sf_dir, ordered=True)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -282,19 +296,33 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str) -> str:
         os.utime(dst, (t, t))
     ev = load_table(spark, sf_dir, "events")
     max_ns = ev.agg(F.max(F.unix_micros("ts"))).first()[0] * 1000
-    sentinel = spark.createDataFrame(
-        [(-1, max_ns + 2 * 3600 * 1_000_000_000, -1, "view", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
-    )
-    stage = d + "_sentinel"
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-    [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-    dst = os.path.join(d, f"{len(parts)}_sentinel.parquet")
-    shutil.copyfile(os.path.join(stage, part), dst)
-    t = 1_700_000_000 + len(parts) * 60
-    os.utime(dst, (t, t))
-    shutil.rmtree(stage, ignore_errors=True)
+    for s in range(n_sentinels):
+        # one sentinel row PER EVENT TYPE the downstream query splits on:
+        # a multi-watermark query (stream-stream join: views side +
+        # purchases side) takes the MIN across its watermark operators,
+        # so a view-only sentinel leaves the purchase-side watermark — and
+        # with it the global one — stuck `lateness` behind the last real
+        # purchase (measured: st16's final-2h null verdicts never
+        # flushed).  Sentinel rows all carry negative user ids; every
+        # consumer filters them (or, for joins, they can never match a
+        # real row).
+        sent_ts = max_ns + (s + 1) * 2 * 3600 * 1_000_000_000
+        sentinel = spark.createDataFrame(
+            [
+                (-1 - 2 * s, sent_ts, -1 - 2 * s, "view", 0.0, "{}"),
+                (-2 - 2 * s, sent_ts, -2 - 2 * s, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        stage = d + "_sentinel"
+        sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(d, f"{len(parts) + s}_sentinel{s}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        t = 1_700_000_000 + (len(parts) + s) * 60
+        os.utime(dst, (t, t))
+        shutil.rmtree(stage, ignore_errors=True)
     _STAGE_CACHE[key] = d
     return d
 
@@ -484,6 +512,65 @@ def st10_stream_static_enrich(spark, sf_dir):
         "event_type",
         "value",
         "c_mktsegment",
+    )
+
+
+@register(
+    "st16_stream_outer_join",
+    oracle="""
+    SELECT b.user_id,
+           b.event_id AS purchase_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+           b.value AS purchase_value,
+           a.event_id AS view_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') a
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def st16_stream_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join, EXECUTED as a
+    stream (streaming/jobs.py st16_attribution_left_join): every purchase
+    emits — matched against each same-user view in the preceding hour, or
+    null-extended exactly once when the watermark proves no view can
+    still arrive.  The outer emission is the semantics the inner form
+    (st9) never exercises: null rows are produced on STATE EVICTION, one
+    microbatch after the watermark moves, so the staged source ends with
+    the far-future sentinel (st14's flush staging) as the end-of-stream
+    clock advance.  Through the parquet file sink (full join volume never
+    transits the driver), the final sink table must equal the batch LEFT
+    JOIN exactly — matched multiplicities AND the unmatched-null set."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    # THREE sentinels: outer-join null rows emit on state eviction under
+    # the APPLIED watermark, which lags one batch behind the data (see
+    # _stage_stream_dir_with_flush) — one sentinel leaves the final
+    # lateness-window's unmatched purchases unflushed (measured: 7 rows
+    # short at sf0.01), and at 2 files/trigger two sentinels share one
+    # batch, so a third forces the extra batch that applies the advanced
+    # watermark
+    src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now_parquet(
+            jobs.st16_attribution_left_join(stream),
+            f"st16_pq_{uuid.uuid4().hex[:8]}",
+        )
+    # drop the sentinel purchases (negative pseudo-users) — they ride the
+    # preserved side purely as the end-of-stream clock advance
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts_s"
+        ),
+        "purchase_value",
+        "view_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
     )
 
 

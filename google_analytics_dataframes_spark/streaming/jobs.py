@@ -253,6 +253,58 @@ def st9_attribution_join(
     )
 
 
+def st16_attribution_left_join(
+    events: DataFrame, lateness: str = "2 hours", horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — st9's attribution with the
+    unattributed purchases PRESERVED: every purchase emits, matched ones
+    paired with each qualifying prior view, unmatched ones exactly once
+    with null view columns.
+
+    The outer side is where streaming joins earn their state semantics:
+    an inner join can emit eagerly, but a null-extended row is only
+    correct once the watermark PROVES no matching view can still arrive
+    (view_ts would have to lie in (purchase_ts - horizon, purchase_ts),
+    all of which the watermark has passed).  Spark therefore emits the
+    null rows on state eviction, one microbatch after the watermark
+    moves — which is why the staged source ends with the far-future
+    SENTINEL event (see `_stage_stream_dir_with_flush`): it is the
+    end-of-stream clock advance that flushes every real purchase's
+    verdict.  Same eviction bounds as st9: per-side state is O(events
+    within `lateness`), not O(stream)."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        purchases.withWatermark("purchase_ts", lateness)
+        .join(
+            views.withWatermark("view_ts", lateness),
+            F.expr(
+                f"""p_user_id = user_id
+                AND purchase_ts > view_ts
+                AND purchase_ts <= view_ts + INTERVAL {horizon}"""
+            ),
+            "left_outer",
+        )
+        .select(
+            F.col("p_user_id").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            "view_id",
+            "view_ts",
+        )
+    )
+
+
 def st10_stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a batch dimension
     table.  The static side needs no watermark and holds no join state — it

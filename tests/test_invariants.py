@@ -125,7 +125,7 @@ def test_multimodal_bmp_roundtrip_known_answer():
 
     # the honest seam survives for formats still outside the codec set
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"GIF87a......")  # GIF (LZW) stays stubbed
+        M.decode_real(b"II*\x00tiff-is-not-decoded")  # TIFF stays stubbed
     with pytest.raises(NotImplementedError):
         M.decode_bmp(M.encode_bmp(img)[:30] + b"\x08" + bmp[31:])  # 8bpp
 
@@ -919,3 +919,55 @@ def test_readme_query_count_matches_registry():
         f"README claims {claims} registered queries; registry has "
         f"{len(registry())}"
     )
+
+
+def test_multimodal_gif_roundtrip_known_answer():
+    """Round-8: GIF87a decodes for real — hand-rolled variable-width LZW
+    (9->12 bits, clear-code resets, KwKwK, LSB-first packing, sub-block
+    framing).  Checks: (a) indexed round trip is bitwise on small,
+    dictionary-overflowing (random 120x90 forces a 4096-entry reset), and
+    run-heavy content; (b) the byte stream is spec GIF87a (signature,
+    little-endian screen descriptor, trailer); (c) GIF89a extension
+    blocks are skipped per spec; (d) interlace flags and truncation raise
+    the documented errors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(
+        np.uint8
+    )
+    y, x = np.indices((9, 11))
+    idx = ((3 * 31 + y * 7 + x * 3) % 256).astype(np.uint8)
+    gif = M.encode_gif(idx, pal)
+    assert gif[:6] == b"GIF87a" and gif[-1:] == b"\x3b"
+    assert struct.unpack_from("<HH", gif, 6) == (11, 9)
+    dec = M.decode_gif(gif)
+    assert np.array_equal(dec["indexed"], idx)
+    assert np.array_equal(dec["pixels"], pal[idx])
+
+    rs = np.random.RandomState(5)
+    big = rs.randint(0, 256, (120, 90)).astype(np.uint8)
+    assert np.array_equal(M.decode_gif(M.encode_gif(big, pal))["indexed"], big)
+    runs = np.repeat(np.arange(100) % 256, 97)[: 97 * 100].astype(np.uint8)
+    runs = runs.reshape(100, 97)
+    assert np.array_equal(M.decode_gif(M.encode_gif(runs, pal))["indexed"], runs)
+
+    # GIF89a graphics-control extension before the image block: skipped.
+    # The image descriptor starts at the STRUCTURAL offset 13 + 768 (header
+    # + screen descriptor + 256-entry global color table) — searching for
+    # the 0x2C byte would match palette bytes.
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    img_at = 13 + 256 * 3
+    assert gif[img_at] == 0x2C
+    with89 = b"GIF89a" + gif[6:img_at] + ext + gif[img_at:]
+    assert np.array_equal(M.decode_gif(with89)["indexed"], idx)
+
+    interlaced = bytearray(gif)
+    interlaced[img_at + 9] |= 0x40  # image-descriptor flags byte
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_gif(bytes(interlaced))
+    with pytest.raises(ValueError):
+        M.decode_gif(gif[: len(gif) // 2])
