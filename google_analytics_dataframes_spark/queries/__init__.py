@@ -50,6 +50,11 @@ SWEEP_HEAD: list[str] = [
     # stream-stream LEFT OUTER interval join (whose dual-type flush
     # sentinels also touched st14's staging helper)
     "l71_", "l72_", "st16_",
+    # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
+    # refactor also touched s10's partitioned-copy helper)
+    "s12_", "s10_",
+    # st12 references the shared staging helpers the sentinel change touched
+    "st12_",
     # round-8 scale fix: the four append-mode streams switched from the
     # memory sink to a parquet file sink (stream-probe finding — full
     # output volume must not transit the driver; st10 at 10x: 33.6 s ->

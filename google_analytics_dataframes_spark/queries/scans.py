@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 
 from google_analytics_dataframes_spark.io import fanout
 from google_analytics_dataframes_spark.registry import register
-from google_analytics_dataframes_spark.queries._util import T
+from google_analytics_dataframes_spark.queries._util import T, dsum, dsum_sql
 
 
 @register(
@@ -258,24 +258,10 @@ def s11_text_source(spark, sf_dir):
     return spark.read.text(out)
 
 
-@register(
-    "s10_partitioned_read",
-    oracle="""
-    SELECT event_id, user_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           event_type, value,
-           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
-    FROM events
-    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
-    """,
-)
-def s10_partitioned_read(spark, sf_dir):
-    """Hive-style partitioned table round-trip with PARTITION PRUNING: write
-    events partitioned by day, read back one day — the scan must touch one
-    directory, not the table (the plan's PartitionFilters line, asserted in
-    tests/test_plans.py).  This is the layout a 100 TB event table actually
-    ships in: day partitions + pruning turn a full scan into a 1/365 scan
-    before any I/O happens."""
+def _partitioned_events_dir(spark, sf_dir) -> str:
+    """Stage (once per dataset fingerprint) the day-partitioned copy of
+    events — the layout a 100 TB event table actually ships in.  Shared by
+    s10 (static partition pruning) and s12 (dynamic partition pruning)."""
     from google_analytics_dataframes_spark.io import table_fingerprint
 
     # fingerprint in the cache path: a regenerated source dataset under the
@@ -301,6 +287,28 @@ def s10_partitioned_read(spark, sf_dir):
         ev.repartition(F.col("day")).write.partitionBy("day").mode(
             "overwrite"
         ).parquet(out)
+    return out
+
+
+@register(
+    "s10_partitioned_read",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+    """,
+)
+def s10_partitioned_read(spark, sf_dir):
+    """Hive-style partitioned table round-trip with PARTITION PRUNING: write
+    events partitioned by day, read back one day — the scan must touch one
+    directory, not the table (the plan's PartitionFilters line, asserted in
+    tests/test_plans.py).  This is the layout a 100 TB event table actually
+    ships in: day partitions + pruning turn a full scan into a 1/365 scan
+    before any I/O happens."""
+    out = _partitioned_events_dir(spark, sf_dir)
     back = spark.read.parquet(out).filter(F.col("day") == "2024-01-15")
     return back.select(
         "event_id",
@@ -309,4 +317,82 @@ def s10_partitioned_read(spark, sf_dir):
         "event_type",
         "value",
         F.col("day").cast("string").alias("day"),
+    )
+
+
+def _day_dim_dir(spark, sf_dir) -> str:
+    """Stage (once per dataset fingerprint) the tiny day-dimension table
+    s12 joins against: one row per distinct event day, classified
+    'target' for days-of-month congruent to 1 mod 7.  A real warehouse
+    has exactly this shape — a small calendar/dimension table whose
+    FILTER decides which partitions of the fact table a query touches."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_day_dim_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        dim = (
+            T(spark, sf_dir, "events")
+            .select(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+            .distinct()
+            .withColumn(
+                "day_kind",
+                F.when(F.dayofmonth("day") % 7 == 1, "target").otherwise(
+                    "other"
+                ),
+            )
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "s12_dpp_join",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS sum_value
+    FROM events
+    WHERE CAST(strftime(ts, '%d') AS INTEGER) % 7 = 1
+    GROUP BY day, event_type
+    """,
+)
+def s12_dpp_join(spark, sf_dir):
+    """DYNAMIC partition pruning — the flagship Catalyst scale feature s10's
+    static form doesn't exercise: the fact side is the day-partitioned
+    events table, the probe side is a small day-dimension table with a
+    selective NON-partition filter (day_kind = 'target'), and the join key
+    is the fact's partition column.  Catalyst turns the dim's filter
+    result into a runtime IN-subquery partition filter on the fact scan —
+    `PartitionFilters: [... dynamicpruningexpression(day IN ...)]`,
+    pinned by tests/test_plans.py::test_s12_dynamic_partition_pruning —
+    so the fact table reads ~1/7 of its partitions even though NO literal
+    date predicate exists in the query.  At 100 TB this is the difference
+    between scanning a year and scanning the dim-selected days, decided
+    at runtime from the dimension's contents.
+
+    The oracle recomputes the same answer from the raw events table with
+    the day-of-month rule inlined — different mechanism (no partitioned
+    copy, no dim join), so staging bugs (mis-partitioned days, dim
+    misclassification) hash-fail."""
+    fact = spark.read.parquet(_partitioned_events_dir(spark, sf_dir))
+    dim = (
+        spark.read.parquet(_day_dim_dir(spark, sf_dir))
+        .filter(F.col("day_kind") == "target")
+        .select("day")
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )

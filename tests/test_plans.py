@@ -624,3 +624,17 @@ def test_editdist_simjoin_is_equijoin_candidates(spark):
         j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         for j in joins
     ), joins
+
+
+def test_s12_dynamic_partition_pruning(spark):
+    """s12: the day-partitioned fact scan must carry a RUNTIME partition
+    filter fed by the dimension's filter result — Catalyst's dynamic
+    partition pruning (`... IN dynamicpruning#N` hosted on the scan).
+    Without it the fact side reads every day partition even though the
+    dim join will discard ~6/7 of them; with it the prune happens before
+    any fact I/O.  Static pruning (s10) can't express this — no literal
+    date appears anywhere in s12's query."""
+    df = registry()["s12_dpp_join"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "dynamicpruning" in plan, plan
+    assert "PartitionFilters" in plan, plan
