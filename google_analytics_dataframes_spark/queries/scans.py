@@ -396,3 +396,73 @@ def s12_dpp_join(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+def _zordered_events_dir(spark, sf_dir) -> str:
+    """Stage (once per dataset fingerprint) the Z-ORDERED copy of events —
+    Morton-interleaved (user_id, epoch-day) layout (io.write_zordered), 16
+    files.  Shared by s13 and the footer-evidence test."""
+    from google_analytics_dataframes_spark.io import (
+        table_fingerprint,
+        write_zordered,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zorder_events_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev = T(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day_num"),
+        )
+        write_zordered(ev, out, "user_id", "day_num", num_files=16)
+    return out
+
+
+@register(
+    "s13_zorder_scan",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 300
+      AND epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
+    GROUP BY event_type
+    """,
+)
+def s13_zorder_scan(spark, sf_dir):
+    """Z-ORDER layout + 2-D box scan: events rewritten Morton-clustered on
+    (user_id, epoch-day) — io.write_zordered interleaves the two scaled
+    keys' bits and range-partitions on the space-filling-curve code — then
+    scanned with a box predicate (a user range x a week).  1-D range
+    clustering (s8) makes ONE key's footer stats tight and leaves the
+    other spanning every file; the Z-order layout bounds BOTH keys'
+    per-file extents, so this box scan (and single-key scans on either
+    dimension) skip most files/row groups on min/max stats alone —
+    asserted from parquet footers by
+    tests/test_plans.py::test_zorder_layout_prunes_both_dims.  At 100 TB
+    this is the standard answer to 'we filter by user OR by day OR both'
+    without writing the table twice.
+
+    O-tier: the oracle applies the identical box to the RAW events table
+    (different mechanism — no rewrite), so a Z-order bug that loses,
+    duplicates, or mis-places any row hash-fails the census."""
+    back = spark.read.parquet(_zordered_events_dir(spark, sf_dir))
+    box = back.filter(
+        F.col("user_id").between(100, 300)
+        & F.col("day_num").between(19730, 19736)
+    )
+    return box.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )
