@@ -52,7 +52,7 @@ SWEEP_HEAD: list[str] = [
     "l71_", "l72_", "st16_",
     # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
     # refactor also touched s10's partitioned-copy helper)
-    "s12_", "s10_", "s13_",
+    "s12_", "s10_", "s13_", "l73_", "l74_",
     # st12 references the shared staging helpers the sentinel change touched
     "st12_",
     # round-8 scale fix: the four append-mode streams switched from the

@@ -251,6 +251,159 @@ def l12_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "l73_triangle_count",
+    oracle="""
+    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    e AS (SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter))
+    SELECT CAST((SELECT COUNT(DISTINCT v) FROM
+                 (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS BIGINT)
+             AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+             AS n_triangles
+    """,
+)
+def l73_triangle_count(spark, sf_dir):
+    """Triangle census of the near-dup pair GRAPH — the structural health
+    check a dedup pipeline runs on its pair set: triangles are the unit of
+    cluster density (a clique of k near-dups has C(k,3) of them; a pair
+    set whose triangle count collapses after a threshold change signals
+    clusters shattering into chains), and triangle counting is the classic
+    graph-at-scale benchmark.
+
+    Spark-first algorithm — DEGREE-ORIENTED wedge join (Shank/
+    Schank-Wagner; the MapReduce formulation of Suri-Vassilvitskii's
+    'Counting Triangles and the Curse of the Last Reducer', WWW 2011) —
+    never the naive 3-way self-join the oracle runs: orient every edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges
+    only at each edge's SOURCE (so a vertex generates C(out_deg, 2)
+    wedges with out_deg <= O(sqrt(m)) by the orientation bound, killing
+    the high-degree-hub blowup), and close each wedge against the
+    canonical edge set with one equi-join.  Each triangle is counted
+    exactly once — at its unique minimum-(degree, id) corner.  Edges are
+    l12's driver-proven >=60% 3-gram Jaccard pairs (the shared src5
+    materialization, so l12/l29/l33/l73 price one pair computation per
+    session)."""
+    pairs = _src5_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    with_deg = pairs.join(F.broadcast(da), "doc_a").join(
+        F.broadcast(db), "doc_b"
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("u"))
+    e2 = oriented.select("src", F.col("dst").alias("w"))
+    wedges = e1.join(e2, "src").filter(F.col("u") < F.col("w"))
+    canon = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
+    )  # doc_a < doc_b by construction
+    tri = wedges.join(canon, ["u", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    census = pairs.agg(
+        F.count("*").cast("long").alias("n_edges"),
+    ).crossJoin(
+        deg.agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+    return census.crossJoin(tri).select(
+        "n_vertices", "n_edges", F.col("n_triangles").cast("long")
+    )
+
+
+@register(
+    "l74_thumbnail_pipeline",
+    oracle="""
+    WITH d AS (SELECT doc_id, 9 + doc_id % 8 AS w, 9 + doc_id % 6 AS h
+               FROM documents),
+    yy AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS yy FROM d),
+    xx AS (SELECT doc_id, w, h, yy, unnest(range(0, 8)) AS xx FROM yy),
+    cc AS (SELECT doc_id, w, h, yy, xx, unnest(range(0, 3)) AS c FROM xx),
+    px AS (SELECT doc_id,
+                  (doc_id * 31 + (((yy * h) // 8) // 8) * 7
+                   + (((xx * w) // 8) // 8) * 13 + c * 11) % 256 AS v
+           FROM cc),
+    agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS thumb_sum
+            FROM px GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height, agg.thumb_sum
+    FROM d JOIN agg USING (doc_id)
+    """,
+)
+def l74_thumbnail_pipeline(spark, sf_dir):
+    """End-to-end THUMBNAILING pipeline — the composition a real
+    image-ingest job runs, chaining five real codec stages per document:
+    deterministic block-constant RGB image -> encode_bmp -> decode_real
+    (magic-byte dispatch) -> resize_nearest to 8x8 -> encode_png ->
+    decode_png, with bitwise equality between the resized array and the
+    PNG round trip asserted in-task.  The emitted thumbnail pixel sum has
+    a CLOSED FORM (nearest-neighbor picks source pixel (yy*h//8,
+    xx*w//8), whose block determines its value), which the DuckDB oracle
+    recomputes from doc_id — so every stage (BMP byte layout, dispatch,
+    the resize index map, PNG filters+DEFLATE) is hash-audited through
+    one number per doc.
+
+    Scale shape: identical to the other codec rows — per-row
+    Arrow-batched compute on the scan, no shuffle; this is the
+    decode/transform/re-encode inner loop of a multimodal training-data
+    pipeline, exercised over the binary-column plumbing for real."""
+    import numpy as np
+
+    def per_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 9 + d % 6
+                y, x, c = np.indices((h, w, 3), dtype=np.int64)
+                img = (
+                    (d * 31 + (y // 8) * 7 + (x // 8) * 13 + c * 11) % 256
+                ).astype(np.uint8)
+                dec = M.decode_real(M.encode_bmp(img))
+                thumb = M.resize_nearest(dec["pixels"], 8, 8)
+                back = M.decode_png(M.encode_png(thumb))
+                if not np.array_equal(back, thumb):
+                    raise ValueError(
+                        f"thumbnail PNG round-trip mismatch for doc {d}"
+                    )
+                rows.append((d, w, h, int(back.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "thumb_sum"]
+            )
+
+    docs = fanout(T(spark, sf_dir, "documents").select("doc_id"))
+    return docs.mapInPandas(
+        per_batch, "doc_id long, width int, height int, thumb_sum long"
+    )
+
+
+@register(
     "l13_embed_neardup",
     oracle="""
     SELECT vec_id AS vec_orig, 1.0 AS cos
