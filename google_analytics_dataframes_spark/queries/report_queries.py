@@ -1025,3 +1025,63 @@ def rb22_ecommerce_overview(spark, sf_dir):
         F.round(rev / F.count("*"), 6).alias("avg_order_value"),
         F.round(rev / F.count_distinct("o_custkey"), 6).alias("revenue_per_buyer"),
     )
+
+
+@register(
+    "rb23_incremental_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def rb23_incremental_rollup(spark, sf_dir):
+    """INCREMENTAL rollup maintenance — the materialized-view refresh a
+    reporting warehouse runs every night instead of recomputing history:
+    the (day, event_type) rollup is produced as MERGE(base, delta), where
+    `base` is the rollup of all days before the cutoff (the standing
+    materialization) and `delta` is the rollup of the new days only, and
+    the two partials are combined by RE-AGGREGATING their mergeable
+    states (counts add; exact-decimal sums add — the algebraic property
+    that makes a metric incrementally maintainable at all; ratios/
+    distincts must be derived post-merge or carried as sketches, which
+    is exactly why the report layer computes them terminally).
+
+    The oracle is the FULL recompute over raw events, so the driver hash
+    proves MERGE(base, delta) == full — the refresh correctness condition
+    itself, checked end to end.  Scale shape: each partial is one
+    partial-aggregated shuffle over its slice (at 100 TB the base slice
+    isn't even scanned — it's the stored rollup; here both sides derive
+    from the same table to keep the query self-contained), and the merge
+    re-aggregates |days| x |types| rows — metadata-sized."""
+    from google_analytics_dataframes_spark.queries._util import dsum
+
+    ev = T(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    cutoff = "2024-01-25"  # last days are the 'new data' slice
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_sum_state"),
+        )
+
+    base = rollup(ev.filter(F.col("day") < cutoff))
+    delta = rollup(ev.filter(F.col("day") >= cutoff))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("_sum_state").alias("_sum_state"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.col("_sum_state").cast("double").alias("sum_value"),
+    )
