@@ -49,7 +49,7 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 2: MERGE/upsert apply, GIF87a LZW round trip, and the
     # stream-stream LEFT OUTER interval join (whose dual-type flush
     # sentinels also touched st14's staging helper)
-    "l71_", "l72_", "st16_",
+    "l71_", "l72_", "st16_", "st17_",
     # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
     # refactor also touched s10's partitioned-copy helper)
     "s12_", "s10_", "s13_", "l73_", "l74_", "rb23_",

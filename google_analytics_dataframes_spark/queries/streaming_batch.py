@@ -574,6 +574,120 @@ def st16_stream_outer_join(spark, sf_dir):
     )
 
 
+def _stage_restart_phases(spark, sf_dir: str) -> str:
+    """Stage (cached) the two RESTART phases st17 replays: phase 1 = the
+    first half of events by time (ts < 2024-01-16); phase 2 = the second
+    half PLUS a replay of every 5th phase-1 event.  The replays landing
+    AFTER the restart are the proof obligation: only dedup state that
+    SURVIVED the checkpoint restore can drop them."""
+    import os
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    key, cached = _stage_cached(spark, sf_dir, "restart_phases")
+    if cached is not None:
+        return cached
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_dir(f"restart_phases_{sf_tag}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_wire", F.unix_micros("ts") * 1000
+    )
+    cut = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    p1 = ev.filter(cut)
+    p2 = ev.filter(~cut).unionAll(p1.filter(F.col("event_id") % 5 == 0))
+    for name, df in (("p1", p1), ("p2", p2)):
+        df.select(
+            "event_id",
+            F.col("ts_wire").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
+    _STAGE_CACHE[key] = d
+    return d
+
+
+@register(
+    "st17_stream_restart_resume",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value
+    FROM events
+    """,
+)
+def st17_stream_restart_resume(spark, sf_dir):
+    """Exactly-once ACROSS A RESTART — the recovery contract every other
+    streaming row assumes, executed and driver-checked: the dedup stream
+    (st11's dropDuplicatesWithinWatermark) runs to completion on phase 1
+    (first half of events), the query STOPS, and a second query starts
+    from the SAME checkpoint over the grown source directory (second
+    half + replays of every 5th phase-1 event).  The replays arrive only
+    after the restart, so they can be dropped ONLY if (a) the offset log
+    prevented re-reading phase 1 and (b) the dedup state store was
+    restored from the checkpoint — a fresh-state resume would re-emit
+    phase-1 events via the replays and break the driver's exact row
+    count.  Both runs append to one parquet sink; the final table must
+    be every original event EXACTLY once, which is st11's plain-batch
+    oracle.
+
+    This is the availableNow/checkpoint lifecycle a production
+    incremental ingest runs daily (process what's landed, stop, resume
+    tomorrow), including the at-least-once redelivery straddling the
+    restart boundary."""
+    import os
+    import shutil
+    import uuid
+
+    from google_analytics_dataframes_spark.io import scratch_dir
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    phases = _stage_restart_phases(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:8]
+    live = scratch_dir(f"st17_src_{run_id}")
+    ckpt = scratch_dir(f"st17_ck_{run_id}")
+    out = scratch_dir(f"st17_out_{run_id}")
+    for dpath in (live, ckpt, out):
+        shutil.rmtree(dpath, ignore_errors=True)
+    os.makedirs(live)
+
+    def add_phase(name: str, mtime: int) -> None:
+        src = os.path.join(phases, name)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(live, f"{name}_{fn}")
+                shutil.copyfile(os.path.join(src, fn), dst)
+                os.utime(dst, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = jobs.read_event_stream(spark, live, files_per_trigger=1)
+        with _few_state_partitions(spark):
+            q = (
+                jobs.st11_stream_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    add_phase("p1", 1_700_000_000)
+    run_once()  # run 1: first half, then the query STOPS
+    add_phase("p2", 1_700_000_060)
+    run_once()  # run 2: resumes from the checkpoint; replays must dedup
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+
+
 @register(
     "st12_stream_stateful_funnel",
     oracle="""

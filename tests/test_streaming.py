@@ -444,3 +444,79 @@ def test_realtime_report_rejects_exact_distinct(spark, events_dir):
         realtime_report(
             stream, ["event_type"], {"users": "users:user_id"}
         )
+
+
+def test_restart_resume_requires_checkpoint_state(spark):
+    """Negative control for st17: the registered query proves exactly-once
+    across a restart USING the shared checkpoint — this test proves the
+    mechanism bites by breaking it.  Same two phases, but run 2 starts
+    from a FRESH checkpoint (and its own sink — see below): with no
+    offset log it re-reads phase 1, so phase-1 events are emitted by
+    BOTH runs and the union holds more than one row per event — exactly
+    the failure the checkpoint exists to prevent.
+
+    Why run 2 also needs its own sink directory: a streaming parquet
+    sink keeps a _spark_metadata transaction log keyed by BATCH ID.  A
+    fresh checkpoint restarts batch ids at 0, which the old sink log
+    already lists as committed — so the sink silently SKIPS the new
+    batches (first observed here: 520 of 1000 rows).  That silent drop
+    is itself part of the lesson: checkpoint and sink log form one
+    consistency unit and must be replaced together."""
+    import os
+    import shutil
+    import uuid
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _few_state_partitions,
+        _stage_restart_phases,
+    )
+    from google_analytics_dataframes_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    phases = _stage_restart_phases(spark, SF_DIR)
+    rid = uuid.uuid4().hex[:8]
+    live = scratch_dir(f"st17neg_src_{rid}")
+    out = scratch_dir(f"st17neg_out_{rid}")
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(live)
+
+    def add_phase(name, mtime):
+        src = os.path.join(phases, name)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(live, f"{name}_{fn}")
+                shutil.copyfile(os.path.join(src, fn), dst)
+                os.utime(dst, (mtime, mtime))
+
+    def run_once(ckpt, sink):
+        stream = jobs.read_event_stream(spark, live, files_per_trigger=1)
+        with _few_state_partitions(spark):
+            q = (
+                jobs.st11_stream_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    ck1 = scratch_dir(f"st17neg_ck1_{rid}")
+    ck2 = scratch_dir(f"st17neg_ck2_{rid}")
+    out2 = scratch_dir(f"st17neg_out2_{rid}")
+    for d in (ck1, ck2, out2):
+        shutil.rmtree(d, ignore_errors=True)
+    add_phase("p1", 1_700_000_000)
+    run_once(ck1, out)
+    add_phase("p2", 1_700_000_060)
+    run_once(ck2, out2)  # FRESH checkpoint + sink: the broken resume
+    n_exact = load_table(spark, SF_DIR, "events").count()
+    n_got = (
+        spark.read.parquet(out).count() + spark.read.parquet(out2).count()
+    )
+    assert n_got > n_exact, (n_got, n_exact)
+    for d in (live, out, out2, ck1, ck2):
+        shutil.rmtree(d, ignore_errors=True)
