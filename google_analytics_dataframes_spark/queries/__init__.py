@@ -52,7 +52,7 @@ SWEEP_HEAD: list[str] = [
     "l71_", "l72_", "st16_", "st17_",
     # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
     # refactor also touched s10's partitioned-copy helper)
-    "s12_", "s10_", "s13_", "l73_", "l74_", "rb23_",
+    "s12_", "s10_", "s13_", "s14_", "l73_", "l74_", "rb23_",
     # span-adjacency flag from the l73/l74 insertions (guard
     # over-approximation — cheap to re-sweep rather than argue with)
     "l13_",

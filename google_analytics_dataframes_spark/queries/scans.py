@@ -466,3 +466,47 @@ def s13_zorder_scan(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "s14_python_datasource",
+    oracle="""
+    WITH pages AS (SELECT unnest(range(0, 32)) AS p),
+    rws AS (SELECT p, unnest(range(0, 100)) AS r FROM pages)
+    SELECT CAST(p AS INTEGER) AS page_idx, CAST(r AS INTEGER) AS row_idx,
+           CAST((131 * p + 17 * r) % 1000 AS BIGINT) AS visits,
+           CAST((131 * p + 17 * r) % 1000 + (p + r) % 50 AS BIGINT)
+             AS pageviews,
+           strftime(DATE '2024-01-01' + ((p + r) % 30) * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS date_s
+    FROM rws
+    """,
+)
+def s14_python_datasource(spark, sf_dir):
+    """PySpark 4 custom Python DataSource (V2 API): the GA pagination model
+    as a REAL registered Spark source — `spark.read.format(
+    "ga_report_fixture")` plans ONE InputPartition per API result page,
+    so the page-fetch loop the reference runs serially on the client
+    becomes cluster parallelism (32 pages -> 32 partitions; verified:
+    df.rdd.getNumPartitions() == n_pages).  The fixture generator stands
+    in for the HTTP call (the same no-network seam as
+    sources/ga_api.fetch_report); registration, schema declaration,
+    partition planning, and per-partition iteration are the genuine
+    DataSource API surface a production connector implements
+    (sources/ga_api.GaReportFixtureDataSource).
+
+    Rows are closed-form in (page, row), so the DuckDB oracle recomputes
+    the entire table — the driver hash proves the custom source delivers
+    exactly the declared relation across all partitions.  ``sf_dir`` is
+    unused: this source GENERATES its data, which is the point."""
+    from google_analytics_dataframes_spark.sources.ga_api import (
+        register_fixture_datasource,
+    )
+
+    register_fixture_datasource(spark)
+    return (
+        spark.read.format("ga_report_fixture")
+        .option("n_pages", 32)
+        .option("page_size", 100)
+        .load()
+    )

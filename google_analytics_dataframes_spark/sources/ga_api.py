@@ -142,3 +142,83 @@ def get_report(
         out = page if out is None else out.unionByName(page)
         params = next_page_params(params, resp.get("totalResults", 0))
     return out
+
+
+# ---------------------------------------------------------------------------
+# PySpark 4 custom Python DataSource (V2): the GA pagination model as a REAL
+# Spark source — each API result page becomes one InputPartition, so page
+# fetches run in parallel across executors instead of the driver-side loop
+# get_report uses.  The fixture generator stands in for the HTTP fetch (same
+# no-network seam as fetch_report); everything around it — registration,
+# schema, partition planning, per-partition iteration — is the genuine
+# DataSource API surface a production connector implements.
+
+
+class GaReportFixtureDataSource:
+    """`spark.read.format("ga_report_fixture")` — a paginated-report source.
+
+    Options: ``n_pages`` (default 32), ``page_size`` (default 100).  Rows
+    are deterministic functions of (page, row) so an SQL oracle can
+    recompute the whole table: visits = (131p + 17r) mod 1000, pageviews
+    = visits + (p + r) mod 50, date = 2024-01-01 + (p + r) mod 30 days.
+    Implemented lazily against pyspark.sql.datasource so importing this
+    module stays cheap and the class only materializes the API types when
+    a session registers it."""
+
+    @staticmethod
+    def make():
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
+
+        class _PagePartition(InputPartition):
+            def __init__(self, page: int):
+                self.page = page
+
+        class _Reader(DataSourceReader):
+            def __init__(self, options):
+                self.n_pages = int(options.get("n_pages", 32))
+                self.page_size = int(options.get("page_size", 100))
+
+            def partitions(self):
+                # one partition per API page: the pagination loop becomes
+                # cluster parallelism (start-index = page * page_size)
+                return [_PagePartition(p) for p in range(self.n_pages)]
+
+            def read(self, partition):
+                import datetime
+
+                p = partition.page
+                base = datetime.date(2024, 1, 1)
+                for r in range(self.page_size):
+                    visits = (131 * p + 17 * r) % 1000
+                    yield (
+                        p,
+                        r,
+                        visits,
+                        visits + (p + r) % 50,
+                        (base + datetime.timedelta(days=(p + r) % 30)).isoformat(),
+                    )
+
+        class _Source(DataSource):
+            @classmethod
+            def name(cls):
+                return "ga_report_fixture"
+
+            def schema(self):
+                return (
+                    "page_idx int, row_idx int, visits bigint, "
+                    "pageviews bigint, date_s string"
+                )
+
+            def reader(self, schema):
+                return _Reader(self.options)
+
+        return _Source
+
+
+def register_fixture_datasource(spark) -> None:
+    """Idempotently register the paginated fixture source on a session."""
+    spark.dataSource.register(GaReportFixtureDataSource.make())
