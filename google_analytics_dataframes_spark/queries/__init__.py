@@ -53,6 +53,9 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
     # refactor also touched s10's partitioned-copy helper)
     "s12_", "s10_", "s13_", "s14_", "l73_", "l74_", "rb23_",
+    # round-8 batch 4: Spark-4 API surfaces — arrow-optimized scalar UDF,
+    # mapInArrow, VARIANT, collations
+    "ud7_", "ud8_", "sf15_", "sf16_",
     # span-adjacency flag from the l73/l74 insertions (guard
     # over-approximation — cheap to re-sweep rather than argue with)
     "l13_",

@@ -442,3 +442,84 @@ def sf14b_xxhash(spark, sf_dir):
     return probes.select("probe", F.xxhash64("probe").alias("h_xx")).crossJoin(
         F.broadcast(agg)
     )
+
+
+@register(
+    "sf15_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                AS BIGINT) AS k_mod
+    FROM events
+    """,
+)
+def sf15_variant(spark, sf_dir):
+    """Spark 4 VARIANT — the engine's native semi-structured type (the
+    successor to string-JSON + get_json_object): ``parse_json`` builds a
+    binary variant ONCE per row, and typed ``variant_get`` /
+    ``try_variant_get`` path extractions read it without re-parsing —
+    the s3/sf12 JSON surface upgraded to the typed encoding a 100 TB
+    semi-structured column should use (parse once at ingest, store the
+    variant, extract many times for free).  ``try_variant_get`` on a
+    missing path returns NULL instead of raising — the lenient form an
+    exploratory query needs.  The Generate barrier holds the parsed
+    variant as a bound attribute (the sf11 lesson), pinned by
+    tests/test_plans.py::test_sf15_parses_variant_exactly_once."""
+    ev = fanout(T(spark, sf_dir, "events").select("event_id", "props"))
+    v = ev.select(
+        "event_id", F.explode(F.array(F.parse_json("props"))).alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+        (k % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "sf16_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_m
+      FROM documents)
+    SELECT CAST(COUNT(CASE WHEN lower(lang_m) = 'en' THEN 1 END) AS BIGINT)
+             AS n_en_lcase,
+           CAST(COUNT(CASE WHEN lang_m = 'en' THEN 1 END) AS BIGINT)
+             AS n_en_sensitive,
+           CAST(COUNT(DISTINCT lang_m) AS BIGINT) AS n_distinct_sensitive,
+           CAST(COUNT(DISTINCT lower(lang_m)) AS BIGINT) AS n_distinct_lcase
+    FROM mixed
+    """,
+)
+def sf16_collation(spark, sf_dir):
+    """Spark 4 string COLLATIONS: comparisons, equality, and distinctness
+    under a named collation instead of hand-strewn lower() calls — here
+    UTF8_LCASE over a deterministically case-mixed language column (every
+    even doc_id upper-cased).  The collated filter matches 'en' AND 'EN';
+    collated COUNT(DISTINCT) merges the case pair per language while the
+    binary-collation count sees both — the census a migration to collated
+    columns runs to prove the semantics changed where (and only where)
+    intended.  The oracle states the same facts with explicit lower():
+    collation is exactly the engine taking over that normalization, so
+    both formulations must agree cell for cell."""
+    mixed = T(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper("lang")
+        ).otherwise(F.col("lang")).alias("lang_m")
+    )
+    lcase = F.collate("lang_m", "UTF8_LCASE")
+    return mixed.agg(
+        F.count(F.when(lcase == F.lit("en"), 1)).cast("long").alias(
+            "n_en_lcase"
+        ),
+        F.count(F.when(F.col("lang_m") == "en", 1)).cast("long").alias(
+            "n_en_sensitive"
+        ),
+        F.countDistinct("lang_m").cast("long").alias("n_distinct_sensitive"),
+        F.countDistinct(lcase).cast("long").alias("n_distinct_lcase"),
+    )

@@ -180,3 +180,74 @@ def ud6_mapinpandas(spark, sf_dir):
     return li.mapInPandas(
         per_batch, "l_orderkey bigint, l_linenumber int, revenue double"
     )
+
+
+@register(
+    "ud7_arrow_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)
+             * CAST(n_chars AS BIGINT) AS weight
+    FROM documents
+    """,
+)
+def ud7_arrow_udf(spark, sf_dir):
+    """Arrow-OPTIMIZED Python UDF (Spark 4's ``useArrow=True``) — the
+    fourth Python boundary: the same scalar signature as ud1's pickled
+    row UDF, but arguments and results cross the JVM boundary as Arrow
+    batches, closing most of the gap to pandas UDFs without changing the
+    per-row function body.  The surface matters because it is the
+    migration path for existing row-UDF code: flip one flag, keep the
+    function.  Logic (word count x char count) is deterministic integer
+    arithmetic the oracle restates in SQL."""
+
+    @udf(LongType(), useArrow=True)
+    def weight(text: str, n_chars: int) -> int:
+        return (len(text.split(" ")) if text else 0) * n_chars
+
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", weight("text", "n_chars").alias("weight")
+    )
+
+
+@register(
+    "ud8_mapinarrow",
+    oracle="""
+    SELECT event_id, CAST(user_id % 97 AS BIGINT) AS bucket,
+           value * 2.5 AS scaled
+    FROM events
+    """,
+)
+def ud8_mapinarrow(spark, sf_dir):
+    """``mapInArrow`` partition iterator — the zero-copy sibling of ud6's
+    mapInPandas: the function receives pyarrow RecordBatches directly
+    (no pandas materialization), the right boundary when the Python side
+    is itself Arrow-native (numpy views over batch columns here).  Same
+    bounded-batch memory contract as mapInPandas; pure per-row
+    arithmetic so the oracle is exact: 2.5 is exactly representable, so
+    the single IEEE multiply produces bit-identical doubles in Python
+    and both engines — no terminal rounding needed (Python round() is
+    banker's, DuckDB's is half-away; omitting it removes the boundary
+    class entirely)."""
+    import pyarrow as pa
+
+    def per_batch(batches):
+        for batch in batches:
+            pdf = batch.to_pydict()
+            ev = pdf["event_id"]
+            uid = pdf["user_id"]
+            val = pdf["value"]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "event_id": ev,
+                    "bucket": [u % 97 for u in uid],
+                    "scaled": [v * 2.5 for v in val],
+                }
+            )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    from google_analytics_dataframes_spark.io import fanout
+
+    return fanout(ev).mapInArrow(
+        per_batch, "event_id long, bucket long, scaled double"
+    )

@@ -684,3 +684,23 @@ def test_zorder_layout_prunes_both_dims(spark):
         med = statistics.median(spans[k])
         # BOTH dims bounded per file — the property 1-D clustering lacks
         assert med <= 0.5 * gspan, (k, med, gspan, spans[k])
+
+
+def test_sf15_parses_variant_exactly_once(spark):
+    """sf15: three extractions from the parsed VARIANT must not let
+    CollapseProject re-inline parse_json per reference (sf11's lesson,
+    applied to the variant type at birth): the Generate barrier keeps the
+    parse a bound attribute — exactly one parse_json in the executed
+    plan, with the variant_get extractions reading it."""
+    import re
+
+    df = registry()["sf15_variant"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    # at most one parse site (the Generate may render the parse under a
+    # different name); the load-bearing fact is that EVERY variant_get
+    # reads a bound attribute (v#N), never an inline parse_json(...)
+    assert plan.count("parse_json") <= 1, plan
+    gets = re.findall(r"(?:try_)?variant_get\(([^,]+),", plan)
+    assert gets, plan
+    for arg in gets:
+        assert re.fullmatch(r"v#\d+", arg.strip()), (arg, plan)
