@@ -1085,3 +1085,66 @@ def rb23_incremental_rollup(spark, sf_dir):
         "n",
         F.col("_sum_state").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "rb24_timebound_funnel",
+    oracle="""
+    WITH viewers AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type = 'view'),
+    converted AS (
+      SELECT DISTINCT v.user_id
+      FROM events v JOIN events p
+        ON p.user_id = v.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    SELECT CAST((SELECT COUNT(*) FROM viewers) AS BIGINT) AS n_viewers,
+           CAST((SELECT COUNT(*) FROM converted) AS BIGINT) AS n_converted_1h,
+           round(CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM viewers), 6) AS conv_rate_1h
+    """,
+)
+def rb24_timebound_funnel(spark, sf_dir):
+    """TIME-BOUND funnel conversion — GA's sequence segments with the
+    `withinTimeframe` constraint rb7's ordered funnel lacks: a user
+    converts only if a purchase lands WITHIN ONE HOUR of one of their
+    views, the form product analytics actually asks ('did the view drive
+    the purchase?') rather than ever-ordered steps.
+
+    Scale shape: step-2 qualification is a SEMI join with an interval
+    condition — views join purchases per user with the (0, 1h] bound and
+    the distinct user set is counted, so no per-user event array and no
+    window over the whole stream; the same candidate-bounding the
+    interval join family (j10/j12/st9) uses.  Counts and the terminal
+    ratio are exact integers divided once."""
+    ev = T(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    viewers = views.select("user_id").distinct()
+    converted = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+    )
+    nv = viewers.agg(F.count("*").cast("long").alias("n_viewers"))
+    nc = converted.agg(F.count("*").cast("long").alias("n_converted_1h"))
+    return nv.crossJoin(nc).select(
+        "n_viewers",
+        "n_converted_1h",
+        F.round(
+            F.col("n_converted_1h").cast("double") / F.col("n_viewers"), 6
+        ).alias("conv_rate_1h"),
+    )

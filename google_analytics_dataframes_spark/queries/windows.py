@@ -366,3 +366,135 @@ def w11_rolling_hll(spark, sf_dir):
             <= F.greatest(0.05 * F.col("active_7d"), F.lit(1.0))
         ).alias("within_rsd"),
     )
+
+
+@register(
+    "w12_gapfill_interpolate",
+    oracle="""
+    WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+                FROM events WHERE user_id % 101 = 0),
+    daily AS (SELECT event_type, day,
+                     CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+              FROM ev GROUP BY event_type, day),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+    cal AS (SELECT t.event_type, g.day
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds) + 1))
+                          AS day) g),
+    joined AS (SELECT c.event_type, c.day, d.v
+               FROM cal c LEFT JOIN daily d USING (event_type, day)),
+    marked AS (SELECT *,
+                      MAX(CASE WHEN v IS NOT NULL THEN day END)
+                        OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS prev_day,
+                      MIN(CASE WHEN v IS NOT NULL THEN day END)
+                        OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS next_day
+               FROM joined),
+    filled AS (SELECT m.event_type, m.day, m.v, m.prev_day, m.next_day,
+                      pv.v AS v_prev, nv.v AS v_next
+               FROM marked m
+               LEFT JOIN daily pv
+                 ON pv.event_type = m.event_type AND pv.day = m.prev_day
+               LEFT JOIN daily nv
+                 ON nv.event_type = m.event_type AND nv.day = m.next_day)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_day IS NOT NULL AND next_day IS NOT NULL THEN
+               v_prev + (v_next - v_prev)
+                 * ((CAST(day AS DOUBLE) - prev_day) / (next_day - prev_day))
+             WHEN prev_day IS NOT NULL THEN v_prev
+             ELSE v_next END, 6) AS filled,
+           CASE WHEN v IS NOT NULL THEN 'actual'
+                WHEN prev_day IS NOT NULL AND next_day IS NOT NULL
+                  THEN 'interp'
+                WHEN prev_day IS NOT NULL THEN 'ffill'
+                ELSE 'bfill' END AS src
+    FROM filled
+    """,
+)
+def w12_gapfill_interpolate(spark, sf_dir):
+    """Time-series GAP FILL with linear interpolation — the resampling
+    pass every daily-metric pipeline runs before charting or modeling: a
+    sparse per-type daily series (the user_id%101 slice leaves 10-18 of
+    30 days missing per type) is expanded to the full calendar (bounds
+    derived IN-PLAN from the data, no literals), and each missing day is
+    filled by linear interpolation between its nearest present neighbors
+    (forward-/back-fill at the edges), tagged with its provenance.
+
+    Spark-first shape: the calendar is a broadcast 1-row bounds aggregate
+    exploded through sequence(); neighbor lookup uses NO ignore-nulls and
+    NO self-joins on the Spark side — `max(when(present,
+    struct(day, v)))` over the preceding frame rides ONE window per
+    direction, carrying the neighbor's day AND value together (struct
+    ordering is day-major).  The oracle reaches the same neighbors by a
+    different mechanism (window on day + value re-join) so the fill
+    logic is cross-checked, and the interpolation expression is written
+    with the identical association in both engines before terminal
+    round(6)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 101 == 0).select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    joined = cal.join(daily, ["event_type", "day"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    present = F.col("v").isNotNull()
+    prev_s = F.max(F.when(present, F.struct("day", "v"))).over(w_prev)
+    next_s = F.min(F.when(present, F.struct("day", "v"))).over(w_next)
+    m = joined.select(
+        "event_type",
+        "day",
+        "v",
+        prev_s.getField("day").alias("prev_day"),
+        prev_s.getField("v").alias("v_prev"),
+        next_s.getField("day").alias("next_day"),
+        next_s.getField("v").alias("v_next"),
+    )
+    has_prev = F.col("prev_day").isNotNull()
+    has_next = F.col("next_day").isNotNull()
+    interp = F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * (
+        (F.col("day").cast("double") - F.col("prev_day"))
+        / (F.col("next_day") - F.col("prev_day"))
+    )
+    return m.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.round(
+            F.when(present, F.col("v"))
+            .when(has_prev & has_next, interp)
+            .when(has_prev, F.col("v_prev"))
+            .otherwise(F.col("v_next")),
+            6,
+        ).alias("filled"),
+        F.when(present, F.lit("actual"))
+        .when(has_prev & has_next, F.lit("interp"))
+        .when(has_prev, F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+        .alias("src"),
+    )
