@@ -764,14 +764,33 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                     "decode_jpeg: restart intervals unsupported"
                 )
         elif marker == 0xDA:  # SOS
+            # malformed-stream contract: every structural defect raises
+            # the documented ValueError, not TypeError/StopIteration/
+            # KeyError (code-review finding, round 8)
+            if comps is None:
+                raise ValueError("decode_jpeg: SOS before SOF0")
             nc = seg[0]
             scan_comps = []
             for ci in range(nc):
                 cid, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan_comps.append(
-                    (comp, tables >> 4, tables & 0x0F)
-                )
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"decode_jpeg: scan references undefined "
+                        f"component id {cid}"
+                    )
+                td, ta = tables >> 4, tables & 0x0F
+                if td not in dc_luts or ta not in ac_luts:
+                    raise ValueError(
+                        f"decode_jpeg: scan references undefined Huffman "
+                        f"table (dc={td}, ac={ta})"
+                    )
+                if comp["tq"] not in qtables:
+                    raise ValueError(
+                        f"decode_jpeg: component references undefined "
+                        f"quant table {comp['tq']}"
+                    )
+                scan_comps.append((comp, td, ta))
             pos += 2 + seglen
             break
         elif marker in (0xD9,):  # EOI before SOS
@@ -885,6 +904,17 @@ def encode_gif(indexed, palette) -> bytes:
         seq = bytes((b,))
     if seq:
         emit(table[seq], width)
+        # mirror the decoder's bookkeeping for the TAIL code too: the
+        # decoder appends one dictionary entry for it and, if that append
+        # fills the current width (table size reaches 2^width), bumps the
+        # width BEFORE reading the next code — which is our EOI.  Without
+        # this the EOI is written one bit short at exactly those
+        # boundaries; LSB-first zero padding usually masks the misread,
+        # but a byte-aligned stream end turns it into a truncation error
+        # (code-review finding, round 8).
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         data.append(acc & 0xFF)
@@ -918,15 +948,26 @@ def decode_gif(blob: bytes):
     gct_size = 2 << (flags & 0x07)
     pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
     pos += gct_size * 3
+    def skip_extension(pos: int) -> int:
+        """Skip one 0x21 extension block (label + sub-blocks), bounds-
+        checked so truncation raises the documented ValueError."""
+        pos += 2
+        while True:
+            if pos >= len(blob):
+                raise ValueError("decode_gif: truncated extension block")
+            ln = blob[pos]
+            if ln == 0:
+                return pos + 1
+            if pos + 1 + ln > len(blob):
+                raise ValueError("decode_gif: truncated extension block")
+            pos += 1 + ln
+
     while True:
         if pos >= len(blob):
             raise ValueError("decode_gif: truncated before image data")
         b0 = blob[pos]
         if b0 == 0x21:  # extension: label + sub-blocks, skip per spec
-            pos += 2
-            while blob[pos] != 0:
-                pos += 1 + blob[pos]
-            pos += 1
+            pos = skip_extension(pos)
         elif b0 == 0x2C:
             break
         elif b0 == 0x3B:
@@ -942,13 +983,33 @@ def decode_gif(blob: bytes):
     min_code = blob[pos]
     pos += 1
     data = bytearray()
-    while blob[pos] != 0:
+    while True:
+        if pos >= len(blob):
+            raise ValueError("decode_gif: truncated image data")
         ln = blob[pos]
+        if ln == 0:
+            pos += 1
+            break
+        if pos + 1 + ln > len(blob):
+            raise ValueError("decode_gif: truncated image data")
         data += blob[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
-    pos += 1
-    if pos < len(blob) and blob[pos] == 0x2C:
-        raise NotImplementedError("decode_gif: multi-frame GIFs unsupported")
+    # honest-subset guard: a SECOND image block anywhere in the remainder
+    # (real animations put graphics-control extensions between frames, so
+    # a blob[pos] == 0x2C check would miss them — code-review finding,
+    # round 8) must raise, not silently return frame 1
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x2C:
+            raise NotImplementedError(
+                "decode_gif: multi-frame GIFs unsupported"
+            )
+        if b0 == 0x21:
+            pos = skip_extension(pos)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
 
     # --- LZW decompress ---
     CLEAR, EOI = 1 << min_code, (1 << min_code) + 1

@@ -926,14 +926,11 @@ def l60_incremental_neardup(spark, sf_dir):
     from google_analytics_dataframes_spark.operators.dedup import jaccard_pairs_cross
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    grams = F.explode(
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 1)), "
-                "p -> substring(text, p, 3))"
-            )
-        )
-    ).alias("item")
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    # shared gram builder — must stay identical to the stored index's
+    # (sources/bucketed.corpus_gram_relation); see the round-8 note there
+    grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc = docs.filter(F.length("source") == 5).select("doc_id", grams)
     ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
     pairs = jaccard_pairs_cross(inc, ex, threshold_pct=60)
@@ -1248,14 +1245,11 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
     )
 
     docs = T(spark, sf_dir, "documents")
-    grams = F.explode(
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 1)), "
-                "p -> substring(text, p, 3))"
-            )
-        )
-    ).alias("item")
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    # shared gram builder — must stay identical to the stored index's
+    # (sources/bucketed.corpus_gram_relation); see the round-8 note there
+    grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc_items = docs.filter(F.length("source") == 5).select("doc_id", grams)
 
     idx = None if _force_gram_path else mask_index_tables(spark, sf_dir)

@@ -199,21 +199,16 @@ def corpus_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
 
+    # ONE shared gram builder (operators/dedup.char_ngrams) for the stored
+    # index AND every query that joins against it — the tokenizers must
+    # stay byte-identical or the stored pair set silently diverges from
+    # the per-run one (code-review finding, round 8)
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.filter(F.length("source") == 4)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, greatest(length(text) - 2, 1)),"
-                        " p -> substring(text, p, 3))"
-                    )
-                )
-            ).alias("item"),
-        )
+        .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
         .withColumn("sz", F.count("*").over(W.partitionBy("doc_id")))
     )
 

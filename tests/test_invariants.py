@@ -255,6 +255,22 @@ def test_multimodal_jpeg_roundtrip_known_answer():
         M.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         M.decode_jpeg(jp[: len(jp) // 2])
+    # structural defects raise the documented ValueError, never
+    # TypeError/StopIteration/KeyError (round-8 code-review finding)
+    import struct as _st
+
+    sos_at = jp.find(b"\xff\xda")
+    headers_only = jp[:2] + jp[sos_at:]  # SOS with no SOF/DQT/DHT seen
+    with pytest.raises(ValueError, match="SOS before SOF0"):
+        M.decode_jpeg(headers_only)
+    bad_comp = bytearray(jp)
+    bad_comp[sos_at + 5] = 9  # scan names component id 9 (SOF defines 1)
+    with pytest.raises(ValueError, match="undefined component"):
+        M.decode_jpeg(bytes(bad_comp))
+    bad_tbl = bytearray(jp)
+    bad_tbl[sos_at + 6] = 0x33  # dc table 3 / ac table 3: never defined
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        M.decode_jpeg(bytes(bad_tbl))
 
     # (f) decode_real dispatch: grayscale -> HxWx1, color -> HxWx3
     out = M.decode_real(jp)
@@ -971,3 +987,26 @@ def test_multimodal_gif_roundtrip_known_answer():
         M.decode_gif(bytes(interlaced))
     with pytest.raises(ValueError):
         M.decode_gif(gif[: len(gif) // 2])
+
+    # REAL animations interleave a graphics-control extension between
+    # frames — the multi-frame guard must catch that shape, not just
+    # back-to-back image blocks (round-8 code-review finding)
+    frame = gif[img_at:-1]  # image descriptor + data, no trailer
+    animated = gif[:-1] + ext + frame + b"\x3b"
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        M.decode_gif(animated)
+    # truncation INSIDE an extension block raises the documented error
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_gif(gif[:img_at] + b"\x21\xf9\x04\x00")
+
+    # tail-code width-bump synchronization (round-8 code-review finding):
+    # the decoder appends a dictionary entry for the FINAL data code and
+    # may bump the code width before reading EOI; the encoder must emit
+    # EOI at that bumped width.  Fuzz across sizes spanning the 512/1024
+    # bump boundaries plus structured pair-dense content.
+    rs2 = np.random.RandomState(99)
+    for n in list(range(245, 270)) + list(range(755, 780)) + [5000]:
+        arr = rs2.randint(0, 256, (1, n)).astype(np.uint8)
+        assert np.array_equal(
+            M.decode_gif(M.encode_gif(arr, pal))["indexed"], arr
+        ), n

@@ -40,7 +40,11 @@ STAGERS = {
     "st9_stream_interval_join": ("_stage_stream_dir", {"ordered": True}),
     "st10_stream_static_enrich": ("_stage_stream_dir", {"ordered": False}),
     "st13_stream_windowed_agg": ("_stage_stream_dir", {"ordered": False}),
-    "st14_stream_sessionize": ("_stage_stream_dir", {"ordered": True}),
+    # st14 stages via the FLUSH variant (ordered base + sentinel writes);
+    # mapping it to the bare ordered stager timed the wrong helper and
+    # pushed the sentinel cost into the untimed warm-up (code-review
+    # finding, round 8)
+    "st14_stream_sessionize": ("_stage_stream_dir_with_flush", {}),
     "st15_stream_content_dedup": ("_stage_doc_stream", {}),
 }
 
