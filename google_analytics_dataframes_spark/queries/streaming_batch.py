@@ -296,6 +296,13 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> st
         os.utime(dst, (t, t))
     ev = load_table(spark, sf_dir, "events")
     max_ns = ev.agg(F.max(F.unix_micros("ts"))).first()[0] * 1000
+    # sentinel files are written DIRECTLY with pyarrow — one 2-row file
+    # per sentinel; spinning up a Spark write job per sentinel cost ~4 s
+    # each (stream-probe measurement: 14 s staging for the 3-sentinel
+    # variant), all of it scaffolding overhead
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     for s in range(n_sentinels):
         # one sentinel row PER EVENT TYPE the downstream query splits on:
         # a multi-watermark query (stream-stream join: views side +
@@ -307,22 +314,20 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> st
         # consumer filters them (or, for joins, they can never match a
         # real row).
         sent_ts = max_ns + (s + 1) * 2 * 3600 * 1_000_000_000
-        sentinel = spark.createDataFrame(
-            [
-                (-1 - 2 * s, sent_ts, -1 - 2 * s, "view", 0.0, "{}"),
-                (-2 - 2 * s, sent_ts, -2 - 2 * s, "purchase", 0.0, "{}"),
-            ],
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string",
+        table = pa.table(
+            {
+                "event_id": pa.array([-1 - 2 * s, -2 - 2 * s], pa.int64()),
+                "ts": pa.array([sent_ts, sent_ts], pa.int64()),
+                "user_id": pa.array([-1 - 2 * s, -2 - 2 * s], pa.int64()),
+                "event_type": pa.array(["view", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
         )
-        stage = d + "_sentinel"
-        sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
         dst = os.path.join(d, f"{len(parts) + s}_sentinel{s}.parquet")
-        shutil.copyfile(os.path.join(stage, part), dst)
+        pq.write_table(table, dst)
         t = 1_700_000_000 + (len(parts) + s) * 60
         os.utime(dst, (t, t))
-        shutil.rmtree(stage, ignore_errors=True)
     _STAGE_CACHE[key] = d
     return d
 

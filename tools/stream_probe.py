@@ -46,6 +46,10 @@ STAGERS = {
     # finding, round 8)
     "st14_stream_sessionize": ("_stage_stream_dir_with_flush", {}),
     "st15_stream_content_dedup": ("_stage_doc_stream", {}),
+    # round-8 additions: the outer join stages the 3-sentinel flush
+    # variant; the restart query stages its two phase files
+    "st16_stream_outer_join": ("_stage_stream_dir_with_flush", {"n_sentinels": 3}),
+    "st17_stream_restart_resume": ("_stage_restart_phases", {}),
 }
 
 
@@ -55,7 +59,7 @@ def main() -> None:
         (a.split("=", 1)[1] for a in sys.argv if a.startswith("--queries=")),
         None,
     )
-    wanted = qarg.split(",") if qarg else ["st9", "st10", "st13", "st14", "st15"]
+    wanted = qarg.split(",") if qarg else ["st9", "st10", "st13", "st14", "st15", "st16", "st17"]
 
     from google_analytics_dataframes_spark.queries import streaming_batch as SB
     from google_analytics_dataframes_spark.registry import registry
