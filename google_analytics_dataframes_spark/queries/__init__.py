@@ -80,17 +80,20 @@ SWEEP_HEAD: list[str] = [
     # helpers l63/l64 reference; l27 is the helper-closure guard's
     # over-approximation from the l67/l68 insertions — cheap to re-sweep
     "l64_", "l63_", "l27_",
-    # determinism probes re-run every round (all green since the dg7 fix)
-    "dg",
 ]
 
 # Staleness rotation (VERDICT r7 item #2): oldest driver evidence first —
 # the 12 remaining r02-proofed rows lead so round 8 finishes the "nothing
 # older than r03" bar the r02 tier missed last round.
 SWEEP_ROTATION: list[str] = [
-    # r02 evidence (the 12 rows VERDICT r7 enumerated)
+    # r02 evidence (the 12 rows VERDICT r7 enumerated) — placed DIRECTLY
+    # after the stale/new head so round 8's ~50-query budget reaches them
+    # (round 8 added ~24 rows needing first evidence, so the unchanged
+    # dg1-6/dg8 probes — r07-fresh — yield their every-round slots)
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
     "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
+    # determinism probes (dg7 is already in the head — it changed)
+    "dg",
     # r03 evidence next (oldest after the r02 tier clears)
     "s9_", "s10_", "s11_",
     "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l10_", "l14_", "l15_",
