@@ -339,15 +339,18 @@ def write_zordered(
     top = F.lit((1 << bits) - 1)
 
     def scaled(c, lo, hi):
-        # rank in DOUBLE arithmetic: the long form (col-lo)*top overflows
-        # int64 once the key span exceeds ~2^63/2^bits (e.g. Z-ordering
-        # raw microsecond timestamps) and silently scrambles the Morton
-        # layout (code-review finding, round 8).  Doubles lose integer
-        # exactness past 2^53, which only blurs rank boundaries — the
-        # layout is approximate by construction.
-        span = F.greatest((F.col(hi) - F.col(lo)).cast("double"), F.lit(1.0))
+        # rank FULLY in double arithmetic — operands cast BEFORE any
+        # subtraction: both (col-lo)*top and (hi-lo) overflow int64 for
+        # near-full-range long keys (ANSI mode fails the job; non-ANSI
+        # silently scrambles the Morton layout — code-review findings,
+        # round 8).  Doubles lose integer exactness past 2^53, which only
+        # blurs rank boundaries — the layout is approximate by
+        # construction.
+        span = F.greatest(
+            F.col(hi).cast("double") - F.col(lo).cast("double"), F.lit(1.0)
+        )
         return (
-            (F.col(c) - F.col(lo)).cast("double") * top / span
+            (F.col(c).cast("double") - F.col(lo).cast("double")) * top / span
         ).cast("long")
 
     coded = df.join(F.broadcast(stats)).withColumn(

@@ -769,6 +769,8 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
             # KeyError (code-review finding, round 8)
             if comps is None:
                 raise ValueError("decode_jpeg: SOS before SOF0")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("decode_jpeg: truncated SOS segment")
             nc = seg[0]
             scan_comps = []
             for ci in range(nc):

@@ -77,22 +77,25 @@ SWEEP_HEAD: list[str] = [
     # offset (ADVICE r7)
     "dg7_", "l66_",
     # decode_png's truncation bounds-check (ADVICE r7) touches the codec
-    # helpers l63/l64 reference; l27 is the helper-closure guard's
-    # over-approximation from the l67/l68 insertions — cheap to re-sweep
-    "l64_", "l63_", "l27_",
+    # helpers l63/l64 reference
+    "l64_", "l63_",
+    # the r02-evidence rotation (VERDICT r7 item #2's 12 rows) sits HERE,
+    # inside the head and ahead of the two guard over-approximations, so
+    # all 12 land within the ~50-query budget (positions 38-49)
+    "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
+    "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
+    # LAST — guard OVER-APPROXIMATIONS (span adjacency from the l73/l74
+    # and l67/l68 insertions; no semantic change, r07-fresh evidence):
+    # if the budget truncates anything, it truncates these
+    "l13_", "l27_",
 ]
 
 # Staleness rotation (VERDICT r7 item #2): oldest driver evidence first —
 # the 12 remaining r02-proofed rows lead so round 8 finishes the "nothing
 # older than r03" bar the r02 tier missed last round.
 SWEEP_ROTATION: list[str] = [
-    # r02 evidence (the 12 rows VERDICT r7 enumerated) — placed DIRECTLY
-    # after the stale/new head so round 8's ~50-query budget reaches them
-    # (round 8 added ~24 rows needing first evidence, so the unchanged
-    # dg1-6/dg8 probes — r07-fresh — yield their every-round slots)
-    "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
-    "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
-    # determinism probes (dg7 is already in the head — it changed)
+    # determinism probes (dg7 is already in the head — it changed; the
+    # r02-evidence rows moved INTO the head for budget reasons)
     "dg",
     # r03 evidence next (oldest after the r02 tier clears)
     "s9_", "s10_", "s11_",

@@ -1054,8 +1054,6 @@ def rb23_incremental_rollup(spark, sf_dir):
     isn't even scanned — it's the stored rollup; here both sides derive
     from the same table to keep the query self-contained), and the merge
     re-aggregates |days| x |types| rows — metadata-sized."""
-    from google_analytics_dataframes_spark.queries._util import dsum
-
     ev = T(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "event_type",

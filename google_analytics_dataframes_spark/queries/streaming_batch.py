@@ -683,7 +683,10 @@ def st17_stream_restart_resume(spark, sf_dir):
     run_once()  # run 1: first half, then the query STOPS
     add_phase("p2", 1_700_000_060)
     run_once()  # run 2: resumes from the checkpoint; replays must dedup
+    # the checkpoint and the per-invocation SOURCE copy are both done —
+    # only `out` stays (the returned DataFrame reads it lazily)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(live, ignore_errors=True)
     return spark.read.parquet(out).select(
         "event_id",
         "user_id",

@@ -257,8 +257,6 @@ def test_multimodal_jpeg_roundtrip_known_answer():
         M.decode_jpeg(jp[: len(jp) // 2])
     # structural defects raise the documented ValueError, never
     # TypeError/StopIteration/KeyError (round-8 code-review finding)
-    import struct as _st
-
     sos_at = jp.find(b"\xff\xda")
     headers_only = jp[:2] + jp[sos_at:]  # SOS with no SOF/DQT/DHT seen
     with pytest.raises(ValueError, match="SOS before SOF0"):
