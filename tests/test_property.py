@@ -261,3 +261,90 @@ def test_sessionization_equals_sequential_reference(spark, events):
         for r in _sessions(df).collect()
     }
     assert got == want
+
+
+_images = st.integers(1, 40).flatmap(
+    lambda h: st.integers(1, 40).flatmap(
+        lambda w: st.binary(min_size=h * w * 3, max_size=h * w * 3).map(
+            lambda b: (h, w, b)
+        )
+    )
+)
+
+
+@given(img=_images)
+@settings(max_examples=40, deadline=None)
+def test_lossless_codecs_roundtrip_arbitrary_images(img):
+    """PROPERTY: every lossless image codec (BMP, PPM, PNG, GIF-indexed)
+    is the identity on ARBITRARY pixel content and dimensions — not just
+    the structured fixtures the known-answer tests use.  Hypothesis
+    shrinks any failure to a minimal image, which is how codec bugs are
+    actually found (the round-8 GIF tail-width bug lived exactly in this
+    input space)."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.operators import multimodal as M
+
+    h, w, raw = img
+    rgb = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(rgb)), rgb)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(rgb)), rgb)
+    assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1)
+    idx = rgb[:, :, 0]  # arbitrary byte plane as the indexed image
+    dec = M.decode_gif(M.encode_gif(idx, pal.astype(np.uint8)))
+    assert np.array_equal(dec["indexed"], idx)
+
+
+_coeff_blocks = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 63), st.integers(-1023, 1023)),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(blocks_spec=_coeff_blocks)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_entropy_layer_roundtrips_arbitrary_coefficients(blocks_spec):
+    """PROPERTY: the JPEG entropy layer (canonical Huffman, DC prediction,
+    run lengths, ZRL, magnitude categories, byte stuffing) is exactly
+    invertible for ARBITRARY sparse quantized coefficient blocks across
+    the full baseline AC range — the lossless core inside the lossy
+    format."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.operators import multimodal as M
+
+    nb = len(blocks_spec)
+    blocks = np.zeros((1, nb, 64), np.int32)
+    for b, spec in enumerate(blocks_spec):
+        for k, v in spec:
+            blocks[0, b, k] = v
+    jp = M.encode_jpeg_coeffs(blocks, 8 * nb, 8)
+    _px, coeffs = M.decode_jpeg(jp, return_coeffs=True)
+    assert np.array_equal(coeffs[0], blocks)
+
+
+@given(
+    samples=st.lists(
+        st.integers(-32768, 32767), min_size=1, max_size=500
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrips_arbitrary_pcm(samples, rate):
+    """PROPERTY: WAV encode/decode is the identity on arbitrary int16 PCM
+    at any supported rate (including full-range extremes)."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.operators import multimodal as M
+
+    s = np.asarray(samples, np.int16)
+    out = M.decode_wav(M.encode_wav(s, rate))
+    assert out["sample_rate"] == rate
+    assert np.array_equal(out["samples"][:, 0], s)
