@@ -56,8 +56,9 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 4: Spark-4 API surfaces — arrow-optimized scalar UDF,
     # mapInArrow, VARIANT, collations
     "ud7_", "ud8_", "sf15_", "sf16_",
-    # round-8 batch 5: time-series gap-fill + time-bound funnel
-    "w12_", "rb24_",
+    # round-8 batch 5: time-series gap-fill + time-bound funnel, and the
+    # CDC-targeted dedup composition (l66 delta x l69 stored index)
+    "w12_", "rb24_", "l75_",
     # span-adjacency flag from the l73/l74 insertions (guard
     # over-approximation — cheap to re-sweep rather than argue with)
     "l13_",

@@ -1239,11 +1239,6 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
     Index staging is charged once per session, same policy as the
     streaming staging cache — a real deployment maintains the index at
     ingest, not per query."""
-    from google_analytics_dataframes_spark.sources.bucketed import (
-        gram_index_table,
-        mask_index_tables,
-    )
-
     docs = T(spark, sf_dir, "documents")
     from google_analytics_dataframes_spark.operators.dedup import char_ngrams
 
@@ -1251,7 +1246,25 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
     # (sources/bucketed.corpus_gram_relation); see the round-8 note there
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc_items = docs.filter(F.length("source") == 5).select("doc_id", grams)
+    return _stored_index_cross_pairs(
+        spark, sf_dir, inc_items, _force_gram_path=_force_gram_path
+    )
 
+
+def _stored_index_cross_pairs(
+    spark, sf_dir, inc_items, threshold_pct: int = 60,
+    _force_gram_path: bool = False,
+):
+    """Join an incoming (doc_id, item) gram relation against the STORED
+    corpus index at >= threshold_pct Jaccard — l69's engine, shared with
+    l75's CDC-targeted dedup.  Dispatches mask-table vs bucketed-gram
+    form by the corpus regime (see l69's docstring)."""
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        gram_index_table,
+        mask_index_tables,
+    )
+
+    t = threshold_pct
     idx = None if _force_gram_path else mask_index_tables(spark, sf_dir)
     if idx is not None:
         vocab_table, mask_table = idx
@@ -1284,7 +1297,7 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
         # CollapseProject lesson): (100+t)*I >= t*(sza+szb) <=> I/U >= t
         pairs = (
             b.join(F.broadcast(a), F.lit(True))
-            .filter((100 + 60) * inter >= 60 * sz_sum)
+            .filter((100 + t) * inter >= t * sz_sum)
             .select(
                 F.col("a.doc_id").alias("doc_in"),
                 F.col("b.doc_id").alias("doc_ex"),
@@ -1313,7 +1326,7 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
                 "uni",
                 (F.col("szi") + F.col("szx") - F.col("inter")).cast("long"),
             )
-            .filter(100 * F.col("inter") >= 60 * F.col("uni"))
+            .filter(100 * F.col("inter") >= t * F.col("uni"))
             .select("doc_in", "doc_ex", "inter", "uni")
         )
     return pairs.select(
@@ -1552,3 +1565,85 @@ def l71_merge_upsert(spark, sf_dir):
             "content_checksum"
         ),
     )
+
+
+# ------------------------------------------------------------------- l75 ---
+
+
+@register(
+    "l75_delta_dedup",
+    oracle="""
+    WITH offs AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    delta AS (
+      SELECT doc_id, text || ' rev2' AS text
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + (SELECT o FROM offs), reverse(text)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE length(source) = 4),
+    gd AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM delta)),
+    gx AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM corpus)),
+    sd AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY doc_id),
+    sx AS (SELECT doc_id, COUNT(*) AS sz FROM gx GROUP BY doc_id),
+    inter AS (SELECT gd.doc_id AS doc_in, gx.doc_id AS doc_ex,
+                     COUNT(*) AS inter
+              FROM gd JOIN gx USING (gram)
+              GROUP BY gd.doc_id, gx.doc_id)
+    SELECT i.doc_in, i.doc_ex, i.inter,
+           CAST(a.sz + b.sz - i.inter AS BIGINT) AS uni,
+           round(CAST(i.inter AS DOUBLE) / (a.sz + b.sz - i.inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sd a ON a.doc_id = i.doc_in
+    JOIN sx b ON b.doc_id = i.doc_ex
+    WHERE 100 * i.inter >= 60 * (a.sz + b.sz - i.inter)
+    """,
+)
+def l75_delta_dedup(spark, sf_dir):
+    """CDC-TARGETED dedup — the composition a continuously-re-crawled
+    corpus actually runs between snapshots, tying three round-7/8
+    operators into one pipeline: the re-crawl delta (l66's derivation —
+    every surviving 7th doc re-edited, every 11th re-discovered under an
+    id past max(doc_id), offset derived in-plan) is near-dup-checked at
+    >=60% 3-gram Jaccard against the PERSISTENT stored index (l69's
+    engine, shared helper `_stored_index_cross_pairs`) — so per re-crawl
+    the work scales with |delta| x |collisions|, the corpus is never
+    re-shredded, and unchanged documents cost nothing at all.
+
+    The output answers the curator's question for each changed/added doc:
+    'is this edit/new page a near-duplicate of something already in the
+    corpus?' — edited docs naturally pair with their own prior version
+    (same doc_id on both sides: the ' rev2' suffix barely moves 3-gram
+    Jaccard), and genuinely novel re-discoveries pair with nothing.  The
+    oracle is the naive delta x corpus join on raw text, so the driver
+    hash proves the composed stored-index plan emits the identical pair
+    set."""
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    offset = F.broadcast(
+        docs.agg((F.max("doc_id") + F.lit(1)).alias("_id_offset"))
+    )
+    changed = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", F.concat("text", F.lit(" rev2")).alias("text"))
+    added = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .crossJoin(offset)
+        .select(
+            (F.col("doc_id") + F.col("_id_offset")).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
+    )
+    delta_items = (
+        changed.unionAll(added)
+        .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
+    )
+    return _stored_index_cross_pairs(spark, sf_dir, delta_items)
