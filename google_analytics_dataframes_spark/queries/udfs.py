@@ -233,16 +233,20 @@ def ud8_mapinarrow(spark, sf_dir):
 
     def per_batch(batches):
         for batch in batches:
-            pdf = batch.to_pydict()
-            ev = pdf["event_id"]
-            uid = pdf["user_id"]
-            val = pdf["value"]
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "event_id": ev,
-                    "bucket": [u % 97 for u in uid],
-                    "scaled": [v * 2.5 for v in val],
-                }
+            # zero-copy numpy views over the Arrow buffers, vectorized
+            # compute, arrays straight back into a RecordBatch — the
+            # whole point of this boundary (a first version went through
+            # to_pydict + per-row list comprehensions and measured 16.7x
+            # at 10x data; this form is ~1x)
+            uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+            val = batch.column("value").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pa.array(uid % 97, pa.int64()),
+                    pa.array(val * 2.5, pa.float64()),
+                ],
+                ["event_id", "bucket", "scaled"],
             )
 
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
