@@ -736,6 +736,85 @@ def st12_stream_stateful_funnel(spark, sf_dir):
 
 
 @register(
+    "st18_stream_typed_state",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS errors,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS signups,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS views,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def st18_stream_typed_state(spark, sf_dir):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas /
+    StatefulProcessor) EXECUTED as a stream and driver-checked: per-user
+    event-type census on TYPED state — a MapState keyed by event_type
+    (point-writes touch only the types seen in the batch) plus a ValueState
+    total, each in its own RocksDB column family (the provider this query
+    switches to; HDFSBackedStateStore raises on multiple column families).
+    st12 proved the maintenance-mode GroupState tier; this row proves its
+    Spark-4 successor — the engine real deployments must migrate custom
+    stateful operators to — against the same class of batch oracle.
+
+    Runtime note: the TWS state-server protocol needs google.protobuf in
+    every interpreter.  streaming/tws_runtime arms an ALREADY-RUNNING
+    session by placing a sitecustomize shim on sc.environment's PYTHONPATH
+    during plan construction — envVars are captured per-UDF at wrap time,
+    so the driver harness needs no pre-JVM setup (and the TWS driver
+    worker, which imports the gencode at interpreter start, is covered
+    where sc.addPyFile cannot reach — measured, see tws_runtime).
+
+    Emits one row per (user, batch-it-changed-in); counters are monotone,
+    so max-per-user over the update stream is the final state, which must
+    equal the batch GROUP BY pivot."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+    )
+
+    src = _stage_stream_dir(spark, sf_dir, ordered=False)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with armed_worker_env(spark):
+            # plan construction must happen inside the armed block — this
+            # is where the python function's envVars are captured
+            tws = jobs.st18_typed_state_census(stream)
+        with _few_state_partitions(spark):
+            out = jobs.run_available_now(
+                tws, f"st18_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+            )
+    finally:
+        if old_provider:
+            spark.conf.set(provider_key, old_provider)
+        else:
+            spark.conf.unset(provider_key)
+    return out.groupBy("user_id").agg(
+        F.max("clicks").alias("clicks"),
+        F.max("errors").alias("errors"),
+        F.max("purchases").alias("purchases"),
+        F.max("signups").alias("signups"),
+        F.max("views").alias("views"),
+        F.max("total").alias("total"),
+    )
+
+
+@register(
     "st13_stream_windowed_agg",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

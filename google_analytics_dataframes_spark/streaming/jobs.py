@@ -208,6 +208,76 @@ def st8_stateful_funnel_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def st18_typed_state_census(events: DataFrame) -> DataFrame:
+    """Per-user event-type census on TWS TYPED state: a MapState keyed by
+    event_type (one dynamically-growing counter map per user) plus a
+    ValueState running total — the state shapes the GroupState/
+    applyInPandasWithState tier cannot express natively (it gives one
+    opaque tuple per key; a map would need whole-value rewrite per update,
+    where MapState writes only the touched event_type entries).  Each TWS
+    state variable lives in its own RocksDB column family, so this is also
+    the query that actually exercises the multi-column-family state store
+    (st8's single ValueState merely requires it).
+
+    Emits one row per (user, microbatch-it-changed-in) with the map
+    flattened onto the five census columns; counters are monotone, so the
+    final state per user is the max over its updates, and that must equal
+    the batch GROUP BY pivot — the oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    map_key_schema = StructType([StructField("event_type", StringType())])
+    map_value_schema = StructType([StructField("n", LongType())])
+    total_schema = StructType([StructField("total", LongType())])
+    output_schema = (
+        "user_id bigint, clicks bigint, errors bigint, purchases bigint, "
+        "signups bigint, views bigint, total bigint"
+    )
+
+    class CensusProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._census = handle.getMapState("census", map_key_schema, map_value_schema)
+            self._total = handle.getValueState("total", total_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_counts: dict = {}
+            n_rows = 0
+            for pdf in rows:
+                n_rows += len(pdf)
+                for et, n in pdf["event_type"].value_counts().items():
+                    batch_counts[et] = batch_counts.get(et, 0) + int(n)
+            # point-write only the event_types this batch touched
+            for et, n in batch_counts.items():
+                prev = (
+                    self._census.getValue((et,))[0]
+                    if self._census.containsKey((et,))
+                    else 0
+                )
+                self._census.updateValue((et,), (prev + n,))
+            total = (self._total.get()[0] if self._total.exists() else 0) + n_rows
+            self._total.update((total,))
+            now = {k: v[0] for (k,), v in self._census.iterator()}
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    **{f"{k}s": [now.get(k, 0)] for k in kinds},
+                    "total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CensusProcessor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def st9_attribution_join(
     events: DataFrame, lateness: str = "2 hours", horizon: str = "1 hour"
 ) -> DataFrame:

@@ -1,143 +1,22 @@
 """Locate a usable ``google.protobuf`` runtime for transformWithStateInPandas.
 
-The TWS Python state-server protocol needs the protobuf wheel
-(``pyspark/sql/streaming/proto/StateMessage_pb2.py`` imports the full
-runtime).  This container has no wheel and no pip, but hosts commonly carry a
-PURE-PYTHON protobuf runtime vendored by other tooling (e.g. Google Cloud
-SDK's bundled App Engine platform ships protobuf 6.32 under
-``platform/google_appengine/google/protobuf`` — runtime_version.py,
-internal/builder.py, no C extension).  This module finds such a runtime and
-makes it importable:
-
-* in THIS process: :func:`ensure_protobuf`;
-* in Spark's Python workers (the TWS driver-worker and executor workers are
-  fresh interpreters): :func:`install_worker_shim` writes a ``sitecustomize``
-  dir and prepends it to ``$PYTHONPATH`` — it must run BEFORE the JVM starts
-  so the env var propagates to worker launches.
-
-Two wrinkles the shim handles, found the hard way:
-
-1. Spark jars on worker ``sys.path`` contain ``google/protobuf/*.proto``
-   RESOURCES, so ``import google.protobuf`` can succeed as an EMPTY namespace
-   package (``__file__ is None``) that shadows nothing useful — presence must
-   be tested as "imported AND has a ``__file__``".
-2. pyspark 4.1's gencode is 6.33; a 6.32 runtime fails
-   ``ValidateProtobufRuntimeVersion`` on a minor-version gap even though the
-   wire format and builder API are identical — the shim no-ops the check.
+The implementation moved into the package when st18 made TWS a REGISTERED
+query (the driver harness needs the arming logic without the test tree):
+see :mod:`google_analytics_dataframes_spark.streaming.tws_runtime` for the
+full story (vendored-runtime discovery, the jar-resource namespace-package
+trap, the gencode minor-version gate, and why the driver worker needs an
+env-var-at-interpreter-start shim rather than addPyFile).  This module keeps
+the historical test-suite import surface.
 """
 
 from __future__ import annotations
 
-import os
-import sys
-
-FALLBACK_RUNTIME_DIRS = [
-    # dirs whose google/protobuf/ holds a pure-python runtime (>=5.27: has
-    # runtime_version.py); first hit wins.  Extend via env var below.
-    "/usr/lib/google-cloud-sdk/platform/google_appengine",
-]
-ENV_VAR = "SPARK_GRAFT_PROTOBUF_DIR"
-
-SITECUSTOMIZE_SRC = '''\
-"""Auto-generated by tests/_protobuf_compat.py (spark-graft test suite):
-makes a vendored pure-python google.protobuf importable in Spark Python
-workers when the real wheel is absent.  Safe no-op otherwise."""
-import os, sys
-
-def _ensure_protobuf():
-    try:
-        import google.protobuf
-        if getattr(google.protobuf, "__file__", None):
-            return  # real runtime present
-    except ImportError:
-        pass
-    # either absent, or a jar/zip on sys.path exposed google/protobuf/*.proto
-    # resources as an EMPTY namespace package (__file__ None)
-    for p in {dirs!r}:
-        if os.path.isdir(os.path.join(p, "google", "protobuf")):
-            break
-    else:
-        return
-    if p not in sys.path:
-        sys.path.append(p)
-    for k in list(sys.modules):
-        if k == "google" or k.startswith("google."):
-            del sys.modules[k]
-    try:
-        from google.protobuf import runtime_version as _rv
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
-    except Exception:
-        pass
-
-_ensure_protobuf()
-'''
-
-
-def _candidate_dirs() -> list[str]:
-    dirs = list(FALLBACK_RUNTIME_DIRS)
-    env = os.environ.get(ENV_VAR)
-    if env:
-        dirs.insert(0, env)
-    return [
-        d
-        for d in dirs
-        if os.path.isfile(os.path.join(d, "google", "protobuf", "runtime_version.py"))
-    ]
-
-
-def ensure_protobuf() -> bool:
-    """Make ``google.protobuf`` importable in the CURRENT process.
-
-    Returns True when a real (non-namespace) runtime is importable, via the
-    wheel or a vendored fallback; False when neither exists (callers skip)."""
-    try:
-        import google.protobuf
-
-        if getattr(google.protobuf, "__file__", None):
-            return True
-    except ImportError:
-        pass
-    dirs = _candidate_dirs()
-    if not dirs:
-        return False
-    if dirs[0] not in sys.path:
-        sys.path.append(dirs[0])
-    for k in list(sys.modules):
-        if k == "google" or k.startswith("google."):
-            del sys.modules[k]
-    try:
-        from google.protobuf import runtime_version as _rv
-
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
-        import google.protobuf  # noqa: F401
-
-        return True
-    except Exception:
-        return False
-
-
-def install_worker_shim() -> bool:
-    """Write the sitecustomize shim and prepend its dir to $PYTHONPATH.
-
-    Must run before the Spark JVM starts: local-mode worker processes
-    inherit PYTHONPATH from the JVM environment, and ``site`` imports
-    ``sitecustomize`` from it at interpreter start — that is the only hook a
-    fresh worker interpreter gives us.  Returns True if a shim was (or had
-    already been) installed."""
-    dirs = _candidate_dirs()
-    if not dirs:
-        return False
-    import tempfile
-
-    shim_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pbshim_{os.getpid()}"
-    )
-    os.makedirs(shim_dir, exist_ok=True)
-    with open(os.path.join(shim_dir, "sitecustomize.py"), "w") as f:
-        f.write(SITECUSTOMIZE_SRC.format(dirs=dirs))
-    existing = os.environ.get("PYTHONPATH", "")
-    if shim_dir not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            shim_dir + (os.pathsep + existing if existing else "")
-        )
-    return True
+from google_analytics_dataframes_spark.streaming.tws_runtime import (  # noqa: F401
+    ENV_VAR,
+    FALLBACK_RUNTIME_DIRS,
+    SITECUSTOMIZE_SRC,
+    _candidate_dirs,
+    armed_worker_env,
+    ensure_protobuf,
+    install_worker_shim,
+)

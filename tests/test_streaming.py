@@ -520,3 +520,86 @@ def test_restart_resume_requires_checkpoint_state(spark):
     assert n_got > n_exact, (n_got, n_exact)
     for d in (live, out, out2, ck1, ck2):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tws_armed_worker_env_restores(spark):
+    """armed_worker_env must leave sc.environment exactly as it found it —
+    envVars are captured per-UDF at wrap time, so a leaked PYTHONPATH entry
+    would silently fork a second worker daemon for every later python-UDF
+    query (changed envVars => new daemon)."""
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime on this host")
+    env = spark.sparkContext.environment
+    before = dict(env)
+    with armed_worker_env(spark):
+        assert "PYTHONPATH" in env
+        assert "pbshim" in env["PYTHONPATH"]
+    assert dict(env) == before
+
+
+def test_st18_arms_tws_post_jvm(tmp_path):
+    """The driver-harness scenario st18 must survive: a session created with
+    NO $PYTHONPATH sitecustomize shim (conftest installs one for this suite,
+    so this runs in a subprocess with PYTHONPATH stripped).  The TWS driver
+    worker imports the protobuf gencode at interpreter start — before the
+    python-includes machinery — so sc.addPyFile cannot arm it (measured:
+    the pre-init runner crashes); only plan-construction-time
+    sc.environment arming works.  Green here means st18 is
+    session-creation-order independent."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime on this host")
+    script = textwrap.dedent(
+        """
+        import os
+        assert "PYTHONPATH" not in os.environ
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate()
+        )
+        from google_analytics_dataframes_spark.queries import REGISTRY
+        fn = REGISTRY()["st18_stream_typed_state"]
+        fn = getattr(fn, "fn", fn)
+        out = fn(spark, "/root/testdata/sf0.001").toPandas()
+        from pyspark.sql import functions as F
+        from google_analytics_dataframes_spark.io import load_table
+        exp = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("user_id").count().toPandas()
+        )
+        got = out.set_index("user_id")["total"].sort_index()
+        want = exp.set_index("user_id")["count"].sort_index()
+        assert (got == want).all(), (got, want)
+        print("ST18-POST-JVM-OK", len(got))
+        spark.stop()
+        """
+    )
+    # scratch dirs are PID-suffixed (io.scratch_dir), so the subprocess
+    # cannot collide with this suite's staging
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert "ST18-POST-JVM-OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
