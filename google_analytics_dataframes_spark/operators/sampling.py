@@ -60,6 +60,101 @@ def stratified_sample(
     return df.sampleBy(slice_col, fractions, seed=seed)
 
 
+def priority_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "ps1:",
+    materialize: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows per group —
+    Priority Sampling (Duffield-Lund-Thorup, JACM 54(6) 2007).
+
+    The family gap this fills: :func:`weighted_sample` / l49 are Bernoulli
+    (keep-rate per row — output size is random), l24 is per-stratum
+    uniform; none draws a FIXED-SIZE weighted subset.  Priority sampling
+    does, with a near-optimal unbiased subset-sum estimator: each row
+    draws u ~ U(0,1], gets priority q = w/u, the k largest per group are
+    kept, and the (k+1)-th priority tau turns into the estimator
+    w_hat = max(w, tau) (E[sum of w_hat over sample] = sum of w over the
+    group; Szegedy STOC'06 proved variance within 1+1/(k-1) of optimal).
+
+    Engine-exact by construction — the decision path uses ONLY IEEE ops
+    that are identical on every engine:
+    * u = (h+1) / 2^32 with h the first 32 md5 bits of salt||key — the
+      numerator is an exact integer, and division by a POWER OF TWO is
+      exact (not merely correctly rounded);
+    * q = w/u — one correctly-rounded double division, bit-identical
+      everywhere;
+    * the rank order, tau, and max(w, tau) are comparisons/selections of
+      those exact doubles.
+    No pow/log (the classical u^(1/w) key formulation) — transcendental
+    libm results may differ by an ulp between engines, which near a rank-k
+    boundary flips WHICH row is sampled and breaks cross-engine equality.
+    q = w/u orders identically to u^(1/w)'s inverse-priority form for
+    the estimator's purposes and stays in exact arithmetic.
+
+    Scale shape: the rank <= k+1 filter sits directly on a row_number
+    window, which Spark rewrites to WindowGroupLimit — every map task
+    keeps at most k+1 rows per group BEFORE the exchange (plan-pinned in
+    tests/test_plans.py), so a 100 TB corpus moves O(tasks * groups * k)
+    rows, not the corpus.  tau is a groups-sized aggregate broadcast back
+    on.  Ties in q are broken by ``key_col`` in both engines; ``key_col``
+    must be unique (doc ids are).
+
+    Output: group, key, w, rank (1..k), tau (0.0 when the group has
+    <= k rows — then every row is kept and w_hat = w exactly), w_hat.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    u = h.cast("double") / F.lit(4294967296.0)
+    q = (F.col(weight_col).cast("double") / u).alias("_q")
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("_q"), key)
+    )
+    # Materialize the (groups x (k+1))-bounded frame: both the kept rows
+    # and tau derive from it, and an unmaterialized reference would make
+    # Catalyst re-expand the whole corpus scan + window twice (observed;
+    # same reuse posture as grouped_rank below).  ``materialize=False``
+    # exposes the raw single-reference plan for the WindowGroupLimit pin
+    # (tests/test_plans.py).
+    topk1 = (
+        df.select(F.col(group_col), key, F.col(weight_col).cast("double").alias("w"), q)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k + 1)
+    )
+    if materialize:
+        topk1 = topk1.localCheckpoint(eager=True)
+    tau = topk1.groupBy(group_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    return (
+        topk1.filter(F.col("_rn") <= k)
+        .join(F.broadcast(tau), group_col)
+        .select(
+            group_col,
+            key_col,
+            "w",
+            F.col("_rn").cast("long").alias("rank"),
+            "tau",
+            F.greatest(F.col("w"), F.col("tau")).alias("w_hat"),
+        )
+    )
+
+
 def global_shuffle(
     df: DataFrame, key_col: str, salt: str, docs_per_file: int = 64
 ) -> DataFrame:

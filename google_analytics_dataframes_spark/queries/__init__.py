@@ -43,9 +43,9 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
     # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
-    # (transformWithStateInPandas, MapState+ValueState census) — newest
-    # registration sweeps first
-    "st18_",
+    # (transformWithStateInPandas, MapState+ValueState census) and
+    # fixed-budget weighted sampling — newest registrations sweep first
+    "st18_", "l76_",
     # new in round 8: baseline JPEG round trip, WAV/PCM round trip, the
     # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
     # and the PassJoin edit-distance sim-join

@@ -3138,3 +3138,59 @@ def l49_importance_resample(spark, sf_dir):
             F.round("p_keep", 8).alias("p_keep"),
         )
     )
+
+
+@register(
+    "l76_priority_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+             CAST(n_chars AS DOUBLE)
+               / ((try_cast(concat('0x',
+                      substr(md5(concat('ps1:', CAST(doc_id AS VARCHAR))), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0) AS q
+      FROM documents
+    ),
+    rk AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY q DESC, doc_id) AS rn
+           FROM pri),
+    tau AS (SELECT lang,
+                   COALESCE(MAX(CASE WHEN rn = 17 THEN q END), 0.0) AS tau
+            FROM rk WHERE rn <= 17 GROUP BY lang)
+    SELECT r.lang, r.doc_id, r.w, CAST(r.rn AS BIGINT) AS rank, t.tau,
+           GREATEST(r.w, t.tau) AS w_hat
+    FROM rk r JOIN tau t USING (lang) WHERE r.rn <= 16
+    """,
+)
+def l76_priority_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement — the sampling-family member
+    l23/l24/l49/l52 all miss (they are Bernoulli/uniform: random output
+    size).  Priority Sampling (Duffield-Lund-Thorup JACM'07) draws exactly
+    k=16 docs per language with probability increasing in weight
+    (n_chars), plus the tau threshold whose max(w, tau) estimator makes
+    the sample answer subset-sum queries unbiasedly (variance within
+    1+1/(k-1) of optimal, Szegedy STOC'06) — the "keep a fixed-budget
+    weighted sketch per slice" primitive of corpus curation.
+
+    Cross-engine exactness is the design center: priority q = w/u avoids
+    the classical u^(1/w) key because pow/log are libm-dependent and an
+    ulp flip at the rank-k boundary changes WHICH doc is sampled; w/u is
+    one correctly-rounded division over an EXACT u (32 md5 bits + 1 over
+    2^32 — a power-of-two division is exact), so both engines rank, cut,
+    and estimate on identical doubles (operators/sampling.py
+    priority_sample).
+
+    Scale shape: the rank filter sits directly on the row_number window,
+    which Spark rewrites to WindowGroupLimit — map tasks keep <= k+1 rows
+    per language BEFORE the exchange (plan-pinned), so the corpus never
+    moves; tau is a languages-sized broadcast."""
+    from google_analytics_dataframes_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        T(spark, sf_dir, "documents"),
+        group_col="lang",
+        weight_col="n_chars",
+        key_col="doc_id",
+        k=16,
+    )

@@ -233,6 +233,38 @@ def test_domain_quota_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in audit.node_names(df), audit.formatted_plan(df)
 
 
+def test_priority_sample_partial_group_limit(spark):
+    """l76: the rank<=k filters on the priority windows must plan
+    WindowGroupLimit with a PARTIAL mode instance BEFORE the exchange —
+    map tasks keep <= k+1 rows per language, so the corpus never moves.
+    Also pin the single-scan shape: the bounded top-(k+1) frame is
+    localCheckpoint-materialized, so the corpus scan + window pair must
+    appear ONCE (Catalyst re-expanded it per reference before the fix —
+    two full corpus scans)."""
+    from google_analytics_dataframes_spark.io import load_table
+    from google_analytics_dataframes_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    # registered (materialized) form: the checkpoint leaves a bounded
+    # block-scan plan — no parquet re-scan of documents may remain
+    plan = audit.formatted_plan(registry()["l76_priority_sample"].fn(spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    # raw form: the window that ran inside the checkpoint must carry the
+    # map-side partial group limit
+    raw = priority_sample(
+        load_table(spark, SF_DIR, "documents"),
+        group_col="lang",
+        weight_col="n_chars",
+        key_col="doc_id",
+        k=16,
+        materialize=False,
+    )
+    inner = audit.formatted_plan(raw)
+    assert "WindowGroupLimit" in inner, inner
+    assert "Partial" in inner.split("WindowGroupLimit", 1)[1], inner
+
+
 def test_random_projection_is_narrow(spark):
     """l43 must stay a pure per-row map: zero exchanges, one scan reading
     exactly (vec_id, embedding)."""
