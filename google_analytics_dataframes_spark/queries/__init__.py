@@ -43,9 +43,11 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
     # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
-    # (transformWithStateInPandas, MapState+ValueState census) and
-    # fixed-budget weighted sampling — newest registrations sweep first
-    "st18_", "l76_",
+    # (transformWithStateInPandas, MapState+ValueState census),
+    # fixed-budget weighted sampling, and navigation PageRank — newest
+    # registrations sweep first; st13's span sits directly below the
+    # st18 insertion so the stale tracker flags it for re-proof too
+    "st18_", "l76_", "rb25_", "st13_",
     # new in round 8: baseline JPEG round trip, WAV/PCM round trip, the
     # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
     # and the PassJoin edit-distance sim-join

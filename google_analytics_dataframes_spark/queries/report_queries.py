@@ -1146,3 +1146,156 @@ def rb24_timebound_funnel(spark, sf_dir):
             F.col("n_converted_1h").cast("double") / F.col("n_viewers"), 6
         ).alias("conv_rate_1h"),
     )
+
+
+@register(
+    "rb25_nav_pagerank",
+    oracle="""
+    WITH pg AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS page
+      FROM events
+    ),
+    tr AS (
+      SELECT LAG(page) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS src,
+             page AS dst
+      FROM pg
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS cnt
+      FROM tr WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outdeg AS (SELECT src, SUM(cnt) AS out_n FROM edges GROUP BY src),
+    pages AS (SELECT DISTINCT page FROM pg),
+    nn AS (SELECT COUNT(*) AS n FROM pages),
+    r0 AS (SELECT page, CAST(1.0 AS DOUBLE) / n AS r
+           FROM pages CROSS JOIN nn),
+    it1 AS (
+      SELECT p.page,
+             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+               CAST(0.0 AS DOUBLE)) AS r
+      FROM pages p CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS page,
+               CAST(SUM(CAST((r0.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS s
+        FROM edges e JOIN r0 ON r0.page = e.src
+                     JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.page = p.page
+    ),
+    it2 AS (
+      SELECT p.page,
+             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+               CAST(0.0 AS DOUBLE)) AS r
+      FROM pages p CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS page,
+               CAST(SUM(CAST((it1.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS s
+        FROM edges e JOIN it1 ON it1.page = e.src
+                     JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.page = p.page
+    ),
+    it3 AS (
+      SELECT p.page,
+             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+               CAST(0.0 AS DOUBLE)) AS r
+      FROM pages p CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS page,
+               CAST(SUM(CAST((it2.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS s
+        FROM edges e JOIN it2 ON it2.page = e.src
+                     JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.page = p.page
+    )
+    SELECT i.page, i.r AS rank3,
+           CAST(COALESCE(o.out_n, 0) AS BIGINT) AS out_transitions
+    FROM it3 i LEFT JOIN outdeg o ON o.src = i.page
+    """,
+)
+def rb25_nav_pagerank(spark, sf_dir):
+    """Navigation-flow PageRank [GA 'page value' / behavior-flow analog]:
+    the user clickstream as a directed page graph — consecutive events per
+    user (ts, event_id order; the id tiebreak makes equal-timestamp order
+    engine-independent) define src->dst transitions between the 100 `k`
+    prop pages — ranked by 3 damped power iterations (d=0.85,
+    teleport-only dangling treatment, mirrored in the oracle).
+
+    The iterative-algorithm family member: l29's label propagation
+    iterates to a fixpoint on SETS; this iterates on WEIGHTED float mass,
+    which is where cross-engine determinism usually dies — double
+    summation over in-edges is order-dependent.  Every per-iteration
+    in-mass sum therefore goes through the dsum contract (exact
+    DECIMAL(30,6) accumulation, associative; both engines round the same
+    binary double identically), and the scalar chain
+    0.15/N + 0.85*s uses only correctly-rounded IEEE ops with the SAME
+    parse tree on both sides (the oracle CASTs its literals — DuckDB
+    would otherwise compute 0.15/N in decimal arithmetic).
+
+    Scale shape: corpus-scale work is ONE user-hash exchange (the lag
+    window) + one small edge rollup; the graph itself is page-bounded
+    (100 nodes here, ~10^6 for a real site — still a broadcast), so the 3
+    iterations cost O(edges) each on a localCheckpoint'd frame, NOT 3
+    more corpus scans (Catalyst would re-expand the events lineage per
+    reference otherwise — the grouped_rank/l76 materialization posture).
+    PageRank mass over navigation graphs is the classic page-importance
+    signal (Brin-Page '98; the same shape ranks domains for crawl
+    prioritization in training-data pipelines)."""
+    ev = T(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from google_analytics_dataframes_spark.queries._util import dsum
+
+    page = F.get_json_object("props", "$.k").cast("int")
+    pg = ev.select("user_id", "ts", "event_id", page.alias("page"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = pg.select(F.lag("page").over(w).alias("src"), F.col("page").alias("dst"))
+    edges = (
+        tr.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # page-bounded; stops per-iteration
+        # re-expansion of the events scan + window lineage
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").alias("out_n"))
+    pages = pg.select("page").distinct()
+    nn = pages.agg(F.count("*").alias("n"))
+    r = pages.crossJoin(F.broadcast(nn)).select(
+        "page", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    ew = edges.join(F.broadcast(outdeg), "src")
+    for _ in range(3):
+        contrib = (
+            ew.join(
+                F.broadcast(r.withColumnRenamed("page", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(dsum(F.col("r") * F.col("cnt") / F.col("out_n")).alias("s"))
+        )
+        r = (
+            pages.crossJoin(F.broadcast(nn))
+            .join(
+                F.broadcast(contrib.withColumnRenamed("dst", "page")),
+                "page",
+                "left",
+            )
+            .select(
+                "page",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.join(
+        F.broadcast(outdeg.withColumnRenamed("src", "page")), "page", "left"
+    ).select(
+        "page",
+        F.col("r").alias("rank3"),
+        F.coalesce(F.col("out_n"), F.lit(0)).cast("long").alias("out_transitions"),
+    )
