@@ -75,6 +75,14 @@ QUERIES = [
     # sides) and ingest-time content dedup (state = distinct contents)
     "st9_stream_interval_join",
     "st15_stream_content_dedup",
+    # round-8 batch 6: the TWS typed-state stream (state = users x
+    # event-types in RocksDB column families), fixed-budget priority
+    # sampling (map-side WindowGroupLimit keeps <= k+1 rows/group), and
+    # navigation PageRank (edge extraction scales; iterations are
+    # page-bounded)
+    "st18_stream_typed_state",
+    "l76_priority_sample",
+    "rb25_nav_pagerank",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
