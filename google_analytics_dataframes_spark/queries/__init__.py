@@ -47,7 +47,7 @@ SWEEP_HEAD: list[str] = [
     # fixed-budget weighted sampling, and navigation PageRank — newest
     # registrations sweep first; st13's span sits directly below the
     # st18 insertion so the stale tracker flags it for re-proof too
-    "st18_", "l76_", "rb25_", "st13_",
+    "st18_", "st19_", "l76_", "rb25_", "st13_",
     # new in round 8: baseline JPEG round trip, WAV/PCM round trip, the
     # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
     # and the PassJoin edit-distance sim-join

@@ -815,6 +815,91 @@ def st18_stream_typed_state(spark, sf_dir):
 
 
 @register(
+    "st19_stream_timer_sessions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value, ts, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def st19_stream_timer_sessions(spark, sf_dir):
+    """GA 30-min-gap sessionization on TWS EVENT-TIME TIMERS, executed as
+    a stream and driver-checked against the SAME oracle as st14 — the
+    native `session_window` engine and a custom StatefulProcessor with
+    `registerTimer`/`handleExpiredTimer` (streaming/jobs.py
+    st19_timer_sessionize) must produce identical session tables.  The
+    timer is the piece st18's typed-state census never exercises, and the
+    one real deployments need: a user's FINAL session has no later event
+    to close it, so only the watermark's passage — delivered to the
+    processor as an expired event-time timer — can emit it.  Gap-closes
+    emit on the arrival path; either path yields the same row, so batch
+    composition never shows through.
+
+    Session values accumulate as exact micro-unit integers (the dsum
+    contract applied per event — python Decimal HALF_UP at 6 decimals is
+    bit-identical to both engines' DECIMAL(30,6) cast), so per-batch
+    increments equal the one-shot oracle sum.
+
+    Three sentinels (st16's lesson): timers fire under the APPLIED
+    watermark, which lags a batch behind the data; at 2 files/trigger two
+    sentinels share a batch, so the third forces the extra batch in which
+    the advanced watermark is live and every remaining open session's
+    timer fires."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+    )
+
+    src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with armed_worker_env(spark):
+            tws = jobs.st19_timer_sessionize(stream)
+        with _few_state_partitions(spark):
+            out = jobs.run_available_now_parquet(
+                tws, f"st19_pq_{uuid.uuid4().hex[:8]}"
+            )
+    finally:
+        if old_provider:
+            spark.conf.set(provider_key, old_provider)
+        else:
+            spark.conf.unset(provider_key)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        (F.col("acc_micro").cast("double") / F.lit(1000000.0)).alias(
+            "session_value"
+        ),
+    )
+
+
+@register(
     "st13_stream_windowed_agg",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

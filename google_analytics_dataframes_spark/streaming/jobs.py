@@ -278,6 +278,127 @@ def st18_typed_state_census(events: DataFrame) -> DataFrame:
     )
 
 
+def st19_timer_sessionize(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """GA 30-min-gap sessionization rebuilt on TWS EVENT-TIME TIMERS — the
+    `handleExpiredTimer` surface st18's census never touches, and the
+    textbook use of it: a session with no further events can only be
+    finalized by the passage of (watermark) time, which is exactly what a
+    timer expresses.  Semantics are identical to `session_window` (st14)
+    and the batch lag/cumsum oracle:
+
+    * arrival path: per user, events processed in (ts, event_id) order —
+      a gap >= 30 min closes the open session (emitted immediately) and
+      opens a new one; the open session's timer is re-registered at
+      last_ts + gap on every extension.
+    * expiry path: when the event-time watermark passes last_ts + gap the
+      timer fires and `handleExpiredTimer` emits the session — the ONLY
+      way a user's final session ever closes.
+
+    Determinism of the split between the two paths doesn't matter (the
+    emitted row is the same either way), and the timer/input race is
+    impossible by construction: under time-ordered staging any event that
+    could still extend a session arrives while the watermark (which lags
+    `lateness` = 1 h > gap behind max event time) is still short of the
+    session's expiry.
+
+    Session value accumulates in integer MICRO-UNITS, each double rounded
+    HALF_UP at 6 decimals on arrival — bit-for-bit the dsum contract
+    (Spark/DuckDB `CAST(v AS DECIMAL(30,6))` rounds the same binary
+    double HALF_UP; python's Decimal(float) is the same exact binary
+    value), so per-event integer adds equal the oracle's one-shot decimal
+    sum regardless of batching."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    GAP_US = 30 * 60 * 1_000_000
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+            StructField("acc", LongType()),  # micro-units, exact
+        ]
+    )
+    output_schema = (
+        "user_id bigint, start_us bigint, n_events bigint, acc_micro bigint"
+    )
+
+    def _to_micro(v: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            * 1_000_000
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", state_schema)
+
+        def _row(self, key, start_us, n, acc):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start_us],
+                    "n_events": [n],
+                    "acc_micro": [acc],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts = pdf["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            # pin the unit before the int64 view: pandas hands us us- or
+            # ns-resolution depending on the Arrow path
+            ts_us = ts.astype("datetime64[us]").astype("int64").tolist()
+            vals = pdf["value"].tolist()
+            if self._sess.exists():
+                start, last, n, acc = self._sess.get()
+                # drop the pending timer; it is re-registered at the new
+                # last_ts below (same ceil-to-ms expiry formula)
+                self._handle.deleteTimer(-(-(last + GAP_US) // 1000))
+            else:
+                start = last = None
+                n = acc = 0
+            for t_us, v in zip(ts_us, vals):
+                if last is not None and t_us - last >= GAP_US:
+                    yield self._row(key, start, n, acc)
+                    start, n, acc = t_us, 0, 0
+                if start is None:
+                    start = t_us
+                last = t_us
+                n += 1
+                acc += _to_micro(v)
+            self._sess.update((start, last, n, acc))
+            # fire strictly after the last instant that could extend:
+            # ceil to the next ms so expiry_ms >= (last + gap) in µs
+            self._handle.registerTimer(-(-(last + GAP_US) // 1000))
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, last, n, acc = self._sess.get()
+                self._sess.clear()
+                yield self._row(key, start, n, acc)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=output_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def st9_attribution_join(
     events: DataFrame, lateness: str = "2 hours", horizon: str = "1 hour"
 ) -> DataFrame:

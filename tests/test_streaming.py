@@ -603,3 +603,76 @@ def test_st18_arms_tws_post_jvm(tmp_path):
         cwd="/root/repo",
     )
     assert "ST18-POST-JVM-OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_st19_final_sessions_require_timers(spark):
+    """Timer-path control for st19: run the SAME TWS sessionizer over
+    staging WITHOUT flush sentinels.  Three facts must hold:
+
+    * something is stuck — sessions ending inside the final
+      (lateness + gap) window have no later data to advance the
+      watermark past their expiry, so the emitted table is strictly
+      smaller than the batch census;
+    * ONLY final sessions can be stuck — every non-final session closes
+      on the arrival path (gap rule), so the deficit is bounded by the
+      user count;
+    * timers DID fire for the rest — the arrival path alone can close at
+      most (sessions - users) rows (a user's final session has no later
+      event), so emitting more than that is positive proof that
+      handleExpiredTimer ran and emitted, across microbatch boundaries,
+      under the data-derived watermark (measured here: all but the last
+      ~1.5 h of final sessions).
+    The registered row then shows the sentinels closing exactly this gap
+    (driver-checked equality with the batch oracle)."""
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _few_state_partitions,
+        _stage_stream_dir,
+    )
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime on this host")
+    src = _stage_stream_dir(spark, SF_DIR, ordered=True)  # NO sentinels
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with armed_worker_env(spark):
+            tws = jobs.st19_timer_sessionize(stream)
+        with _few_state_partitions(spark):
+            out = jobs.run_available_now_parquet(tws, "t_st19_neg")
+    finally:
+        spark.conf.set(key, old) if old else spark.conf.unset(key)
+    n_emitted = out.filter(F.col("user_id") >= 0).count()
+    # batch census: lag/cumsum session count (the st14/st19 oracle shape)
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    n_batch = gaps.agg(F.sum("is_new")).first()[0]
+    n_users = ev.select("user_id").distinct().count()
+    assert n_emitted < n_batch, (n_emitted, n_batch)
+    # only per-user FINAL sessions can be stuck open
+    assert n_batch - n_emitted <= n_users, (n_emitted, n_batch, n_users)
+    # positive proof the timer path emitted: gap-closes alone can yield
+    # at most (sessions - users) rows
+    assert n_emitted > n_batch - n_users, (n_emitted, n_batch, n_users)
