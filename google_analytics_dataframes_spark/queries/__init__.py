@@ -65,10 +65,9 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 5: time-series gap-fill + time-bound funnel, and the
     # CDC-targeted dedup composition (l66 delta x l69 stored index)
     "w12_", "rb24_", "l75_",
-    # span-adjacency flag from the l73/l74 insertions (guard
-    # over-approximation — cheap to re-sweep rather than argue with)
-    "l13_",
-    # st12 references the shared staging helpers the sentinel change touched
+    # st12 references the shared staging helpers the sentinel change
+    # touched, and its staging collapsed to one microbatch before the
+    # review-r8 files_per_trigger fix — re-prove through the driver
     "st12_",
     # round-8 scale fix: the four append-mode streams switched from the
     # memory sink to a parquet file sink (stream-probe finding — full
@@ -86,9 +85,14 @@ SWEEP_HEAD: list[str] = [
     # decode_png's truncation bounds-check (ADVICE r7) touches the codec
     # helpers l63/l64 reference
     "l64_", "l63_",
-    # the r02-evidence rotation (VERDICT r7 item #2's 12 rows) sits HERE,
-    # inside the head and ahead of the two guard over-approximations, so
-    # all 12 land within the ~50-query budget (positions 38-49)
+    # the r02-evidence rotation (VERDICT r7 item #2's 12 rows).  Honest
+    # budget arithmetic (review r8): round 8 registered 29 new rows and
+    # changed 15 more, all of which MUST sweep before rows that still
+    # hold valid (if old) r02 evidence — that fills positions 1-44, so
+    # at the driver's 50-query budget only the first ~6 of these 12 fit
+    # this round; the remainder stays at the rotation head and clears in
+    # round 9 (the prior "all 12 at positions 38-49" note predated the
+    # batch-6 registrations and was wrong once they landed)
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
     "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
     # LAST — guard OVER-APPROXIMATIONS (span adjacency from the l73/l74

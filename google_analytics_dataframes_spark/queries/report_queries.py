@@ -1169,16 +1169,15 @@ def rb24_timebound_funnel(spark, sf_dir):
     outdeg AS (SELECT src, SUM(cnt) AS out_n FROM edges GROUP BY src),
     pages AS (SELECT DISTINCT page FROM pg),
     nn AS (SELECT COUNT(*) AS n FROM pages),
-    r0 AS (SELECT page, CAST(1.0 AS DOUBLE) / n AS r
-           FROM pages CROSS JOIN nn),
+    r0 AS (SELECT page, CAST(1.0 AS DOUBLE) AS r FROM pages),
     it1 AS (
       SELECT p.page,
-             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
                CAST(0.0 AS DOUBLE)) AS r
-      FROM pages p CROSS JOIN nn
+      FROM pages p
       LEFT JOIN (
         SELECT e.dst AS page,
-               CAST(SUM(CAST((r0.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+               CAST(SUM(CAST((r0.r * e.cnt / o.out_n) AS DECIMAL(38,12)))
                     AS DOUBLE) AS s
         FROM edges e JOIN r0 ON r0.page = e.src
                      JOIN outdeg o ON o.src = e.src
@@ -1187,12 +1186,12 @@ def rb24_timebound_funnel(spark, sf_dir):
     ),
     it2 AS (
       SELECT p.page,
-             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
                CAST(0.0 AS DOUBLE)) AS r
-      FROM pages p CROSS JOIN nn
+      FROM pages p
       LEFT JOIN (
         SELECT e.dst AS page,
-               CAST(SUM(CAST((it1.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+               CAST(SUM(CAST((it1.r * e.cnt / o.out_n) AS DECIMAL(38,12)))
                     AS DOUBLE) AS s
         FROM edges e JOIN it1 ON it1.page = e.src
                      JOIN outdeg o ON o.src = e.src
@@ -1201,21 +1200,21 @@ def rb24_timebound_funnel(spark, sf_dir):
     ),
     it3 AS (
       SELECT p.page,
-             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s.s,
                CAST(0.0 AS DOUBLE)) AS r
-      FROM pages p CROSS JOIN nn
+      FROM pages p
       LEFT JOIN (
         SELECT e.dst AS page,
-               CAST(SUM(CAST((it2.r * e.cnt / o.out_n) AS DECIMAL(30,6)))
+               CAST(SUM(CAST((it2.r * e.cnt / o.out_n) AS DECIMAL(38,12)))
                     AS DOUBLE) AS s
         FROM edges e JOIN it2 ON it2.page = e.src
                      JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst
       ) s ON s.page = p.page
     )
-    SELECT i.page, i.r AS rank3,
+    SELECT i.page, i.r / nn.n AS rank3,
            CAST(COALESCE(o.out_n, 0) AS BIGINT) AS out_transitions
-    FROM it3 i LEFT JOIN outdeg o ON o.src = i.page
+    FROM it3 i CROSS JOIN nn LEFT JOIN outdeg o ON o.src = i.page
     """,
 )
 def rb25_nav_pagerank(spark, sf_dir):
@@ -1229,27 +1228,35 @@ def rb25_nav_pagerank(spark, sf_dir):
     The iterative-algorithm family member: l29's label propagation
     iterates to a fixpoint on SETS; this iterates on WEIGHTED float mass,
     which is where cross-engine determinism usually dies — double
-    summation over in-edges is order-dependent.  Every per-iteration
-    in-mass sum therefore goes through the dsum contract (exact
-    DECIMAL(30,6) accumulation, associative; both engines round the same
-    binary double identically), and the scalar chain
-    0.15/N + 0.85*s uses only correctly-rounded IEEE ops with the SAME
-    parse tree on both sides (the oracle CASTs its literals — DuckDB
-    would otherwise compute 0.15/N in decimal arithmetic).
+    summation over in-edges is order-dependent.  The iteration runs on
+    N-NORMALIZED mass R = N*r (teleport term a constant 0.15, R is O(1)
+    at any page count, one terminal division by N), so the per-iteration
+    in-mass sums accumulate in exact associative DECIMAL(38,12) — 12
+    significant decimals whether the graph has 10^2 or 10^6 pages.  Both
+    halves of that choice are measured, not aesthetic: un-normalized
+    mass at 10^6 pages quantizes per-edge terms (~1e-12) to zero at
+    money-scale precision, and widening the scale instead breaks the
+    cross-engine cast contract (DECIMAL(38,18) measured 92/100 cells off
+    by 1 ulp at the 18th digit: the scaled value outgrows the double's
+    53-bit exactness and the engines' double->decimal paths round the
+    last digit differently).  The scalar chain 0.15 + 0.85*s uses only
+    correctly-rounded IEEE ops with the SAME parse tree on both sides
+    (the oracle CASTs its literals — DuckDB would otherwise compute them
+    in decimal arithmetic).
 
     Scale shape: corpus-scale work is ONE user-hash exchange (the lag
     window) + one small edge rollup; the graph itself is page-bounded
     (100 nodes here, ~10^6 for a real site — still a broadcast), so the 3
-    iterations cost O(edges) each on a localCheckpoint'd frame, NOT 3
-    more corpus scans (Catalyst would re-expand the events lineage per
-    reference otherwise — the grouped_rank/l76 materialization posture).
+    iterations cost O(edges) each on localCheckpoint'd edge AND page
+    frames, NOT more corpus scans (Catalyst re-expands the events
+    lineage per unmaterialized reference — the grouped_rank/l76
+    materialization posture; review r8 found pages/nn leaking ~8 scan
+    copies into the plan).
     PageRank mass over navigation graphs is the classic page-importance
     signal (Brin-Page '98; the same shape ranks domains for crawl
     prioritization in training-data pipelines)."""
     ev = T(spark, sf_dir, "events")
     from pyspark.sql import Window
-
-    from google_analytics_dataframes_spark.queries._util import dsum
 
     page = F.get_json_object("props", "$.k").cast("int")
     pg = ev.select("user_id", "ts", "event_id", page.alias("page"))
@@ -1263,11 +1270,20 @@ def rb25_nav_pagerank(spark, sf_dir):
         # re-expansion of the events scan + window lineage
     )
     outdeg = edges.groupBy("src").agg(F.sum("cnt").alias("out_n"))
-    pages = pg.select("page").distinct()
+    # pages/nn are referenced by r0 AND every iteration — without their
+    # own materialization Catalyst re-expands the events scan + json
+    # parse + distinct lineage per reference (~8 corpus scans observed;
+    # review r8).  The page list is graph-metadata-sized.
+    pages = pg.select("page").distinct().localCheckpoint(eager=True)
     nn = pages.agg(F.count("*").alias("n"))
-    r = pages.crossJoin(F.broadcast(nn)).select(
-        "page", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    # iterate on N-NORMALIZED mass R = N*r (review r8): R is O(1) at any
+    # page count, so DECIMAL(38,12) accumulation keeps 12 significant
+    # decimals whether the graph has 10^2 or 10^6 pages — un-normalized
+    # mass at 10^6 pages quantizes to zero, and any wider scale breaks
+    # the cross-engine cast contract (scale 18 measured: the scaled
+    # value outgrows the double's 53-bit exactness and the engines'
+    # double->decimal paths round the last digit differently)
+    r = pages.select("page", F.lit(1.0).alias("r"))
     ew = edges.join(F.broadcast(outdeg), "src")
     for _ in range(3):
         contrib = (
@@ -1275,11 +1291,23 @@ def rb25_nav_pagerank(spark, sf_dir):
                 F.broadcast(r.withColumnRenamed("page", "src")), "src"
             )
             .groupBy("dst")
-            .agg(dsum(F.col("r") * F.col("cnt") / F.col("out_n")).alias("s"))
+            .agg(
+                # dsum's DECIMAL(30,6) was sized for money sums; PageRank
+                # mass needs 18 decimals or per-edge terms (~r/out_n,
+                # down to ~1e-12 at 10^6 pages) quantize to zero
+                # (review r8) — same exact-decimal contract, wider scale,
+                # mirrored in the oracle
+                F.sum(
+                    (F.col("r") * F.col("cnt") / F.col("out_n")).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
         )
         r = (
-            pages.crossJoin(F.broadcast(nn))
-            .join(
+            pages.join(
                 F.broadcast(contrib.withColumnRenamed("dst", "page")),
                 "page",
                 "left",
@@ -1287,15 +1315,15 @@ def rb25_nav_pagerank(spark, sf_dir):
             .select(
                 "page",
                 (
-                    F.lit(0.15) / F.col("n")
+                    F.lit(0.15)
                     + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
         )
-    return r.join(
+    return r.crossJoin(F.broadcast(nn)).join(
         F.broadcast(outdeg.withColumnRenamed("src", "page")), "page", "left"
     ).select(
         "page",
-        F.col("r").alias("rank3"),
+        (F.col("r") / F.col("n")).alias("rank3"),
         F.coalesce(F.col("out_n"), F.lit(0)).cast("long").alias("out_transitions"),
     )

@@ -436,6 +436,32 @@ def _few_state_partitions(spark, n: int = 8):
         spark.conf.set(key, old)
 
 
+@contextmanager
+def _rocksdb_state_provider(spark):
+    """Switch the state-store provider to RocksDB for the block, restoring
+    the previous conf (or unsetting an absent one) after.  TWS stores each
+    typed state variable in its own column family, which only the RocksDB
+    provider supports (HDFSBackedStateStore raises
+    STATE_STORE_UNSUPPORTED_OPERATION: multipleColumnFamilies); the
+    GroupState-tier streams keep the default provider.  One shared
+    implementation (review r8): three hand-rolled copies of this
+    save/restore dance had already drifted in their restore idiom."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
 @register(
     "st9_stream_interval_join",
     oracle="""
@@ -716,14 +742,22 @@ def st12_stream_stateful_funnel(spark, sf_dir):
     That final state must equal the plain batch aggregate — the oracle-
     checked proof that custom stateful streaming and batch agree, on the
     API tier (GroupState) that the driver never saw via the D-tier tests.
-    2 files per trigger: two stateful batches exercise state carry-over
-    at half the per-batch state-store fixed cost."""
+    1 file per trigger over the 2-file staging: two stateful batches, so
+    batch 2 READS the state batch 1 wrote — the carry-over that is the
+    whole point (pinned by tests/test_streaming.py's multi-update-user
+    assertion after the review-r8 finding that 2 files/trigger collapsed
+    the source into one vacuous batch)."""
     import uuid
 
     from google_analytics_dataframes_spark.streaming import jobs
 
     src = _stage_stream_dir(spark, sf_dir, ordered=False)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    # 1 file per trigger over the 2-file staging -> 2 stateful batches.
+    # Review r8 finding: at 2 files/trigger the whole source was ONE
+    # batch, so GroupState was written but never read back and the
+    # cross-batch carry-over this row exists to prove was vacuous
+    # (tests/test_streaming.py pins multi-update users now).
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=1)
     with _few_state_partitions(spark):
         out = jobs.run_available_now(
             jobs.st6_stateful_funnel(stream),
@@ -783,14 +817,11 @@ def st18_stream_typed_state(spark, sf_dir):
     )
 
     src = _stage_stream_dir(spark, sf_dir, ordered=False)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    # 1 file per trigger -> 2 stateful batches (same review-r8 fix as
+    # st12): the MapState/ValueState written in batch 1 must be READ BACK
+    # in batch 2 or the typed-state carry-over proof is vacuous
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=1)
+    with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
             # plan construction must happen inside the armed block — this
             # is where the python function's envVars are captured
@@ -799,11 +830,6 @@ def st18_stream_typed_state(spark, sf_dir):
             out = jobs.run_available_now(
                 tws, f"st18_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
             )
-    finally:
-        if old_provider:
-            spark.conf.set(provider_key, old_provider)
-        else:
-            spark.conf.unset(provider_key)
     return out.groupBy("user_id").agg(
         F.max("clicks").alias("clicks"),
         F.max("errors").alias("errors"),
@@ -869,24 +895,13 @@ def st19_stream_timer_sessions(spark, sf_dir):
 
     src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
     stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
             tws = jobs.st19_timer_sessionize(stream)
         with _few_state_partitions(spark):
             out = jobs.run_available_now_parquet(
                 tws, f"st19_pq_{uuid.uuid4().hex[:8]}"
             )
-    finally:
-        if old_provider:
-            spark.conf.set(provider_key, old_provider)
-        else:
-            spark.conf.unset(provider_key)
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss").alias(

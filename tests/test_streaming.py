@@ -235,23 +235,17 @@ def test_stateful_funnel_tws_matches_batch(spark, events_dir):
             "its state-server protocol; neither the wheel nor a vendored "
             "pure-python fallback is present on this host"
         )
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _rocksdb_state_provider,
+    )
+
     stream = jobs.read_event_stream(spark, events_dir)
     # TWS stores each state variable in its own column family — only the
-    # RocksDB provider supports that (HDFSBackedStateStore raises
-    # STATE_STORE_UNSUPPORTED_OPERATION: multipleColumnFamilies)
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    # RocksDB provider supports that (see _rocksdb_state_provider)
+    with _rocksdb_state_provider(spark):
         out = jobs.run_available_now(
             jobs.st8_stateful_funnel_tws(stream), "t_st8", output_mode="update"
         ).toPandas()
-    finally:
-        spark.conf.set(key, old) if old else spark.conf.unset(key)
     final = out.groupby("user_id").last()
     batch = (
         load_table(spark, SF_DIR, "events")
@@ -626,6 +620,7 @@ def test_st19_final_sessions_require_timers(spark):
     (driver-checked equality with the batch oracle)."""
     from google_analytics_dataframes_spark.queries.streaming_batch import (
         _few_state_partitions,
+        _rocksdb_state_provider,
         _stage_stream_dir,
     )
     from google_analytics_dataframes_spark.streaming.tws_runtime import (
@@ -637,20 +632,11 @@ def test_st19_final_sessions_require_timers(spark):
         pytest.skip("no protobuf runtime on this host")
     src = _stage_stream_dir(spark, SF_DIR, ordered=True)  # NO sentinels
     stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
             tws = jobs.st19_timer_sessionize(stream)
         with _few_state_partitions(spark):
             out = jobs.run_available_now_parquet(tws, "t_st19_neg")
-    finally:
-        spark.conf.set(key, old) if old else spark.conf.unset(key)
     n_emitted = out.filter(F.col("user_id") >= 0).count()
     # batch census: lag/cumsum session count (the st14/st19 oracle shape)
     ev = load_table(spark, SF_DIR, "events")
@@ -676,3 +662,52 @@ def test_st19_final_sessions_require_timers(spark):
     # positive proof the timer path emitted: gap-closes alone can yield
     # at most (sessions - users) rows
     assert n_emitted > n_batch - n_users, (n_emitted, n_batch, n_users)
+
+
+def test_stateful_streams_carry_state_across_batches(spark):
+    """Review-r8 regression pin for st12/st18: the unordered 2-file staging
+    read at 2 files/trigger collapsed into ONE microbatch, so per-key
+    state was written but never read back — the cross-batch carry-over
+    both rows exist to prove was vacuous (state.exists() always False).
+    At 1 file/trigger the update-mode sink must contain MULTIPLE rows for
+    many users (one per batch that changed them), which is only possible
+    if batch 2 read and extended batch 1's state."""
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _few_state_partitions,
+        _rocksdb_state_provider,
+        _stage_stream_dir,
+    )
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime on this host")
+    src = _stage_stream_dir(spark, SF_DIR, ordered=False)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=1)
+    with _rocksdb_state_provider(spark):
+        with armed_worker_env(spark):
+            tws = jobs.st18_typed_state_census(stream)
+        with _few_state_partitions(spark):
+            out = jobs.run_available_now(
+                tws, "t_carry", output_mode="update"
+            ).toPandas()
+    per_user = out.groupby("user_id").size()
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(per_user) == n_users
+    # a random 2-way split of a user's ~130 events lands events in both
+    # files with near-certainty; require it for a clear majority
+    assert (per_user >= 2).sum() > n_users // 2, per_user.describe()
+    # and the second update must EXTEND the first (monotone totals), not
+    # restart it: max total per user == the user's full event count
+    totals = out.groupby("user_id")["total"].max().sort_index()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .sort_index()
+    )
+    assert (totals == want).all()
