@@ -593,6 +593,78 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_until_drained(
+    stream_df: DataFrame,
+    query_name: str,
+    expected_input_rows: int,
+    output_mode: str = "update",
+    timeout_s: float = 180.0,
+) -> DataFrame:
+    """availableNow execution for streams that never self-terminate.
+
+    transformWithStateInPandas with ``timeMode="ProcessingTime"`` (the TTL
+    clock) re-arms a state-cleanup wakeup every microbatch, so the
+    availableNow trigger keeps scheduling no-data batches forever — measured:
+    600+ stages and no COMMIT after 5 minutes on a 2-file fixture that
+    drains in ~20 s under ``timeMode="None"``.  Production runs such a
+    stream continuously, so non-termination is the CORRECT engine behavior;
+    a bounded test instead polls query progress and stops the query once
+
+    * cumulative ``numInputRows`` across microbatches reaches
+      ``expected_input_rows`` (every staged row was processed), and
+    * the most recent microbatch consumed 0 rows (the source is drained,
+      so no in-flight batch holds unemitted output).
+
+    Raises ``TimeoutError`` if the source does not drain inside
+    ``timeout_s`` — a hang here means staged fixtures or the source glob
+    are wrong, and failing loudly beats a silent pytest timeout."""
+    import shutil
+    import time
+
+    from google_analytics_dataframes_spark.io import scratch_dir
+
+    ckpt = scratch_dir(f"ckpt_{query_name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + timeout_s
+        seen_batches: set[int] = set()
+        consumed = 0
+        drained = False
+        while time.monotonic() < deadline and q.isActive:
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                if bid not in seen_batches:
+                    seen_batches.add(bid)
+                    consumed += p["numInputRows"]
+            last = q.lastProgress
+            if (
+                consumed >= expected_input_rows
+                and last is not None
+                and last["numInputRows"] == 0
+            ):
+                drained = True
+                break
+            time.sleep(0.5)
+        if not drained and q.isActive:
+            raise TimeoutError(
+                f"{query_name}: consumed {consumed}/{expected_input_rows} "
+                f"rows in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return stream_df.sparkSession.table(query_name)
+
+
 def run_available_now_parquet(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Append-mode availableNow execution through a PARQUET file sink,
     returned as the sink directory read back.
