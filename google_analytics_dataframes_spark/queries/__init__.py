@@ -42,6 +42,9 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
+    # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
+    # UnionLoop, SPARK-24497) and DataFrame.unpivot — newest first
+    "rb26_", "sf17_",
     # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
     # (transformWithStateInPandas, MapState+ValueState census),
     # fixed-budget weighted sampling, and navigation PageRank — newest

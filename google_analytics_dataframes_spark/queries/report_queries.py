@@ -1327,3 +1327,89 @@ def rb25_nav_pagerank(spark, sf_dir):
         (F.col("r") / F.col("n")).alias("rank3"),
         F.coalesce(F.col("out_n"), F.lit(0)).cast("long").alias("out_transitions"),
     )
+
+
+# ------------------------------------------------------------------ rb26 ---
+@register(
+    "rb26_flow_reachability",
+    oracle="""
+    WITH RECURSIVE
+    pg AS (SELECT user_id, ts, event_id,
+                  CAST(json_extract(props, '$.k') AS INTEGER) AS page
+           FROM events),
+    tr AS (SELECT LAG(page) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS src,
+                  page AS dst FROM pg),
+    ec AS (SELECT src, dst, COUNT(*) AS cnt FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+    edges AS (SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY cnt DESC, dst) AS rk
+                FROM ec) WHERE rk <= 3),
+    reach(page, hop) AS (
+      SELECT CAST(0 AS INTEGER) AS page, CAST(0 AS INTEGER) AS hop
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.page
+      WHERE r.hop < 4
+    )
+    SELECT page, MIN(hop) AS min_hops, COUNT(*) AS n_paths
+    FROM reach GROUP BY page
+    """,
+)
+def rb26_flow_reachability(spark, sf_dir):
+    """Behavior-flow reachability [GA behavior-flow / path-exploration
+    analog] via WITH RECURSIVE — Spark 4's recursive CTE surface on the
+    rb25 clickstream page graph.
+
+    GA's path exploration shows, from an origin page, the top-N next
+    pages at each step; this is that traversal as a relational fixpoint:
+    the graph keeps only each page's top-3 transitions (ROW_NUMBER by
+    count desc, dst-ascending tiebreak — deterministic and
+    scale-invariant sparsity, unlike an absolute count threshold whose
+    density shifts with sf), then a recursive CTE walks ≤4 hops from
+    page 0.  min_hops is the BFS distance along top-3 edges; n_paths
+    counts distinct bounded walks (multiplicity of (page,hop) rows) —
+    both integer metrics, so cross-engine equality is exact with no
+    float contract.
+
+    Scale shape: the corpus-scale work is ONE user-hash exchange (the
+    LAG window) + the edge rollup, identical to rb25; the recursion then
+    runs on the page-bounded top-3 graph (≤3·|pages| edges — broadcast
+    size for any real site), and the hop bound caps the walk table at
+    O(3^4·|pages|) rows independent of corpus size.  The UNION ALL
+    recursion is exactly Spark's iterative-union execution: each level
+    is one join against the prior level, the same physical shape as
+    rb25's unrolled power iterations, but declared through the SQL
+    standard's fixpoint syntax (SPARK-24497, new in Spark 4.x) instead
+    of a Python loop."""
+    ev = T(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_rb26_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        pg AS (SELECT user_id, ts, event_id,
+                      CAST(get_json_object(props, '$.k') AS INT) AS page
+               FROM _rb26_events),
+        tr AS (SELECT LAG(page) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS src,
+                      page AS dst FROM pg),
+        ec AS (SELECT src, dst, COUNT(*) AS cnt FROM tr
+               WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+        edges AS (SELECT src, dst FROM (
+                    SELECT src, dst,
+                           ROW_NUMBER() OVER (PARTITION BY src
+                                              ORDER BY cnt DESC, dst) AS rk
+                    FROM ec) WHERE rk <= 3),
+        reach(page, hop) AS (
+          SELECT CAST(0 AS INT) AS page, CAST(0 AS INT) AS hop
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN edges e ON e.src = r.page
+          WHERE r.hop < 4
+        )
+        SELECT page, MIN(hop) AS min_hops, COUNT(*) AS n_paths
+        FROM reach GROUP BY page
+        """
+    )

@@ -523,3 +523,49 @@ def sf16_collation(spark, sf_dir):
         F.countDistinct("lang_m").cast("long").alias("n_distinct_sensitive"),
         F.countDistinct(lcase).cast("long").alias("n_distinct_lcase"),
     )
+
+
+# ------------------------------------------------------------------ sf17 ---
+@register(
+    "sf17_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, val FROM agg
+    UNPIVOT (val FOR metric IN (sum_price, max_price, n_orders))
+    """,
+)
+def sf17_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — wide-to-long reshaping (SURVEY §2.8's reshaping
+    surface; GA exports are wide per-metric tables and every BI layer
+    melts them for charting).
+
+    Spark's DataFrame.unpivot (3.4+) against DuckDB's UNPIVOT clause —
+    the same relational operator through both engines' native syntax.
+    The three metrics are pre-cast to one type (unpivot requires a
+    common value type) and the sum uses exact decimal accumulation
+    (dsum) so the melted doubles are partition-order independent.
+
+    Scale shape: unpivot is a zero-shuffle Expand (each input row emits
+    k typed rows map-side), so the only exchange is the groupBy before
+    it — the melt itself costs no network at any corpus size."""
+    from google_analytics_dataframes_spark.queries._util import dsum
+
+    o = T(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["sum_price", "max_price", "n_orders"],
+        "metric",
+        "val",
+    )

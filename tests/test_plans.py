@@ -736,3 +736,25 @@ def test_sf15_parses_variant_exactly_once(spark):
     assert gets, plan
     for arg in gets:
         assert re.fullmatch(r"v#\d+", arg.strip()), (arg, plan)
+
+
+def test_sf17_unpivot_is_expand_after_single_exchange(spark):
+    """sf17: the melt is a zero-shuffle Expand — the ONLY exchange in the
+    plan is the groupBy that precedes it (partial+final HashAggregate),
+    so wide-to-long reshaping costs no network at any corpus size."""
+    df = registry()["sf17_unpivot"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "Expand" in nodes, nodes
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("HashAggregate") >= 2, nodes
+
+
+def test_rb26_recursive_cte_plan_shape(spark):
+    """rb26: WITH RECURSIVE plans as a UnionLoop (Spark 4's iterative
+    union execution), and the top-3-per-src edge ranking pushes a
+    WindowGroupLimit so the full edge set is never sorted beyond rank 3
+    per partition."""
+    df = registry()["rb26_flow_reachability"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "UnionLoop" in nodes, nodes
+    assert "WindowGroupLimit" in nodes, nodes
