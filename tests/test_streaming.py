@@ -898,3 +898,94 @@ def test_tws_state_ttl_expires_between_batches(spark, tmp_path_factory):
     assert sorted(out["views"].tolist()) == [1, 2, 3, 4], out
     final = out.groupby("user_id")["views"].max()
     assert final.to_dict() == {1: 4, 2: 2}, final
+
+
+def test_tws_list_state_keeps_bounded_recent_window(spark, tmp_path_factory):
+    """TWS ListState — the third typed-state surface (st18 covers
+    ValueState+MapState): a per-user last-3-event tracker, the bounded
+    recent-activity window every personalization/abuse pipeline keeps.
+    Appends each batch's event ids, re-puts only the trailing 3 —
+    proving appendList/put/get round-trip through the state server AND
+    that the bound holds across microbatch boundaries (a put that
+    silently appended instead of replacing would leak unbounded state
+    and fail the expected-list equality)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _few_state_partitions,
+        _rocksdb_state_provider,
+    )
+    from google_analytics_dataframes_spark.streaming.tws_runtime import (
+        armed_worker_env,
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime on this host")
+    d = str(tmp_path_factory.mktemp("tws_list"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    file_events = [
+        {1: [101, 102, 103], 2: [111]},
+        {1: [201, 202], 2: [211]},
+    ]
+    for i, per_user in enumerate(file_events):
+        rows = [
+            (eid, 1_700_000_000_000_000_000 + eid * 1_000_000_000, uid,
+             "view", 1.0, "{}")
+            for uid, eids in per_user.items()
+            for eid in eids
+        ]
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        path = f"{d}/f{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    elem_schema = StructType([StructField("event_id", LongType())])
+
+    class Recent3(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState("recent", elem_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                new.extend(int(e) for e in pdf["event_id"])
+            new.sort()  # batch-internal arrival order is not contractual
+            self._recent.appendList([(e,) for e in new])
+            tail3 = [t for t in self._recent.get()][-3:]
+            self._recent.put(tail3)  # REPLACE with the bounded window
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "recent": [",".join(str(t[0]) for t in tail3)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = jobs.read_event_stream(spark, d, files_per_trigger=1)
+    with _rocksdb_state_provider(spark):
+        with armed_worker_env(spark):
+            tws = stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=Recent3(),
+                outputStructType="user_id bigint, recent string",
+                outputMode="Update",
+                timeMode="None",
+            )
+        with _few_state_partitions(spark):
+            out = jobs.run_available_now(
+                tws, "t_tws_list", output_mode="update"
+            ).toPandas()
+    # batch 1: u1 -> 101,102,103 ; u2 -> 111
+    # batch 2 appends to the KEPT tail: u1 -> 103,201,202 ; u2 -> 111,211
+    per_user = out.groupby("user_id")["recent"].apply(set).to_dict()
+    assert per_user[1] == {"101,102,103", "103,201,202"}, out
+    assert per_user[2] == {"111", "111,211"}, out
