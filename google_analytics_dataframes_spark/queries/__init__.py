@@ -43,8 +43,9 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
-    # UnionLoop, SPARK-24497) and DataFrame.unpivot — newest first
-    "rb26_", "sf17_",
+    # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-
+    # moment statistics (stddev/corr/regr) — newest first
+    "rb26_", "sf17_", "a19_",
     # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
     # (transformWithStateInPandas, MapState+ValueState census),
     # fixed-budget weighted sampling, and navigation PageRank — newest
@@ -92,10 +93,10 @@ SWEEP_HEAD: list[str] = [
     # budget arithmetic (review r8): round 8 registered 29 new rows and
     # changed 15 more, all of which MUST sweep before rows that still
     # hold valid (if old) r02 evidence — that fills positions 1-44, so
-    # at the driver's 50-query budget only the first ~6 of these 12 fit
-    # this round; the remainder stays at the rotation head and clears in
-    # round 9 (the prior "all 12 at positions 38-49" note predated the
-    # batch-6 registrations and was wrong once they landed)
+    # at the driver's 50-query budget only the first few of these 12 fit
+    # this round (~4 after the batch-7 registrations landed; new rows
+    # with NO driver evidence outrank rows with valid-but-old evidence);
+    # the remainder stays at the rotation head and clears in round 9
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
     "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
     # LAST — guard OVER-APPROXIMATIONS (span adjacency from the l73/l74

@@ -501,3 +501,72 @@ def a18_freq_topk(spark, sf_dir):
         )
         .alias("superset_ok"),
     )
+
+
+# ------------------------------------------------------------------- a19 ---
+@register(
+    "a19_moment_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {dsum_sql('value')} AS sv,
+             {dsum_sql('value * value')} AS svv,
+             {dsum_sql('hour(ts)')} AS sh,
+             {dsum_sql('hour(ts) * hour(ts)')} AS shh,
+             {dsum_sql('value * hour(ts)')} AS svh
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS stddev_value,
+           ROUND((n * svh - sv * sh)
+                 / sqrt((n * svv - sv * sv) * (n * shh - sh * sh)), 6)
+             AS corr_value_hour,
+           ROUND((n * svh - sv * sh) / (n * shh - sh * sh), 6)
+             AS slope_value_hour
+    FROM m
+    """,
+)
+def a19_moment_stats(spark, sf_dir):
+    """Statistical aggregates — sample stddev, Pearson correlation, and
+    least-squares regression slope per group (§2.4's moment-statistics
+    tier; GA's metric-vs-hour trend/variance views).
+
+    Built-in stddev_samp/corr/regr_slope are streaming float
+    accumulators whose result depends on partition merge order — the
+    cross-engine (and run-to-run) hash would drift.  Instead the five
+    raw moments Σv, Σv², Σh, Σhh, Σvh accumulate EXACTLY (decimal — the
+    dsum contract), and the closed-form formulas run once per group on
+    the exact sums, with identical association order in both engines, so
+    the doubles agree bit-for-bit (terminal round(6) absorbs the sqrt's
+    last-ulp libm variance).
+
+    Scale shape: one partial+final hash aggregate — the moments are
+    map-side combinable, so this costs exactly a1's single exchange no
+    matter how many statistics derive from them.  (The same five-moment
+    frame gives covariance, R², and the intercept for free.)"""
+    ev = T(spark, sf_dir, "events")
+    h = F.hour("ts")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(v).alias("sv"),
+        dsum(v * v).alias("svv"),
+        dsum(h).alias("sh"),
+        dsum(h * h).alias("shh"),
+        dsum(v * h).alias("svh"),
+    )
+    n, sv, svv, sh, shh, svh = (F.col(c) for c in ("n", "sv", "svv", "sh", "shh", "svh"))
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(F.sqrt((svv - sv * sv / n) / (n - 1)), 6).alias("stddev_value"),
+        F.round(
+            (n * svh - sv * sh)
+            / F.sqrt((n * svv - sv * sv) * (n * shh - sh * sh)),
+            6,
+        ).alias("corr_value_hour"),
+        F.round((n * svh - sv * sh) / (n * shh - sh * sh), 6).alias(
+            "slope_value_hour"
+        ),
+    )

@@ -758,3 +758,14 @@ def test_rb26_recursive_cte_plan_shape(spark):
     nodes = audit.node_names(df)
     assert "UnionLoop" in nodes, nodes
     assert "WindowGroupLimit" in nodes, nodes
+
+
+def test_a19_moments_single_exchange(spark):
+    """a19: five decimal moments + count are all map-side combinable, so
+    the whole statistics frame costs exactly one exchange (partial+final
+    HashAggregate) — the closed-form stddev/corr/slope math adds no
+    shuffle."""
+    df = registry()["a19_moment_stats"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("HashAggregate") >= 2, nodes
