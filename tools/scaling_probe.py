@@ -83,6 +83,13 @@ QUERIES = [
     "st18_stream_typed_state",
     "l76_priority_sample",
     "rb25_nav_pagerank",
+    # round-8 batch 7: recursive-CTE reachability (corpus-scale work is
+    # the edge window; the UnionLoop runs on the page-bounded top-3
+    # graph), the zero-shuffle unpivot, and the five-moment statistics
+    # frame (one partial+final aggregate)
+    "rb26_flow_reachability",
+    "sf17_unpivot",
+    "a19_moment_stats",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
