@@ -369,3 +369,95 @@ def sequence_pack(
         .withColumn("bin", F.floor(cum_before / budget_tokens).cast("long"))
         .select(order_col, "n_tokens", "bin")
     )
+
+
+# ----------------------------------------------------------------- BPE ----
+
+_BPE_EOW = "▁"  # end-of-word sentinel (U+2581, never in corpus text)
+
+
+def train_bpe_merges(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn a greedy BPE merge list (Sennrich et al. 2016, the reference
+    algorithm behind every production subword tokenizer) from a
+    word-frequency table.
+
+    Pure driver-side Python by DESIGN, not accident: production
+    tokenizers are trained on a bounded SAMPLE (a few GB even for
+    frontier-model vocabularies) and then applied to the full corpus —
+    the training input here is bounded by the caller's sample contract,
+    and only the apply path is distributed (see l77).
+
+    Determinism: each iteration merges the pair with the highest
+    frequency, ties broken by lexicographically smallest pair — no dict
+    iteration order leaks into the result.
+    """
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (_BPE_EOW,): f for w, f in word_freqs.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pairs[pair] = pairs.get(pair, 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a learned merge table: repeatedly apply the
+    LOWEST-rank applicable merge (all its occurrences, left to right) —
+    the standard BPE apply order, deterministic for any input."""
+    syms: list[str] = list(word) + [_BPE_EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged = a + b
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_decode(tokens: list[str]) -> str:
+    """Inverse of :func:`bpe_encode_word` over a whole word-token stream:
+    concatenate and split back on the end-of-word sentinel."""
+    return " ".join(w for w in "".join(tokens).split(_BPE_EOW) if w != "") \
+        if tokens else ""

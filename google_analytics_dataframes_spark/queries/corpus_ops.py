@@ -1647,3 +1647,84 @@ def l75_delta_dedup(spark, sf_dir):
         .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
     )
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
+
+
+# ------------------------------------------------------------------- l77 ---
+@register(
+    "l77_bpe_encode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def l77_bpe_encode_roundtrip(spark, sf_dir):
+    """Subword tokenization applied at corpus scale: train a greedy BPE
+    merge table (Sennrich et al. 2016) on a bounded deterministic sample,
+    broadcast it, and ENCODE every document with the standard lowest-
+    rank-first merge apply — then DECODE in-task and require exact
+    round-trip equality with the whitespace-normalized text (the
+    l63/l64 codec-verification pattern applied to the tokenizer).
+
+    This is the missing apply half of the BPE story: l51 measures the
+    pair statistics BPE training consumes; l17 counts tokens with a
+    regex proxy; this row runs a REAL learned subword encoder over the
+    corpus.  Training is driver-side on an orderBy(doc_id).limit(256)
+    sample by CONTRACT (production tokenizers train on a bounded sample
+    and apply everywhere — the 100 TB path never trains on the full
+    corpus); the merge table (60 merges) broadcasts by closure and the
+    encode is Arrow-batched per partition with zero shuffles.
+
+    Oracle exactness: token counts have no SQL closed form, so the
+    hashable audit is (n_words, n_chars, roundtrip_ok) — n_words from
+    the ENCODER's own word splitter must equal DuckDB's \\S+ run count
+    (a real cross-check of tokenizer word boundaries), and any
+    encode/decode mismatch raises in-task, killing the row count.
+    Token-level known-answer coverage lives in
+    tests/test_text_ops.py::test_bpe_known_answer_merges_and_encoding."""
+    import pandas as pd
+
+    from google_analytics_dataframes_spark.operators.text import (
+        bpe_decode,
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+
+    sample = [
+        r.text
+        for r in T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(256)
+        .collect()
+    ]
+    word_freqs: dict[str, int] = {}
+    for t in sample:
+        for w in t.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    merges = train_bpe_merges(word_freqs, 60)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def per_batch(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split()
+                tokens: list[str] = []
+                for w in words:
+                    tokens.extend(bpe_encode_word(w, ranks))
+                if bpe_decode(tokens) != " ".join(words):
+                    raise ValueError(
+                        f"BPE round-trip mismatch for doc {doc_id}"
+                    )
+                out.append((int(doc_id), len(words), len(text), True))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_words", "n_chars", "roundtrip_ok"]
+            )
+
+    docs = fanout(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.mapInPandas(
+        per_batch, "doc_id long, n_words long, n_chars long, roundtrip_ok boolean"
+    )

@@ -438,3 +438,50 @@ def test_indexed_neardup_paths_agree(spark):
         ).collect()
     }
     assert mask == gram and len(mask) > 0
+
+
+# ------------------------------------------------------------------ BPE ---
+
+
+def test_bpe_known_answer_merges_and_encoding():
+    """Hand-computed BPE fixture (l77's token-level coverage — the
+    registered query verifies round-trips; this pins the actual merge
+    order and apply semantics).  Corpus {ab:2, abc:1}:
+      iter1: (a,b) freq 3 wins              -> 'ab'
+      iter2: (ab,EOW) freq 2 wins           -> 'ab EOW'
+      iter3: (ab,c) ties (c,EOW) at 1; lexicographically smallest pair
+             wins deterministically          -> 'abc'
+    """
+    from google_analytics_dataframes_spark.operators.text import (
+        _BPE_EOW as W,
+        bpe_decode,
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+
+    merges = train_bpe_merges({"ab": 2, "abc": 1}, 3)
+    assert merges == [("a", "b"), ("ab", W), ("ab", "c")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("ab", ranks) == ["ab" + W]
+    assert bpe_encode_word("abc", ranks) == ["abc", W]
+    # unseen suffix falls back to learned prefixes + raw chars
+    assert bpe_encode_word("abcd", ranks) == ["abc", "d", W]
+    toks = []
+    for w in "ab abc abcd".split():
+        toks.extend(bpe_encode_word(w, ranks))
+    assert bpe_decode(toks) == "ab abc abcd"
+    assert bpe_decode([]) == ""
+
+
+def test_bpe_trainer_is_deterministic_under_tie_storms():
+    """All-distinct single-occurrence words: every pair ties at 1, so the
+    whole merge list is decided by the lexicographic tiebreak — two runs
+    (reversed dict insertion order) must produce identical merges."""
+    from google_analytics_dataframes_spark.operators.text import (
+        train_bpe_merges,
+    )
+
+    words = ["cb", "ba", "ac"]
+    f1 = {w: 1 for w in words}
+    f2 = {w: 1 for w in reversed(words)}
+    assert train_bpe_merges(f1, 8) == train_bpe_merges(f2, 8)
