@@ -510,3 +510,138 @@ def s14_python_datasource(spark, sf_dir):
         .option("page_size", 100)
         .load()
     )
+
+
+# ------------------------------------------------------------------- s15 ---
+def _evolved_orders_dir(spark, sf_dir) -> str:
+    """Stage (once per dataset fingerprint) a two-generation parquet
+    directory: generation v1 (even order keys) predates the
+    o_orderpriority column; generation v2 (odd keys) carries it.  This is
+    the layout every long-lived lake table actually has — files written
+    before a column existed sit next to files written after."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_evolved_orders_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        o = T(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{out}/gen=v1")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{out}/gen=v2")
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "s15_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+           ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def s15_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (§2.1's long-lived-table surface): a table
+    whose older files PREDATE a column must still read as one relation —
+    ``mergeSchema`` unions the per-file footers and fills the missing
+    column with NULL, exactly the add-a-nullable-column contract
+    warehouse formats promise.
+
+    The staged fixture has generation v1 (even keys, no
+    o_orderpriority) beside generation v2 (odd keys, with it); the
+    grouped census proves every v1 row surfaces with a NULL priority and
+    every v2 row keeps its value — the oracle recomputes the same census
+    ANALYTICALLY from the original orders table, so a reader that
+    dropped v1 rows, defaulted the column to anything but NULL, or
+    failed to union the schemas hash-fails.
+
+    Scale note: mergeSchema footer-merge is a METADATA operation (one
+    footer read per file at planning time, distributed in Spark via a
+    spark.read job over footers only); the data path stays the
+    vectorized reader with per-file column mapping — no rewrite of old
+    files is ever needed to add a column at 100 TB."""
+    d = _evolved_orders_dir(spark, sf_dir)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+# ------------------------------------------------------------------- s16 ---
+def _corrupt_jsonl_dir(spark, sf_dir) -> str:
+    """Stage (once per dataset fingerprint) a JSONL file set where every
+    7th document's line is TRUNCATED mid-object — the malformed-input
+    reality of any crawl-scale ingest (connection cuts, partial flushes,
+    non-JSON garbage in a .jsonl drop)."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_corrupt_jsonl_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        line = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "n_chars":')),
+        ).otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+        T(spark, sf_dir, "documents").select(line.alias("value")).write.mode(
+            "overwrite"
+        ).text(f"{out}/data")
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "s16_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars,
+           doc_id % 7 = 0 AS is_corrupt
+    FROM documents
+    """,
+)
+def s16_corrupt_records(spark, sf_dir):
+    """Malformed-record containment (§2.1's dirty-ingest surface):
+    PERMISSIVE JSON reading with an explicit schema and a
+    ``_corrupt_record`` column — every truncated line must surface as one
+    all-NULL row with the raw text quarantined, and every well-formed
+    line must parse untouched.  The planted fixture corrupts exactly the
+    doc_id%7==0 lines, so the oracle rebuilds the expected relation
+    analytically from the documents table; a reader that silently
+    DROPPED bad lines (the FAILFAST/DROPMALFORMED trap applied by
+    default) loses rows and hash-fails.
+
+    The explicit schema is load-bearing twice at scale: inference would
+    cost a pre-pass over 100 TB, and the corrupt-record column only
+    exists when named in the schema.  Per-task parsing with in-row
+    quarantine means error handling adds zero shuffles and no job
+    restarts — the 1-in-7 garbage never touches the happy path."""
+    d = _corrupt_jsonl_dir(spark, sf_dir)
+    back = (
+        spark.read.schema(
+            "doc_id long, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{d}/data")
+    )
+    return back.select(
+        "doc_id",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
