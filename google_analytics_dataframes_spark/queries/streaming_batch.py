@@ -1058,3 +1058,184 @@ def st14_stream_sessionize(spark, sf_dir):
     return out.filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "n_events", "session_value"
     )
+
+
+# ------------------------------------------------------------------ st20 ---
+def _ck(col):
+    """8-hex-digit md5-prefix content checksum as bigint — the l71/l50
+    arithmetic both engines share (< 2^32 per row, census-sum safe)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _stage_change_stream(spark, sf_dir: str) -> str:
+    """Stage the CDC change feed as a 2-file stream (ascending mtimes):
+
+    * wave 1 — deletes (doc_id%13==0) and v2 re-edits (doc_id%9==0,
+      surviving);
+    * wave 2 — inserts (doc_id%17==0 under max(doc_id)+1-offset ids) and
+      SECOND re-edits to v3 for the EVEN half of wave 1's edit set.
+
+    The v3-over-v2 overlap is the point: a sink that applies batches out
+    of order, merges them as one set, or is not idempotent per version
+    lands the wrong final checksum."""
+    import os
+    import shutil
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    key, cached = _stage_cached(spark, sf_dir, "change_stream")
+    if cached is not None:
+        return cached
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_dir(f"change_stream_{sf_tag}")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    did = F.col("doc_id")
+    wave1 = (
+        docs.filter(did % 13 == 0)
+        .select(
+            "doc_id",
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("long").alias("ck"),
+        )
+        .unionAll(
+            docs.filter((did % 9 == 0) & (did % 13 != 0)).select(
+                "doc_id",
+                F.lit("upsert").alias("op"),
+                _ck(F.concat("text", F.lit(" v2"))).alias("ck"),
+            )
+        )
+    )
+    wave2 = (
+        docs.filter(did % 17 == 0)
+        .select(
+            (did + F.lit(n)).alias("doc_id"),
+            F.lit("upsert").alias("op"),
+            _ck(F.reverse("text")).alias("ck"),
+        )
+        .unionAll(
+            docs.filter((did % 9 == 0) & (did % 13 != 0) & (did % 2 == 0)).select(
+                "doc_id",
+                F.lit("upsert").alias("op"),
+                _ck(F.concat("text", F.lit(" v3"))).alias("ck"),
+            )
+        )
+    )
+    stage = d + "_stage"
+    for sub, df in (("wave1", wave1), ("wave2", wave2)):
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, sub))
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i, sub in enumerate(("wave1", "wave2")):
+        [part] = [
+            f for f in os.listdir(os.path.join(stage, sub)) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(d, f"{i}_{sub}.parquet")
+        shutil.copyfile(os.path.join(stage, sub, part), dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE[key] = d
+    return d
+
+
+@register(
+    "st20_stream_cdc_apply",
+    oracle="""
+    WITH offs AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 AND doc_id % 13 <> 0
+                       AND doc_id % 2 = 0 THEN text || ' v3'
+                  WHEN doc_id % 9 = 0 AND doc_id % 13 <> 0
+                    THEN text || ' v2'
+                  ELSE text END AS t
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + (SELECT o FROM offs), reverse(text)
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(try_cast(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_checksum
+    FROM final
+    """,
+)
+def st20_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC APPLY — the sink-side half of the merge story,
+    EXECUTED as a stream: l71 proves the MERGE census in one batch
+    full-outer join; this row consumes the same change feed as a 2-batch
+    STREAM and maintains a materialized snapshot through foreachBatch
+    snapshot VERSIONING (read version k, merge the microbatch, write
+    version k+1) — the exactly-once idempotent-sink pattern Structured
+    Streaming documents for arbitrary sinks: a replayed microbatch
+    rewrites the same version directory instead of double-applying.
+
+    Sequencing is load-bearing: wave 2 re-edits (v3) half of wave 1's
+    edits (v2), so out-of-order application, a single merged apply, or a
+    non-atomic version flips the final content checksum.  The emitted
+    census (count, id range, md5-prefix checksum sum over FINAL content)
+    is recomputed analytically by the oracle from the raw documents
+    table.
+
+    100-TB shape: the snapshot carries (doc_id, ck) — ~16 B/row, never
+    text; each microbatch costs one key-join of snapshot x batch (on a
+    real lake this is MERGE INTO on a clustered table, with file-level
+    pruning limiting the rewrite to touched files — the s8/l69 bucketed
+    layout); the availableNow trigger makes the same pipeline do batch
+    CATCH-UP and continuous tailing with identical semantics."""
+    import os
+    import shutil
+    import uuid
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    src = _stage_change_stream(spark, sf_dir)
+    run = scratch_dir(f"cdc_apply_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(run, ignore_errors=True)
+    v0 = os.path.join(run, "v0")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ck("text").alias("ck")
+    ).write.mode("overwrite").parquet(v0)
+    latest = [v0]
+
+    def apply_batch(bdf, bid):
+        cur = spark.read.parquet(latest[-1])
+        b = bdf.withColumnRenamed("ck", "ck_new")
+        merged = (
+            cur.join(b, "doc_id", "full_outer")
+            .filter((F.col("op") != "delete") | F.col("op").isNull())
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.when(F.col("op") == "upsert", F.col("ck_new")),
+                    F.col("ck"),
+                ).alias("ck"),
+            )
+        )
+        nxt = os.path.join(run, f"v{bid + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        latest.append(nxt)
+
+    changes = (
+        spark.readStream.schema("doc_id long, op string, ck long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = os.path.join(run, "ckpt")
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(latest[-1])
+    return snap.agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("ck").alias("content_checksum"),
+    )

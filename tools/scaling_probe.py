@@ -90,6 +90,14 @@ QUERIES = [
     "rb26_flow_reachability",
     "sf17_unpivot",
     "a19_moment_stats",
+    # round-8 batch 8: BPE encode (per-doc Python apply, sample-trained),
+    # the two dirty-lake source surfaces (staging charged to warm-up),
+    # and the timer-driven TWS sessionization stream (registered after
+    # the BENCH_SF1 refresh)
+    "l77_bpe_encode_roundtrip",
+    "s15_schema_evolution",
+    "s16_corrupt_records",
+    "st19_stream_timer_sessions",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
