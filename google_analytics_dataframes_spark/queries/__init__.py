@@ -45,7 +45,7 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
     # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-
     # moment statistics (stddev/corr/regr) — newest first
-    "rb26_", "sf17_", "a19_", "l77_", "s15_", "s16_", "st20_",
+    "rb26_", "sf17_", "a19_", "l77_", "s15_", "s16_", "st20_", "w13_", "sf18_",
     # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
     # (transformWithStateInPandas, MapState+ValueState census),
     # fixed-budget weighted sampling, and navigation PageRank — newest

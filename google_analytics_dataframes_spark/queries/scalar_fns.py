@@ -569,3 +569,47 @@ def sf17_unpivot(spark, sf_dir):
         "metric",
         "val",
     )
+
+
+# ------------------------------------------------------------------ sf18 ---
+@register(
+    "sf18_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS and_all,
+           bit_or(user_id) AS or_all,
+           bit_xor(user_id) AS xor_all,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS popcount_sum,
+           CAST(SUM(user_id & 255) AS BIGINT) AS low_byte_sum,
+           CAST(SUM(xor(user_id, event_id) % 65536) AS BIGINT) AS mix_sum,
+           CAST(SUM((user_id % 1024) << 3) AS BIGINT) AS shl_sum,
+           CAST(SUM(event_id >> 2) AS BIGINT) AS shr_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def sf18_bitwise(spark, sf_dir):
+    """Bitwise expression + aggregate surface (§2.8's integer-kernel
+    tier): &, |, xor, shifts and popcount as row expressions, and the
+    bit_and/bit_or/bit_xor AGGREGATES — the primitives every bitmap/
+    bloom/signature layer builds on (operators/dedup.py's packed-mask
+    kernels and l50's bloom positions are exactly these ops composed).
+
+    Engine traps pinned: Spark spells bitwise-xor ``^`` but DuckDB's
+    ``^`` is exponentiation — the shared spelling is ``xor(a,b)`` in the
+    oracle vs ``bitwiseXOR`` on the Spark side; shifts and popcount are
+    plain integer kernels with identical semantics on int64 in both.
+
+    All-integer results — no float contract at all; one partial+final
+    aggregate exchange (bit_and/or/xor fold map-side like sum)."""
+    ev = T(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.bit_and(u).alias("and_all"),
+        F.bit_or(u).alias("or_all"),
+        F.bit_xor(u).alias("xor_all"),
+        F.sum(F.bit_count(e)).cast("long").alias("popcount_sum"),
+        F.sum(u.bitwiseAND(F.lit(255))).cast("long").alias("low_byte_sum"),
+        F.sum(u.bitwiseXOR(e) % 65536).cast("long").alias("mix_sum"),
+        F.sum(F.shiftleft(u % 1024, 3)).cast("long").alias("shl_sum"),
+        F.sum(F.shiftright(e, 2)).cast("long").alias("shr_sum"),
+    )

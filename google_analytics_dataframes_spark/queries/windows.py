@@ -498,3 +498,67 @@ def w12_gapfill_interpolate(spark, sf_dir):
         .otherwise(F.lit("bfill"))
         .alias("src"),
     )
+
+
+# ------------------------------------------------------------------- w13 ---
+@register(
+    "w13_nth_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           nth_value(l_extendedprice, 3) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_price,
+           last_value(CASE WHEN l_linenumber % 3 = 0
+                           THEN l_extendedprice END IGNORE NULLS) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+           ) AS last_sampled_price
+    FROM lineitem
+    """,
+)
+def w13_nth_value(spark, sf_dir):
+    """nth_value + IGNORE NULLS last_value — the two window accessors w8
+    (first/last) leaves out: an absolute-position pick from a fully
+    bounded frame, and the 'most recent known value' idiom (carry
+    forward the last non-null observation — the standard sparse-metric
+    fill every sessionized metric pipeline uses).
+
+    Frame semantics are the trap being pinned: nth_value under the
+    DEFAULT frame (unbounded-preceding .. current-row) returns NULL for
+    the first two rows of every partition, so both engines get the
+    explicit unbounded-both-sides frame; last-ignore-nulls keeps the
+    default running frame on the same total order (the ship-date +
+    key tiebreak makes it engine-independent; the synthetic lineitem
+    DUPLICATES some (orderkey, linenumber) pairs, so l_extendedprice
+    closes the total order — rows still identical after all four keys
+    carry identical payloads, so every window answer is tie-proof).
+
+    Scale: one hash exchange on the 3-value partition key; same
+    skew posture as w1 (bounded partition count — at 100 TB this wants
+    the w2 distinct-value treatment if the accessor allows it; nth_value
+    genuinely needs the ordered partition, so the exchange is the
+    honest minimum)."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    full = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = Window.partitionBy("l_returnflag").orderBy(*order)
+    sampled = F.when(
+        F.col("l_linenumber") % 3 == 0, F.col("l_extendedprice")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.nth_value("l_extendedprice", 3).over(full).alias("third_price"),
+        F.last(sampled, ignorenulls=True)
+        .over(running)
+        .alias("last_sampled_price"),
+    )
