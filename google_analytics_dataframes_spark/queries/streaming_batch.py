@@ -436,6 +436,39 @@ def _few_state_partitions(spark, n: int = 8):
         spark.conf.set(key, old)
 
 
+def _sized_state_partitions(sf_dir: str) -> int:
+    """State-partition count scaled to source volume (~128 KiB of source
+    events per partition, clamped to [8, 32]).
+
+    The TWS rows pay their cost per KEY in Python behind the state
+    server — measured on st19: at the 10x point, 8 state partitions ran
+    the two ~500k-row data batches at 55 s each vs ~17 s at 32
+    (near-linear task-parallel scaling), while the tiny flush batches
+    moved only ~1 s -> ~1.5 s; at sf0.1 (2.0 MB events), warm pairs were
+    17.1/17.5 s at 8, 12.0/12.1 s at 16, and 11.9/12.4 s at 32 — so 16
+    is the sf0.1 sweet spot and 32 buys nothing there (the ~12 s floor
+    is fixed microbatch + store-commit cost).  The 128 KiB divisor
+    lands on each measured optimum: sf0.01 -> 8 (per-partition store
+    open/commit dominates tiny state), sf0.1 -> 16, 10x -> 32.  This is
+    the "caller sizes this to state volume" note on
+    _few_state_partitions made executable; on a real cluster the same
+    rule maps state partitions to total executor cores."""
+    import os
+
+    from google_analytics_dataframes_spark.io import table_path
+
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        b = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    else:
+        b = os.path.getsize(p)
+    return max(8, min(32, b // (1 << 17)))
+
+
 @contextmanager
 def _rocksdb_state_provider(spark):
     """Switch the state-store provider to RocksDB for the block, restoring
@@ -826,7 +859,7 @@ def st18_stream_typed_state(spark, sf_dir):
             # plan construction must happen inside the armed block — this
             # is where the python function's envVars are captured
             tws = jobs.st18_typed_state_census(stream)
-        with _few_state_partitions(spark):
+        with _few_state_partitions(spark, _sized_state_partitions(sf_dir)):
             out = jobs.run_available_now(
                 tws, f"st18_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
             )
@@ -898,7 +931,7 @@ def st19_stream_timer_sessions(spark, sf_dir):
     with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
             tws = jobs.st19_timer_sessionize(stream)
-        with _few_state_partitions(spark):
+        with _few_state_partitions(spark, _sized_state_partitions(sf_dir)):
             out = jobs.run_available_now_parquet(
                 tws, f"st19_pq_{uuid.uuid4().hex[:8]}"
             )

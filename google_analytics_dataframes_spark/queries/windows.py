@@ -535,30 +535,81 @@ def w13_nth_value(spark, sf_dir):
     closes the total order — rows still identical after all four keys
     carry identical payloads, so every window answer is tie-proof).
 
-    Scale: one hash exchange on the 3-value partition key; same
-    skew posture as w1 (bounded partition count — at 100 TB this wants
-    the w2 distinct-value treatment if the accessor allows it; nth_value
-    genuinely needs the ordered partition, so the exchange is the
-    honest minimum)."""
+    Scale — the w2 lesson applied to ACCESSORS (the naive form sorted
+    all of lineitem into 3 returnflag partitions: 6.3x at 10x data,
+    parallelism collapsed to 3 tasks; this form measured ~1x):
+
+    * nth_value(price, 3) over an unbounded frame is a CONSTANT per
+      flag — the 3rd row of the total order.  A row_number <= 3 filter
+      executes as map-side WindowGroupLimit (each scan task keeps <= 3
+      rows per flag, l76's pattern), so the final sort sees <= 3 rows
+      per flag per task; the 3-row (flag, third_price) dim broadcasts
+      back.
+    * last(... ignore nulls) running is a distributed prefix (l27's
+      two-phase shape): bucket the total order by its leading column
+      (ship-MONTH — a prefix of the order, so buckets are contiguous
+      ranges and ties never straddle a boundary), carry forward WITHIN
+      each (flag, month) group in parallel, reduce each group to its
+      final carry (one tiny row per group), prefix-scan those ~250
+      rows per flag, and broadcast the boundary carry back: the fill
+      for rows before a group's first sample.  One hash exchange of
+      the fact table on (flag, month) — bounded, skew-free groups —
+      instead of one global 3-partition sort."""
     from pyspark.sql import Window
 
     li = T(spark, sf_dir, "lineitem")
     order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
-    full = (
-        Window.partitionBy("l_returnflag")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    running = Window.partitionBy("l_returnflag").orderBy(*order)
+    ord_struct = F.struct(*order)
     sampled = F.when(
         F.col("l_linenumber") % 3 == 0, F.col("l_extendedprice")
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+
+    # --- nth_value: map-side group-limit, then broadcast the 3-row dim
+    w_flag = Window.partitionBy("l_returnflag").orderBy(*order)
+    third = (
+        li.withColumn("rn", F.row_number().over(w_flag))
+        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") == 3)
+        .select("l_returnflag", F.col("l_extendedprice").alias("third_price"))
+    )
+
+    # --- ignore-nulls carry-forward: parallel local scan + boundary stitch
+    bucketed = li.withColumn("bkt", F.date_trunc("month", F.col("l_shipdate")))
+    w_local = Window.partitionBy("l_returnflag", "bkt").orderBy(*order)
+    local = bucketed.withColumn(
+        "lv_local", F.last(sampled, ignorenulls=True).over(w_local)
+    )
+    # each group's final carry = price of its LAST SAMPLED row.  One
+    # fact-wide hash aggregate covers both needs: max_by ignores rows
+    # whose ordering key is NULL, so gating the key on the sample
+    # predicate yields the last sampled price — and NULL for groups
+    # with no samples, which still get their (flag, month) row so the
+    # prefix scan can carry PAST them (their rows inherit the prior
+    # carry via the same broadcast).
+    group_last = bucketed.groupBy("l_returnflag", "bkt").agg(
+        F.max_by(
+            "l_extendedprice",
+            F.when(F.col("l_linenumber") % 3 == 0, ord_struct),
+        ).alias("grp_last")
+    )
+    w_bkt = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = group_last.select(
         "l_returnflag",
-        F.nth_value("l_extendedprice", 3).over(full).alias("third_price"),
-        F.last(sampled, ignorenulls=True)
-        .over(running)
-        .alias("last_sampled_price"),
+        "bkt",
+        F.last("grp_last", ignorenulls=True).over(w_bkt).alias("carry_in"),
+    )
+    return (
+        local.join(F.broadcast(boundary), ["l_returnflag", "bkt"], "left")
+        .join(F.broadcast(third), ["l_returnflag"], "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "third_price",
+            F.coalesce("lv_local", "carry_in").alias("last_sampled_price"),
+        )
     )

@@ -769,3 +769,92 @@ def test_a19_moments_single_exchange(spark):
     nodes = audit.node_names(df)
     assert nodes.count("Exchange") == 1, nodes
     assert nodes.count("HashAggregate") >= 2, nodes
+
+
+def test_w13_accessors_avoid_flag_wide_sort(spark):
+    """w13 (the w2 lesson applied to accessors): the naive form sorted the
+    whole fact table into 3 l_returnflag partitions (6.3x at 10x data,
+    parallelism = 3 tasks).  Pin the scalable shape: the nth_value branch
+    runs behind a map-side WindowGroupLimit; the carry-forward window
+    partitions on (flag, month-bucket) — never on the bare 3-value flag;
+    both stitch-backs are broadcast joins."""
+    df = registry()["w13_nth_value"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "WindowGroupLimit" in nodes, nodes
+    assert nodes.count("BroadcastHashJoin") == 2, nodes
+    plan = audit.formatted_plan(df)
+    # every window over the fact's order columns must either carry the
+    # bkt co-key or be the row_number ranking that WindowGroupLimit
+    # bounds to <= 3 rows/flag/task; a bare-flag windowspec on any OTHER
+    # function would be the 3-partition fact sort coming back
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line or "l_shipdate" not in line:
+            continue
+        if "l_returnflag" in line and "bkt" not in line:
+            assert "row_number" in line, line
+
+
+def test_w13_carry_crosses_sample_free_buckets(spark, tmp_path_factory):
+    """The w13 stitch's two data-dependent edges, on crafted rows the
+    TPC-H tables never produce: a month bucket with NO sampled rows
+    (carry must pass THROUGH it — its rows inherit the prior bucket's
+    last sample via the boundary prefix), and a flag with fewer than 3
+    rows (third_price must be NULL, not an arbitrary row).  Verified
+    against the naive single-window form computed on the same rows."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from google_analytics_dataframes_spark.queries.windows import w13_nth_value
+
+    d = tmp_path_factory.mktemp("w13edge")
+    rows = []
+    # flag A: jan has samples (linenumber 3), feb has NONE (linenumbers
+    # 1,2 only), mar rows must inherit jan's carry through feb
+    rows += [
+        (1, 1, "A", datetime.date(2024, 1, 5), 10.0),
+        (1, 3, "A", datetime.date(2024, 1, 9), 11.0),  # sampled
+        (2, 1, "A", datetime.date(2024, 2, 4), 12.0),
+        (2, 2, "A", datetime.date(2024, 2, 8), 13.0),  # no samples in feb
+        (3, 1, "A", datetime.date(2024, 3, 2), 14.0),
+        (3, 6, "A", datetime.date(2024, 3, 7), 15.0),  # sampled
+    ]
+    # flag B: only 2 rows -> third_price NULL everywhere
+    rows += [
+        (9, 1, "B", datetime.date(2024, 1, 3), 20.0),
+        (9, 3, "B", datetime.date(2024, 1, 6), 21.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_shipdate date, l_extendedprice double",
+    )
+    df.write.parquet(str(d / "lineitem.parquet"))
+
+    got = {
+        (r.l_orderkey, r.l_linenumber): (r.third_price, r.last_sampled_price)
+        for r in w13_nth_value(spark, str(d)).collect()
+    }
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    full = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = Window.partitionBy("l_returnflag").orderBy(*order)
+    sampled = F.when(F.col("l_linenumber") % 3 == 0, F.col("l_extendedprice"))
+    want = {
+        (r.l_orderkey, r.l_linenumber): (r.third_price, r.last_sampled_price)
+        for r in df.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nth_value("l_extendedprice", 3).over(full).alias("third_price"),
+            F.last(sampled, ignorenulls=True)
+            .over(running)
+            .alias("last_sampled_price"),
+        ).collect()
+    }
+    assert got == want
+    # the pass-through bucket really exercised the boundary carry
+    assert got[(2, 1)][1] == 11.0 and got[(3, 1)][1] == 11.0
+    assert got[(9, 1)][0] is None  # <3-row flag

@@ -989,3 +989,37 @@ def test_tws_list_state_keeps_bounded_recent_window(spark, tmp_path_factory):
     per_user = out.groupby("user_id")["recent"].apply(set).to_dict()
     assert per_user[1] == {"101,102,103", "103,201,202"}, out
     assert per_user[2] == {"111", "111,211"}, out
+
+
+def test_sized_state_partitions_tracks_source_volume(tmp_path):
+    """State-partition sizing must scale with source bytes and stay inside
+    [8, 32]: tiny SFs keep the fixed-cost-optimal 8, sf0.1 lands on its
+    measured 16-partition sweet spot (17.1 s -> 12.0 s warm), and a
+    10x-scale events table hits 32 (55 s/batch at 8 vs ~17 s at 32).
+    Built on raw bytes (not row counts) so it needs no Spark session."""
+    from google_analytics_dataframes_spark.queries.streaming_batch import (
+        _sized_state_partitions,
+    )
+
+    def fake(n_bytes):
+        d = tmp_path / f"d{n_bytes}" / "events.parquet"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"\0" * n_bytes)
+        (d / "_SUCCESS").write_bytes(b"")  # non-parquet files don't count
+        return str(d.parent)
+
+    assert _sized_state_partitions(fake(1)) == 8  # floor
+    assert _sized_state_partitions(fake(10 << 17)) == 10  # linear regime
+    assert _sized_state_partitions(fake(1 << 30)) == 32  # ceiling
+    # single-file layout (plain .parquet file, not a directory)
+    f = tmp_path / "flat"
+    f.mkdir()
+    (f / "events.parquet").write_bytes(b"\0" * (20 << 17))
+    assert _sized_state_partitions(str(f)) == 20
+    # the tiny SFs stay in the fixed-cost regime; sf0.1 takes its
+    # measured optimum
+    for sf in ("sf0.001", "sf0.01"):
+        assert _sized_state_partitions(f"/root/testdata/{sf}") == 8
+    # (the 12 s plateau is flat from ~15 to 32 partitions, so pin the
+    # band, not the exact quotient of the parquet byte size)
+    assert 12 <= _sized_state_partitions("/root/testdata/sf0.1") <= 32

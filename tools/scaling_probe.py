@@ -98,6 +98,13 @@ QUERIES = [
     "s15_schema_evolution",
     "s16_corrupt_records",
     "st19_stream_timer_sessions",
+    # round-8 batch 9: the streaming CDC apply (2 foreachBatch snapshot
+    # versions; state is the fingerprint snapshot, linear in changed
+    # rows), the nth_value/ignore-nulls window pair (one user-window
+    # sort), and the bitwise expression+aggregate surface (scan-bound)
+    "st20_stream_cdc_apply",
+    "w13_nth_value",
+    "sf18_bitwise",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
