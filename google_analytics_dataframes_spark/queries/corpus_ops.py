@@ -1728,3 +1728,83 @@ def l77_bpe_encode_roundtrip(spark, sf_dir):
     return docs.mapInPandas(
         per_batch, "doc_id long, n_words long, n_chars long, roundtrip_ok boolean"
     )
+
+
+@register(
+    "l78_source_overlap",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    p AS (SELECT source, w,
+                 unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS pos
+          FROM t),
+    sh AS (SELECT DISTINCT source,
+                  CASE WHEN len(w) >= 3 THEN array_to_string(w[pos:pos+2], ' ')
+                       ELSE array_to_string(w, ' ') END AS sh
+           FROM p),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+            FROM sh GROUP BY source),
+    ov AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+           GROUP BY a.source, b.source),
+    grid AS (SELECT a.source AS src_a, b.source AS src_b
+             FROM tot a, tot b WHERE a.source <> b.source)
+    SELECT g.src_a, g.src_b,
+           COALESCE(o.n_shared, 0) AS n_shared,
+           round(COALESCE(o.n_shared, 0) / CAST(t.total AS DOUBLE), 6)
+             AS frac_of_a
+    FROM grid g
+    LEFT JOIN ov o ON o.src_a = g.src_a AND o.src_b = g.src_b
+    JOIN tot t ON t.source = g.src_a
+    """,
+)
+def l78_source_overlap(spark, sf_dir):
+    """Cross-corpus contamination matrix: for every ordered source pair
+    (a, b), the number of distinct word-3-shingles of sub-corpus a that
+    also occur in sub-corpus b, and that count as a fraction of a's
+    shingle vocabulary.  This is the leakage census a training-data
+    pipeline runs across its mixture components (web crawl vs eval
+    suites vs licensed sets) before fixing mixture weights — l30 answers
+    "is THIS doc contaminated", l78 answers "how entangled are the
+    corpora pairwise".
+
+    Scale shape: NO shingle self-join.  Distinct (shingle, source) pairs
+    reduce to one row per shingle carrying its source SET (bounded by
+    the mixture's component count, ~dozens); each set explodes to its
+    ordered pairs (|set|^2, source-bounded, not corpus-bounded) and the
+    pair census is one count.  On realistic long-tail corpora most
+    shingles live in one source, so the expansion is ~linear in distinct
+    shingles; the DuckDB oracle's equi-self-join computes the same
+    matrix quadratically, which is fine at oracle scale."""
+    from google_analytics_dataframes_spark.operators import dedup as D
+
+    docs = T(spark, sf_dir, "documents")
+    sh = (
+        fanout(docs)
+        .select(
+            "source",
+            F.explode(F.array_distinct(D.word_shingles("text", 3))).alias("sh"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count("*").alias("total"))
+    sets = sh.groupBy("sh").agg(F.collect_set("source").alias("ss"))
+    pairs = (
+        sets.select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    ov = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("n_shared"))
+    grid = (
+        tot.select(F.col("source").alias("src_a"), "total")
+        .crossJoin(tot.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    return grid.join(F.broadcast(ov), ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)) / F.col("total").cast("double"), 6
+        ).alias("frac_of_a"),
+    )

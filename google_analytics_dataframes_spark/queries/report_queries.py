@@ -15,7 +15,7 @@ from google_analytics_dataframes_spark.report import (
     histogram_ordinal,
     report,
 )
-from google_analytics_dataframes_spark.queries._util import T, dsum_sql
+from google_analytics_dataframes_spark.queries._util import T, dsum, dsum_sql
 
 
 @register(
@@ -1412,4 +1412,179 @@ def rb26_flow_reachability(spark, sf_dir):
         SELECT page, MIN(hop) AS min_hops, COUNT(*) AS n_paths
         FROM reach GROUP BY page
         """
+    )
+
+
+@register(
+    "rb27_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events),
+    marked AS (
+      SELECT *,
+        first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+      FROM seq),
+    pur AS (SELECT COALESCE(ft, 'direct') AS ft, COALESCE(lt, 'direct') AS lt,
+                   value
+            FROM marked WHERE event_type = 'purchase')
+    SELECT * FROM (
+      SELECT 'first_touch' AS model, ft AS channel,
+             CAST(COUNT(*) AS BIGINT) AS purchases,
+             {dsum_sql('value')} AS revenue
+      FROM pur GROUP BY ft
+      UNION ALL
+      SELECT 'last_touch' AS model, lt AS channel,
+             CAST(COUNT(*) AS BIGINT) AS purchases,
+             {dsum_sql('value')} AS revenue
+      FROM pur GROUP BY lt)
+    """,
+)
+def rb27_attribution(spark, sf_dir):
+    """Conversion attribution, GA4's flagship reporting feature [K —
+    attribution models / advertising workspace]: every purchase's revenue
+    credited to a touch channel under two models at once — FIRST touch
+    (the non-purchase event type that opened the user's history) and
+    LAST touch (the most recent non-purchase event before the purchase).
+    Purchases with no prior touch fall to the 'direct' channel, GA's
+    (direct)/(none) bucket.
+
+    Both accessors are the IGNORE-NULLS running idiom (w13's carry-
+    forward) in ONE user-partitioned window pass — user_id is the
+    high-cardinality key, so the single hash exchange is skew-free and
+    both models ride the same sort.  The post-filter purchase set is a
+    tiny fraction of the corpus; the two model aggregations and their
+    union are metadata-sized."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    pur = (
+        ev.select(
+            "event_type",
+            "value",
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("ft", F.lit("direct")).alias("ft"),
+            F.coalesce("lt", F.lit("direct")).alias("lt"),
+            "value",
+        )
+    )
+
+    def _model(col, name):
+        return pur.groupBy(F.col(col).alias("channel")).agg(
+            F.count("*").alias("purchases"),
+            dsum("value").alias("revenue"),
+        ).select(F.lit(name).alias("model"), "channel", "purchases", "revenue")
+
+    return _model("ft", "first_touch").unionAll(_model("lt", "last_touch"))
+
+
+@register(
+    "rb28_entry_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS page,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END
+                  AS is_new
+      FROM seq),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM numbered),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(CAST(page AS VARCHAR), '>'
+                        ORDER BY ts_us, event_id) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id, session_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions
+    FROM paths GROUP BY path
+    ORDER BY sessions DESC, path LIMIT 10
+    """,
+)
+def rb28_entry_paths(spark, sf_dir):
+    """Top session entry paths [K — GA4 path exploration]: the first three
+    pages of every 30-min-gap session (rb18's exact boundary semantics,
+    pages from props.k as in rb25), rendered '0>17>3', ranked by session
+    count with a path tiebreak for a deterministic top-10.
+
+    Scale: the sequencing window and the rank-3 cut share ONE user-hash
+    exchange (the (user, session) window's clustering keys are satisfied
+    by hashpartitioning(user_id)); row_number <= 3 executes as a
+    map-side WindowGroupLimit, so path assembly sees at most 3 rows per
+    session; the path census is output-bounded and TakeOrdered keeps the
+    global top-10 without a full sort."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w_seq).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_seq) >= 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    head3 = numbered.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= 3
+    )
+    paths = head3.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "page"))),
+                lambda x: x.getField("page").cast("string"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("sessions"))
+        .orderBy(F.desc("sessions"), "path")
+        .limit(10)
     )

@@ -645,3 +645,87 @@ def s16_corrupt_records(spark, sf_dir):
         "n_chars",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "s17_footer_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s17_footer_stats(spark, sf_dir):
+    """Data-skipping manifest built from parquet FOOTERS only — the
+    lakehouse stats-collection step (Delta/Iceberg's add-file stats,
+    Hive's column statistics) as a distributed operator: stage events
+    hash-clustered one file per event_type partition, then read every
+    file's metadata (row count + per-column min/max from the row-group
+    statistics) WITHOUT scanning a single data page, via pyarrow in
+    mapInPandas over the file list.
+
+    The oracle recomputes the same stats from the DATA — footer min/max
+    for numeric columns is exact (parquet only truncates string stats),
+    so the metadata-only manifest must equal the full-scan answer, which
+    is exactly the property query planners rely on when they prune on
+    these stats.  n_files == 1 per type additionally proves the
+    clustered-write contract (hash(type) lands each type in one task).
+
+    Scale: the file list is metadata-sized by contract (one row per
+    file, like every table-format manifest); the footer reads distribute
+    across the cluster and each costs O(footer bytes), independent of
+    file size — at 100 TB this is the operator that makes the OTHER
+    queries fast."""
+    import pandas as pd
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_footer_stats")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition("event_type").write.partitionBy("event_type").parquet(out)
+
+    files = []
+    for root, _dirs, names in os.walk(out):
+        for n in names:
+            if n.endswith(".parquet"):
+                etype = os.path.basename(root).split("=", 1)[1]
+                files.append((os.path.join(root, n), etype))
+
+    schema = (
+        "event_type string, n_files long, n_rows long, "
+        "min_value double, max_value double"
+    )
+
+    def footer_stats(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path, etype in zip(pdf["path"], pdf["event_type"]):
+                md = pq.ParquetFile(path).metadata
+                idx = next(
+                    i
+                    for i in range(len(md.schema))
+                    if md.schema.column(i).name == "value"
+                )
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rows.append((etype, 1, md.num_rows, min(mins), max(maxs)))
+            yield pd.DataFrame(
+                rows,
+                columns=["event_type", "n_files", "n_rows", "min_value", "max_value"],
+            )
+
+    flist = spark.createDataFrame(files, "path string, event_type string")
+    per_file = flist.repartition(8, "path").mapInPandas(footer_stats, schema)
+    return per_file.groupBy("event_type").agg(
+        F.sum("n_files").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

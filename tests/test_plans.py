@@ -858,3 +858,34 @@ def test_w13_carry_crosses_sample_free_buckets(spark, tmp_path_factory):
     # the pass-through bucket really exercised the boundary carry
     assert got[(2, 1)][1] == 11.0 and got[(3, 1)][1] == 11.0
     assert got[(9, 1)][0] is None  # <3-row flag
+
+
+def test_rb28_entry_paths_single_user_exchange(spark):
+    """rb28: the session window, the rank-3 cut, and the per-session path
+    assembly must all ride ONE hashpartitioning(user_id) — the
+    (user, session) keys are a superset of the window's clustering, so a
+    second fact-wide exchange would be Catalyst failing to reuse the
+    partitioning.  The rank cut must plan as WindowGroupLimit and the
+    top-10 as TakeOrdered (no global sort of the path census)."""
+    df = registry()["rb28_entry_paths"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "WindowGroupLimit" in nodes, nodes
+    assert "TakeOrderedAndProject" in nodes, nodes
+    plan = audit.formatted_plan(df)
+    fact_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(fact_exchanges) <= 1, fact_exchanges
+
+
+def test_l78_overlap_never_joins_on_shingles(spark):
+    """l78: the pair census must come from exploding per-shingle source
+    SETS, never from a shingle-keyed self-join (quadratic in co-occurring
+    docs) — no SortMergeJoin in the plan, and the only joins are the
+    metadata-sized grid/overlap broadcasts."""
+    df = registry()["l78_source_overlap"].fn(spark, SF_DIR)
+    nodes = audit.node_names(df)
+    assert "SortMergeJoin" not in nodes, nodes
+    assert "Generate" in nodes, nodes  # the set explosion

@@ -105,6 +105,13 @@ QUERIES = [
     "st20_stream_cdc_apply",
     "w13_nth_value",
     "sf18_bitwise",
+    # round-8 batch 10: attribution + entry paths (one user-hash window
+    # each), the footer-stats manifest (metadata-sized by contract), and
+    # the source-overlap matrix (source-set explode, shingle-linear)
+    "rb27_attribution",
+    "rb28_entry_paths",
+    "s17_footer_stats",
+    "l78_source_overlap",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
