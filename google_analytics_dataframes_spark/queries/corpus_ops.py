@@ -1808,3 +1808,130 @@ def l78_source_overlap(spark, sf_dir):
             F.coalesce("n_shared", F.lit(0)) / F.col("total").cast("double"), 6
         ).alias("frac_of_a"),
     )
+
+
+def _kmeans_assign(emb_v, cent_row):
+    """l47's deterministic assignment fold: per vector, argmax cosine over
+    the broadcast (cluster, centroid) array with first-strictly-greater
+    tie-breaking == SQL's (cos DESC, cluster) row_number pick."""
+    from google_analytics_dataframes_spark.operators.similarity import cosine
+
+    scored = emb_v.crossJoin(F.broadcast(cent_row))
+    sc = F.transform(
+        "cents",
+        lambda c: F.struct(
+            cosine(F.col("v"), c.getField("centroid")).alias("cos"),
+            c.getField("cl").alias("cl"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("int").alias("cl")
+    )
+    best = F.aggregate(
+        sc,
+        init,
+        lambda acc, s: F.when(s.getField("cos") > acc.getField("cos"), s).otherwise(
+            acc
+        ),
+    )
+    return scored.select(
+        "vec_id", "true_label", "v", best.getField("cl").alias("cl")
+    )
+
+
+def _cluster_centroids(assigned):
+    """Exact-decimal per-(cluster, dim) means, re-assembled as ordered
+    centroid arrays and packed into ONE broadcastable row (cl-sorted)."""
+    cells = (
+        assigned.select("cl", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cl", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                / F.count("x")
+            ).alias("cx")
+        )
+    )
+    cent = (
+        cells.groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_c"))
+        .select(
+            "cl", F.transform("_c", lambda s: s.getField("cx")).alias("centroid")
+        )
+    )
+    return cent.select(F.struct("cl", "centroid").alias("c")).agg(
+        F.sort_array(F.collect_list("c")).alias("cents")
+    )
+
+
+_KM_CELLS = """{src} AS (SELECT cl, unnest(range(0, 64)) AS dim, unnest(v) AS x
+                FROM {inp}),
+    {cent} AS (SELECT cl, dim,
+                      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x)
+                        AS cx
+               FROM {src} GROUP BY cl, dim),
+    {cv} AS (SELECT cl, list(cx ORDER BY dim) AS c FROM {cent} GROUP BY cl),
+    {sc} AS (SELECT e.vec_id, e.true_label, e.v, c.cl,
+                    list_dot_product(e.v, c.c)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.c, c.c))) AS cos
+             FROM {ein} e CROSS JOIN {cv} c),
+    {asg} AS (SELECT vec_id, true_label, v, cl
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cl) AS rk
+                    FROM {sc}) WHERE rk = 1)"""
+
+
+@register(
+    "l79_kmeans_lloyd",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label AS true_label,
+                      CAST(embedding AS DOUBLE[]) AS v,
+                      label AS cl
+               FROM embeddings),
+    {_KM_CELLS.format(src="c0s", inp="e", cent="c0", cv="cv0", sc="s1",
+                      ein="e", asg="a1")},
+    {_KM_CELLS.format(src="c1s", inp="a1", cent="c1", cv="cv1", sc="s2",
+                      ein="a1", asg="a2")}
+    SELECT true_label, cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM a2 GROUP BY true_label, cluster
+    """,
+)
+def l79_kmeans_lloyd(spark, sf_dir):
+    """Distributed k-means, two full Lloyd iterations — the iterative
+    clustering step a training-data pipeline runs for corpus bucketing /
+    semantic sharding (l47 is ONE assignment against fixed label
+    centroids; l79 closes the loop: assign -> recompute centroids ->
+    re-assign).  Cosine assignment is scale-invariant in the centroid,
+    so the unnormalized decimal-exact mean is a valid spherical-k-means
+    update.  Output is the (true_label, cluster) census after the second
+    assignment — the oracle unrolls both iterations in SQL with the same
+    decimal centroid math and (cos DESC, cluster) tie-break.
+
+    Scale: per iteration, ONE corpus scan.  Assignment is a narrow fold
+    over the broadcast 10x64 centroid row (zero data-sized exchange,
+    l47's shape); the update shuffles (cluster, dim) cells — 640 rows of
+    partial sums regardless of N.  Lloyd at 100 TB is exactly this loop
+    with the iteration count bounded by the curriculum, not the data."""
+    from google_analytics_dataframes_spark.operators.similarity import (
+        as_double,
+        label_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        as_double("embedding").alias("v"),
+    )
+    # init = label centroids (cl := label), then two Lloyd rounds
+    cent0 = (
+        label_centroids(T(spark, sf_dir, "embeddings"))
+        .select(F.struct(F.col("label").alias("cl"), "centroid").alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    a1 = _kmeans_assign(emb, cent0)
+    cent1 = _cluster_centroids(a1)
+    a2 = _kmeans_assign(a1.drop("cl"), cent1)
+    return a2.groupBy("true_label", F.col("cl").alias("cluster")).agg(
+        F.count("*").alias("n_vectors")
+    )

@@ -3194,3 +3194,82 @@ def l76_priority_sample(spark, sf_dir):
         key_col="doc_id",
         k=16,
     )
+
+
+@register(
+    "l80_keeper_election",
+    oracle="""
+    WITH RECURSIVE docs5 AS (SELECT doc_id, text, n_chars FROM documents
+                             WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    labeled AS (SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                FROM docs5 d LEFT JOIN comp c USING (doc_id)),
+    keep AS (SELECT cluster_id, doc_id AS keeper_id
+             FROM (SELECT cluster_id, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) AS rk
+                   FROM labeled) WHERE rk = 1)
+    SELECT l.doc_id, l.cluster_id, k.keeper_id,
+           l.doc_id = k.keeper_id AS is_keeper
+    FROM labeled l JOIN keep k USING (cluster_id)
+    """,
+)
+def l80_keeper_election(spark, sf_dir):
+    """Quality-aware keeper election — the dedup-apply policy real
+    pipelines use instead of l29/l33's min-id canonicalization: within
+    each near-dup cluster keep the MOST COMPLETE duplicate (max n_chars,
+    doc_id tie-break), since crawl duplicates routinely differ by
+    truncation and the min-id pick throws away the fuller copy.
+    Composition row: l12's 3-gram Jaccard pairs -> l29's connected
+    components -> per-cluster argmax election.
+
+    Scale: the election is a (n_chars, -doc_id) struct-max aggregate on
+    the cluster id — one map-side-combinable pass over the labeled docs;
+    the keeper table (one row per cluster) broadcasts back.  No window
+    sort over the corpus."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src5")
+        .select("doc_id", "n_chars")
+    )
+    cc = _src5_clusters(spark, sf_dir)
+    labeled = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    keep = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d"))
+        )
+        .getField("d")
+        .alias("keeper_id")
+    )
+    return labeled.join(F.broadcast(keep), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )

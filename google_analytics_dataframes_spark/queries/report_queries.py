@@ -1588,3 +1588,83 @@ def rb28_entry_paths(spark, sf_dir):
         .orderBy(F.desc("sessions"), "path")
         .limit(10)
     )
+
+
+@register(
+    "rb29_conversion_lag",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events),
+    marked AS (
+      SELECT *,
+        first_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft_us
+      FROM seq),
+    pur AS (SELECT value, ts_us - ft_us AS lag_us
+            FROM marked WHERE event_type = 'purchase'),
+    banded AS (
+      SELECT CASE WHEN lag_us IS NULL THEN 'no_touch'
+                  WHEN lag_us < 3600000000 THEN '1_under_1h'
+                  WHEN lag_us < 86400000000 THEN '2_1h_to_1d'
+                  WHEN lag_us < 604800000000 THEN '3_1d_to_7d'
+                  ELSE '4_over_7d' END AS band,
+             value, lag_us
+      FROM pur)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS purchases,
+           {dsum_sql('value')} AS revenue,
+           round(CAST(SUM(lag_us) AS DOUBLE) / COUNT(lag_us) / 1000000.0, 6)
+             AS avg_lag_sec
+    FROM banded GROUP BY band
+    """,
+)
+def rb29_conversion_lag(spark, sf_dir):
+    """Time-to-convert report [K — GA4 conversion-paths 'days to
+    conversion']: every purchase's lag since the user's FIRST touch
+    (rb27's first-touch accessor, on the timestamp instead of the
+    channel), banded into the standard GA latency buckets with purchase
+    count, revenue, and mean lag per band.  Band keys carry a sort
+    prefix so both engines order identically.
+
+    Same scale shape as rb27: one user-hash window pass, purchase-sized
+    post-filter, 5-row output.  The lag sum is exact integer micros, so
+    the mean is a deterministic double division."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ft = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        ev.select("event_type", "value", "ts_us", ft.alias("ft_us"))
+        .filter(F.col("event_type") == "purchase")
+        .select("value", (F.col("ts_us") - F.col("ft_us")).alias("lag_us"))
+    )
+    band = (
+        F.when(F.col("lag_us").isNull(), "no_touch")
+        .when(F.col("lag_us") < 3_600_000_000, "1_under_1h")
+        .when(F.col("lag_us") < 86_400_000_000, "2_1h_to_1d")
+        .when(F.col("lag_us") < 604_800_000_000, "3_1d_to_7d")
+        .otherwise("4_over_7d")
+    )
+    return pur.groupBy(band.alias("band")).agg(
+        F.count("*").alias("purchases"),
+        dsum("value").alias("revenue"),
+        F.round(
+            F.sum("lag_us").cast("double") / F.count("lag_us") / 1_000_000.0, 6
+        ).alias("avg_lag_sec"),
+    )

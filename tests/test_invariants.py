@@ -773,6 +773,13 @@ def test_oracles_avoid_hash_fragile_constructs():
         # l62b (round-6): l62's exact contract plus a sign-LSH prefilter;
         # planted power-of-2 probes pin cos exactly 1.0 (l13 reasoning)
         "l62b_semantic_decontam_ivf",
+        # l79 (round-8): l47's exact shape iterated — list_dot_product
+        # feeds only the (cos DESC, cluster) ranking, reproduced on the
+        # Spark side by the same sequential fold; centroids are decimal-
+        # exact between iterations.  Exact-equality differential check
+        # passed at registration; pending its first driver row (l4's
+        # precedent).
+        "l79_kmeans_lloyd",
     }
     FRAGILE = {
         "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),

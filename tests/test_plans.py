@@ -889,3 +889,24 @@ def test_l78_overlap_never_joins_on_shingles(spark):
     nodes = audit.node_names(df)
     assert "SortMergeJoin" not in nodes, nodes
     assert "Generate" in nodes, nodes  # the set explosion
+
+
+def test_l79_kmeans_iterations_never_shuffle_vectors(spark):
+    """l79: per Lloyd iteration the corpus is scanned once; the ONLY
+    shuffles are the (cluster, dim) centroid-cell aggregates (640 rows)
+    and their metadata-sized collect rows — a plan that exchanged the
+    vector table itself (e.g. a join or window on vec_id) would ship N
+    embeddings per iteration.  Every Exchange's partitioning keys must
+    therefore be drawn from the cell/centroid axes, never vec_id, and
+    both assignments must be broadcast folds (no join algorithms at
+    all)."""
+    df = registry()["l79_kmeans_lloyd"].fn(spark, SF_DIR)
+    # exactly the broadcast-fold cross joins: assignment 2 + the two
+    # inlined copies of assignment 1 (it feeds both the centroid update
+    # and the re-assignment — an extra linear scan, not a shuffle)
+    algs = audit.join_algorithms(df)
+    assert algs == ["BroadcastNestedLoopJoin"] * 3, algs
+    plan = audit.formatted_plan(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "vec_id" not in ln, ln

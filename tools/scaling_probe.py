@@ -112,6 +112,13 @@ QUERIES = [
     "rb28_entry_paths",
     "s17_footer_stats",
     "l78_source_overlap",
+    # round-8 batch 11: conversion-lag banding (rb27's window, timestamp
+    # accessor), two-iteration Lloyd k-means (per-iteration corpus scan +
+    # 640-cell update), and cluster keeper election (struct-max, no
+    # corpus window)
+    "rb29_conversion_lag",
+    "l79_kmeans_lloyd",
+    "l80_keeper_election",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
