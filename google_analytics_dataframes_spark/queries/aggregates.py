@@ -570,3 +570,42 @@ def a19_moment_stats(spark, sf_dir):
             "slope_value_hour"
         ),
     )
+
+
+@register(
+    "a20_bool_aggs",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 450.0) AS any_huge,
+           MIN(user_id) AS first_user,
+           round(quantile_cont(value, 0.50), 6) AS med_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a20_bool_aggs(spark, sf_dir):
+    """The remaining standard-aggregate surface in one frame: conditional
+    count (count_if), universal/existential predicates (bool_and /
+    bool_or = GA's 'did every/any session convert'), a deterministic
+    any_value stand-in (MIN — any_value itself is partition-order-
+    dependent, so the registered form picks the stable witness), and an
+    median via continuous-quantile interpolation with terminal
+    rounding (a14's proven twin shape — DuckDB's bare median() takes the
+    LOWER middle value for decimals while Spark interpolates, a trap this
+    row now documents).
+
+    Scale: single partial+final hash aggregate for everything except the
+    median, whose exact form needs the per-group sort — at 100 TB the
+    sketch path is a17's approx_percentile; this row pins the exact
+    semantics the sketch is judged against."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100.0).alias("n_big"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 450.0).alias("any_huge"),
+        F.min("user_id").alias("first_user"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias(
+            "med_value"
+        ),
+    )

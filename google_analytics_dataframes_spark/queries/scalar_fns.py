@@ -613,3 +613,38 @@ def sf18_bitwise(spark, sf_dir):
         F.sum(F.shiftleft(u % 1024, 3)).cast("long").alias("shl_sum"),
         F.sum(F.shiftright(e, 2)).cast("long").alias("shr_sum"),
     )
+
+
+@register(
+    "sf19_timezone_render",
+    oracle="""
+    SELECT event_id,
+           strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M:%S') AS ts_nyc,
+           strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo',
+                    '%Y-%m-%d %H:%M:%S') AS ts_tokyo,
+           CAST(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                           AT TIME ZONE 'America/New_York') AS BIGINT)
+             AS hour_nyc
+    FROM events
+    """,
+)
+def sf19_timezone_render(spark, sf_dir):
+    """Property-timezone rendering [K — every GA4 property reports in its
+    configured timezone, not UTC]: the stored UTC event timestamps
+    rendered in two IANA zones plus the local-hour dimension reports
+    group by.  New York exercises DST transitions (the synthetic range
+    crosses the March switch), Tokyo a constant offset — both engines
+    resolve the same IANA tzdata, and the output is a string, so any
+    resolution skew hash-fails.
+
+    Scale: pure scan-side expressions, no shuffle at all."""
+    ev = T(spark, sf_dir, "events")
+    nyc = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format(nyc, "yyyy-MM-dd HH:mm:ss").alias("ts_nyc"),
+        F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("ts_tokyo"),
+        F.hour(nyc).cast("long").alias("hour_nyc"),
+    )

@@ -613,3 +613,48 @@ def w13_nth_value(spark, sf_dir):
             F.coalesce("lv_local", "carry_in").alias("last_sampled_price"),
         )
     )
+
+
+@register(
+    "w14_cume_dist",
+    oracle="""
+    SELECT event_id, user_id,
+           round(cume_dist() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 6) AS cd,
+           round(CAST(COUNT(*) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING
+                          AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY user_id), 6) AS hour_density
+    FROM events
+    """,
+)
+def w14_cume_dist(spark, sf_dir):
+    """cume_dist — the last ranking accessor the w-family lacked (w9
+    covers percent_rank; the two differ at ties and endpoints) — plus an
+    hour-density companion: the fraction of the user's events falling in
+    the trailing 1-hour RANGE frame.  The (ts, event_id) total order
+    makes cume_dist tie-free, so both engines agree bit-for-bit before
+    the terminal round.
+
+    Scale: one user-hash exchange, both accessors share the sort (w1's
+    posture)."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # RANGE frame needs a numeric order key: micros since epoch
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    wall = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(
+            F.count("*").over(wr).cast("double") / F.count("*").over(wall), 6
+        ).alias("hour_density"),
+    )

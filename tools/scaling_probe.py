@@ -119,6 +119,12 @@ QUERIES = [
     "rb29_conversion_lag",
     "l79_kmeans_lloyd",
     "l80_keeper_election",
+    # round-8 batch 12: cume_dist + trailing-hour density (one user
+    # window), property-timezone rendering (scan-bound), and the boolean/
+    # conditional aggregate surface (exact median is the sort-bound one)
+    "w14_cume_dist",
+    "sf19_timezone_render",
+    "a20_bool_aggs",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
