@@ -42,13 +42,14 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # round-8 batches 10-12: attribution models + conversion lag, session
-    # entry paths, the parquet-footer stats manifest, the source-overlap
-    # contamination matrix, two-iteration Lloyd k-means, quality keeper
-    # election, cume_dist, timezone rendering, and the boolean-aggregate
-    # surface — never swept, so they outrank everything with evidence
-    "w14_", "sf19_", "a20_", "rb29_", "l79_", "l80_", "rb27_", "rb28_",
-    "s17_", "l78_",
+    # round-8 batches 10-13: attribution models + conversion lag, session
+    # entry paths, the parquet-footer stats manifest + its pruned-read
+    # application, the source-overlap contamination matrix, two-iteration
+    # Lloyd k-means, quality keeper election, cume_dist, timezone
+    # rendering, and the boolean-aggregate surface — never swept, so they
+    # outrank everything with evidence
+    "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_", "l80_", "rb27_",
+    "rb28_", "s17_", "l78_",
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
     # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-
     # moment statistics (stddev/corr/regr) — newest first

@@ -1527,8 +1527,8 @@ def rb27_attribution(spark, sf_dir):
       FROM numbered),
     paths AS (
       SELECT user_id, session_id,
-             string_agg(CAST(page AS VARCHAR), '>'
-                        ORDER BY ts_us, event_id) AS path
+             COALESCE(string_agg(CAST(page AS VARCHAR), '>'
+                        ORDER BY ts_us, event_id), '(not set)') AS path
       FROM ranked WHERE rn <= 3 GROUP BY user_id, session_id)
     SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions
     FROM paths GROUP BY path
@@ -1573,13 +1573,24 @@ def rb28_entry_paths(spark, sf_dir):
     head3 = numbered.withColumn("rn", F.row_number().over(w_sess)).filter(
         F.col("rn") <= 3
     )
+    # array_join drops null elements, so an all-null-page session
+    # renders '' where the oracle's string_agg yields NULL — both sides
+    # fall to GA's '(not set)' sentinel instead
     paths = head3.groupBy("user_id", "session_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "page"))),
-                lambda x: x.getField("page").cast("string"),
+        F.coalesce(
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts_us", "event_id", "page"))
+                        ),
+                        lambda x: x.getField("page").cast("string"),
+                    ),
+                    ">",
+                ),
+                F.lit(""),
             ),
-            ">",
+            F.lit("(not set)"),
         ).alias("path")
     )
     return (
@@ -1629,8 +1640,10 @@ def rb29_conversion_lag(spark, sf_dir):
     prefix so both engines order identically.
 
     Same scale shape as rb27: one user-hash window pass, purchase-sized
-    post-filter, 5-row output.  The lag sum is exact integer micros, so
-    the mean is a deterministic double division."""
+    post-filter, 5-row output.  The lag sum accumulates in decimal(38,0)
+    (a week-plus band at ~1.5e7 purchases overflows BIGINT micros; the
+    oracle's SUM widens to HUGEINT), so the mean is a deterministic
+    double division of exact integers on both sides."""
     from pyspark.sql import Window
 
     ev = T(spark, sf_dir, "events").select(
@@ -1665,6 +1678,9 @@ def rb29_conversion_lag(spark, sf_dir):
         F.count("*").alias("purchases"),
         dsum("value").alias("revenue"),
         F.round(
-            F.sum("lag_us").cast("double") / F.count("lag_us") / 1_000_000.0, 6
+            F.sum(F.col("lag_us").cast("decimal(38,0)")).cast("double")
+            / F.count("lag_us")
+            / 1_000_000.0,
+            6,
         ).alias("avg_lag_sec"),
     )

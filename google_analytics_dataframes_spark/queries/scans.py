@@ -679,18 +679,42 @@ def s17_footer_stats(spark, sf_dir):
     across the cluster and each costs O(footer bytes), independent of
     file size — at 100 TB this is the operator that makes the OTHER
     queries fast."""
+    import urllib.parse
+
     import pandas as pd
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_footer_stats")
-    shutil.rmtree(out, ignore_errors=True)
-    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ev.repartition("event_type").write.partitionBy("event_type").parquet(out)
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    # fingerprint-keyed, marker-cached staging (the s10/s15/s16 contract):
+    # an unkeyed shared dir would let two interleaved sf runs rmtree each
+    # other's live part files, and plan-only callers (plan_audit) would pay
+    # the partitioned rewrite on every invocation
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_footer_stats_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        ev.repartition("event_type").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(out)
 
     files = []
     for root, _dirs, names in os.walk(out):
         for n in names:
             if n.endswith(".parquet"):
-                etype = os.path.basename(root).split("=", 1)[1]
+                # Hive partition dirs percent-escape special chars and
+                # write NULL as __HIVE_DEFAULT_PARTITION__ — undo both so
+                # the manifest's group key equals the raw column value
+                raw = os.path.basename(root).split("=", 1)[1]
+                etype = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(raw)
+                )
                 files.append((os.path.join(root, n), etype))
 
     schema = (
@@ -713,6 +737,13 @@ def s17_footer_stats(spark, sf_dir):
                 mins, maxs = [], []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"footer_stats: no min/max statistics for "
+                            f"'value' in {path} row group {rg} — the "
+                            "manifest contract requires stats-bearing "
+                            "writers"
+                        )
                     mins.append(st.min)
                     maxs.append(st.max)
                 rows.append((etype, 1, md.num_rows, min(mins), max(maxs)))
@@ -728,4 +759,68 @@ def s17_footer_stats(spark, sf_dir):
         F.sum("n_rows").alias("n_rows"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
+    )
+
+
+@register(
+    "s18_manifest_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE value >= 120.0 AND value < 180.0
+    """,
+)
+def s18_manifest_pruned_read(spark, sf_dir):
+    """The data-skipping APPLICATION of s17's manifest: stage events
+    value-clustered (io.write_clustered, 8 near-disjoint files), collect
+    each file's footer min/max for `value`, select only the files whose
+    stats range INTERSECTS the predicate, and scan just those (plus the
+    residual filter — stats pruning is conservative, never exact).  The
+    oracle filters the source table, so a manifest that skips a covering
+    file loses rows and hash-fails; a manifest that fails to skip is
+    caught by the inputFiles assertion in tests/test_plans.py.
+
+    The manifest pass here is DRIVER-side pyarrow over the 8-file list —
+    metadata-sized by contract (this is what a table format's pruning
+    planner does with its manifest); the distributed form of the same
+    read is s17.  At 100 TB: the planner reads the manifest table, not
+    the footers, and the selected-file fraction IS the query's cost."""
+    import pyarrow.parquet as pq
+
+    from google_analytics_dataframes_spark.io import (
+        table_fingerprint,
+        write_clustered,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_value_clustered_{sf_tag}_{fp}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        write_clustered(ev, out, cluster_by=["value"], num_files=8)
+
+    lo, hi = 120.0, 180.0
+    picked = []
+    for n in sorted(os.listdir(out)):
+        if not n.endswith(".parquet"):
+            continue
+        path = os.path.join(out, n)
+        md = pq.ParquetFile(path).metadata
+        idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "value"
+        )
+        fmin = min(md.row_group(r).column(idx).statistics.min
+                   for r in range(md.num_row_groups))
+        fmax = max(md.row_group(r).column(idx).statistics.max
+                   for r in range(md.num_row_groups))
+        if fmax >= lo and fmin < hi:  # stats range intersects [lo, hi)
+            picked.append(path)
+
+    return (
+        spark.read.parquet(*picked)
+        .filter((F.col("value") >= lo) & (F.col("value") < hi))
+        .select("event_id", "user_id", "value")
     )

@@ -910,3 +910,14 @@ def test_l79_kmeans_iterations_never_shuffle_vectors(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "vec_id" not in ln, ln
+
+
+def test_s18_manifest_actually_prunes_files(spark):
+    """s18: the manifest selection must scan a strict subset of the 8
+    clustered files (the predicate covers ~12% of the value domain, so a
+    correct stats-intersect pick reads ~1-2 files) — reading all 8 would
+    mean the manifest never pruned; reading rows outside the residual
+    filter's answer is caught by the oracle."""
+    df = registry()["s18_manifest_pruned_read"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert 0 < len(files) < 8, files

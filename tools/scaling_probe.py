@@ -125,6 +125,10 @@ QUERIES = [
     "w14_cume_dist",
     "sf19_timezone_render",
     "a20_bool_aggs",
+    # round-8 batch 13: manifest-driven file pruning (driver-side footer
+    # manifest over the 8-file clustered staging; staging charged to
+    # warm-up, read cost tracks the selected-file fraction)
+    "s18_manifest_pruned_read",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
