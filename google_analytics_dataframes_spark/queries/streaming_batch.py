@@ -1272,3 +1272,143 @@ def st20_stream_cdc_apply(spark, sf_dir):
         F.max("doc_id").alias("max_doc_id"),
         F.sum("ck").alias("content_checksum"),
     )
+
+
+def _stage_stream_dir_with_late(spark, sf_dir: str) -> str:
+    """Stage events as an OUT-OF-ORDER stream with an end-of-stream flush:
+    file 0 carries everything except a deterministic 'late' subset
+    (events in the timeline's first 6 hours with event_id % 7 == 0);
+    file 1 delivers that subset AFTER batch 0 advanced the watermark to
+    max(ts) - 1h (weeks past the late rows' windows); files 2-3 are the
+    st16-style double flush sentinel (max+2h, max+4h; pseudo-users -1)
+    that finalizes every REAL window under an APPLIED watermark — the
+    sentinels' own far-future windows are never passed, so they never
+    emit.  Ascending mtimes pin the four-batch order.
+
+    Why APPEND mode downstream (measured, sf0.01): in update mode the
+    engine only *evicts* state by watermark at batch end — batch 1's
+    weeks-late rows MERGED into the still-live hour-1 state and emitted
+    updated counts (the Structured Streaming guide's 'data delayed past
+    the watermark is not guaranteed to be dropped' caveat, observed:
+    droppedByWatermark=0, counts +1).  Append mode is where the hard
+    guarantee lives: each window emits exactly once when finalized, so
+    the engine MUST filter late rows for already-final windows or emit a
+    duplicate key the oracle would catch."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from google_analytics_dataframes_spark.io import load_table, scratch_dir
+
+    key, cached = _stage_cached(spark, sf_dir, "stream_late")
+    if cached is not None:
+        return cached
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_dir(f"stream_late_{sf_tag}")
+    stage = d + "_stage"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()  # metadata-sized
+    is_late = (F.col("ts_us") < lo + 6 * 3_600_000_000) & (
+        F.col("event_id") % 7 == 0
+    )
+    wire = ev.withColumn("ts", F.col("ts_us") * 1000).drop("ts_us")
+    wire.filter(~is_late).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "ontime")
+    )
+    wire.filter(is_late).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "late")
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    def _marker(fname_idx, name, ts_ns, etype):
+        table = pa.table(
+            {
+                "event_id": pa.array([-1 - fname_idx], pa.int64()),
+                "ts": pa.array([ts_ns], pa.int64()),
+                "user_id": pa.array([-1 - fname_idx], pa.int64()),
+                "event_type": pa.array([etype], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        dst = os.path.join(d, f"{fname_idx}_{name}.parquet")
+        pq.write_table(table, dst)
+        t = 1_700_000_000 + fname_idx * 60
+        os.utime(dst, (t, t))
+
+    # file order = batch order: bulk, MID (applies the bulk-derived
+    # watermark so the early windows finalize and emit BEFORE the
+    # stragglers arrive — Spark's late-event filter runs against the
+    # PREVIOUS batch's watermark, so late rows only one batch behind the
+    # bulk still merge; measured), then the late file, then the double
+    # flush.  Marker rows carry '__'-prefixed event types the query
+    # filters post-sink.
+    for i, sub in ((0, "ontime"), (2, "late")):
+        [part] = [
+            f for f in os.listdir(os.path.join(stage, sub)) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(d, f"{i}_{sub}.parquet")
+        shutil.copyfile(os.path.join(stage, sub, part), dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    _marker(1, "mid", hi * 1000, "__mid__")
+    _marker(3, "sentinel0", (hi + 2 * 3600 * 1_000_000) * 1000, "__flush__")
+    _marker(4, "sentinel1", (hi + 4 * 3600 * 1_000_000) * 1000, "__flush__")
+    shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE[key] = d
+    return d
+
+
+@register(
+    "st21_stream_late_drop",
+    oracle=f"""
+    WITH lo AS (SELECT MIN(epoch_us(ts)) AS min_us FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM events, lo
+    WHERE NOT (epoch_us(ts) < lo.min_us + 6 * 3600000000
+               AND event_id % 7 = 0)
+    GROUP BY window_start, event_type
+    """,
+)
+def st21_stream_late_drop(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics, executed and proven: every
+    other registered stream stages its source in event-time order, so
+    the watermark only ever finalizes windows behind the data and
+    nothing is dropped.  st21 is the missing half of the contract: a
+    deterministic late subset (first-6-hours events with id % 7 == 0)
+    arrives in batch 2, AFTER batch 1 advanced the watermark to
+    max(ts) - 1h — weeks past those rows' hourly windows — so the engine
+    must drop them all, and the oracle aggregates the source WITHOUT the
+    late subset.  An engine that buffered, mis-scoped, or re-opened
+    finalized windows produces different hour-1..6 rows and hash-fails;
+    one that dropped too much fails row count.
+
+    APPEND mode is the teeth (see _stage_stream_dir_with_late: update
+    mode measurably merges the stragglers): every window emits exactly
+    once when the applied watermark passes it, so a late row for a
+    finalized window must be filtered — re-opened state would emit a
+    duplicate (window, type) key and fail the compare.  No post-sink
+    dedup is applied, making single-emission itself part of the pin.
+
+    Scale: st13's watermarked tumbling aggregation shape; state is
+    bounded by open windows x event types regardless of how late the
+    stragglers are — which is the entire point of the watermark at
+    100 TB/day ingest."""
+    import uuid
+
+    from google_analytics_dataframes_spark.streaming import jobs
+
+    src = _stage_stream_dir_with_late(spark, sf_dir)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=1)
+    with _few_state_partitions(spark):
+        out = jobs.run_available_now(
+            jobs.st4_watermarked_counts(stream),
+            f"st21_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+    return out.filter(~F.col("event_type").isin("__mid__", "__flush__"))

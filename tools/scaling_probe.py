@@ -129,6 +129,10 @@ QUERIES = [
     # manifest over the 8-file clustered staging; staging charged to
     # warm-up, read cost tracks the selected-file fraction)
     "s18_manifest_pruned_read",
+    # round-8 batch 14: watermark late-drop proof — 5 microbatches
+    # (bulk, watermark-advancing mid, the straggler file, double flush);
+    # state bounded by open windows regardless of straggler lateness
+    "st21_stream_late_drop",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
