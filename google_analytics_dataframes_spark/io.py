@@ -369,3 +369,25 @@ def write_zordered(
     out.drop("_morton", "_a_min", "_a_max", "_b_min", "_b_max").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def staged_dir(sf_dir: str, table: str, name: str, build_fn) -> str:
+    """Fingerprint-keyed, marker-cached fixture staging (the contract
+    s10/s15/s16 established and s17/s18 share): the cache path carries the
+    sf tag AND the source table's byte fingerprint, so a regenerated
+    dataset under the same sf tag re-materializes instead of serving a
+    stale copy, and a `_SUCCESS` marker gates reuse so plan-only callers
+    (plan audits, repeated query invocations) never pay the staging write
+    twice.  ``build_fn(path)`` must produce the directory contents
+    including the marker (Spark's parquet writer emits `_SUCCESS`
+    itself)."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, table)
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{sf_tag}_{fp}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        build_fn(out)
+    return out

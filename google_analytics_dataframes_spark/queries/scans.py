@@ -683,24 +683,15 @@ def s17_footer_stats(spark, sf_dir):
 
     import pandas as pd
 
-    from google_analytics_dataframes_spark.io import table_fingerprint
+    from google_analytics_dataframes_spark.io import staged_dir
 
-    # fingerprint-keyed, marker-cached staging (the s10/s15/s16 contract):
-    # an unkeyed shared dir would let two interleaved sf runs rmtree each
-    # other's live part files, and plan-only callers (plan_audit) would pay
-    # the partitioned rewrite on every invocation
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    fp = table_fingerprint(sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_footer_stats_{sf_tag}_{fp}"
-    )
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(out, ignore_errors=True)
+    def _build(path):
         ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
         ev.repartition("event_type").write.partitionBy("event_type").mode(
             "overwrite"
-        ).parquet(out)
+        ).parquet(path)
+
+    out = staged_dir(sf_dir, "events", "footer_stats", _build)
 
     files = []
     for root, _dirs, names in os.walk(out):
@@ -786,21 +777,13 @@ def s18_manifest_pruned_read(spark, sf_dir):
     the footers, and the selected-file fraction IS the query's cost."""
     import pyarrow.parquet as pq
 
-    from google_analytics_dataframes_spark.io import (
-        table_fingerprint,
-        write_clustered,
-    )
+    from google_analytics_dataframes_spark.io import staged_dir, write_clustered
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    fp = table_fingerprint(sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_value_clustered_{sf_tag}_{fp}"
-    )
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(out, ignore_errors=True)
+    def _build(path):
         ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
-        write_clustered(ev, out, cluster_by=["value"], num_files=8)
+        write_clustered(ev, path, cluster_by=["value"], num_files=8)
+
+    out = staged_dir(sf_dir, "events", "value_clustered", _build)
 
     lo, hi = 120.0, 180.0
     picked = []
@@ -812,15 +795,27 @@ def s18_manifest_pruned_read(spark, sf_dir):
         idx = next(
             i for i in range(len(md.schema)) if md.schema.column(i).name == "value"
         )
-        fmin = min(md.row_group(r).column(idx).statistics.min
-                   for r in range(md.num_row_groups))
-        fmax = max(md.row_group(r).column(idx).statistics.max
-                   for r in range(md.num_row_groups))
-        if fmax >= lo and fmin < hi:  # stats range intersects [lo, hi)
+        stats = [
+            md.row_group(r).column(idx).statistics
+            for r in range(md.num_row_groups)
+        ]
+        if any(st is None or not st.has_min_max for st in stats):
+            # stats-less row group (e.g. an all-NaN chunk): pruning must
+            # be CONSERVATIVE — a file we can't bound, we must read
+            picked.append(path)
+        elif (
+            max(st.max for st in stats) >= lo
+            and min(st.min for st in stats) < hi
+        ):  # stats range intersects [lo, hi)
             picked.append(path)
 
-    return (
+    src = (
         spark.read.parquet(*picked)
-        .filter((F.col("value") >= lo) & (F.col("value") < hi))
-        .select("event_id", "user_id", "value")
+        if picked
+        # no file intersects the band: a zero-row plan over the staged
+        # schema (lists footers only, reads no data pages)
+        else spark.read.parquet(out).filter(F.lit(False))
+    )
+    return src.filter((F.col("value") >= lo) & (F.col("value") < hi)).select(
+        "event_id", "user_id", "value"
     )

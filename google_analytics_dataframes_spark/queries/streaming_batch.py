@@ -1278,12 +1278,14 @@ def _stage_stream_dir_with_late(spark, sf_dir: str) -> str:
     """Stage events as an OUT-OF-ORDER stream with an end-of-stream flush:
     file 0 carries everything except a deterministic 'late' subset
     (events in the timeline's first 6 hours with event_id % 7 == 0);
-    file 1 delivers that subset AFTER batch 0 advanced the watermark to
-    max(ts) - 1h (weeks past the late rows' windows); files 2-3 are the
-    st16-style double flush sentinel (max+2h, max+4h; pseudo-users -1)
-    that finalizes every REAL window under an APPLIED watermark — the
-    sentinels' own far-future windows are never passed, so they never
-    emit.  Ascending mtimes pin the four-batch order.
+    file 1 is a single '__mid__' marker at max(ts) that APPLIES the
+    bulk-derived watermark (finalizing the early windows); file 2
+    delivers the late subset — now two batches behind the bulk, so the
+    previous-batch late-event filter actually drops it; files 3-4 are
+    the st16-style double flush sentinel ('__flush__' at max+2h/max+4h)
+    that finalizes every remaining REAL window under an APPLIED
+    watermark — the sentinels' own far-future windows are never passed,
+    so they never emit.  Ascending mtimes pin the five-batch order.
 
     Why APPEND mode downstream (measured, sf0.01): in update mode the
     engine only *evicts* state by watermark at batch end — batch 1's
@@ -1411,4 +1413,9 @@ def st21_stream_late_drop(spark, sf_dir):
             f"st21_mem_{uuid.uuid4().hex[:8]}",
             output_mode="append",
         )
-    return out.filter(~F.col("event_type").isin("__mid__", "__flush__"))
+    # null-safe: isin() is NULL for NULL event_type and a bare ~isin
+    # would drop the NULL group the oracle keeps; markers are never null
+    return out.filter(
+        F.col("event_type").isNull()
+        | ~F.col("event_type").isin("__mid__", "__flush__")
+    )
