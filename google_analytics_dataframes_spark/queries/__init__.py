@@ -48,8 +48,8 @@ SWEEP_HEAD: list[str] = [
     # Lloyd k-means, quality keeper election, cume_dist, timezone
     # rendering, and the boolean-aggregate surface — never swept, so they
     # outrank everything with evidence
-    "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_", "l80_",
-    "rb27_", "rb28_", "s17_", "l78_",
+    "s19_", "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_",
+    "l80_", "rb27_", "rb28_", "s17_", "l78_",
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
     # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-
     # moment statistics (stddev/corr/regr) — newest first

@@ -819,3 +819,54 @@ def s18_manifest_pruned_read(spark, sf_dir):
     return src.filter((F.col("value") >= lo) & (F.col("value") < hi)).select(
         "event_id", "user_id", "value"
     )
+
+
+@register(
+    "s19_python_datasource_writer",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+)
+def s19_python_datasource_writer(spark, sf_dir):
+    """The WRITER half of the Python DataSource API (s14 is the reader):
+    a 2000-row events slice written through the custom `ga_upload_sink`
+    (GA Data-Import direction) — partition-parallel JSON-lines part
+    files, a driver-side two-phase commit that publishes a
+    `_MANIFEST.json`, and a read-back that trusts ONLY the manifest (the
+    table-format visibility rule: orphan files from failed tasks never
+    leak into readers).  O-tier: the oracle is the source slice, so the
+    hash proves the custom sink's serialize -> commit -> manifest-read
+    round trip value-exact (Python's json emits shortest-round-trip
+    doubles, the s5 lesson).
+
+    Scale: part files write in parallel, one per partition; commit cost
+    is one manifest rename — O(tasks) metadata, zero data movement."""
+    import json as _json
+
+    from google_analytics_dataframes_spark.io import scratch_dir
+    from google_analytics_dataframes_spark.sources.ga_api import (
+        register_upload_sink,
+    )
+
+    register_upload_sink(spark)
+    d = scratch_dir("s19_upload_sink")
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    ev = (
+        T(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ev.repartition(4).write.format("ga_upload_sink").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    schema = (
+        "event_id long, user_id long, event_type string, value double"
+    )
+    return spark.read.schema(schema).json(
+        [os.path.join(d, fname) for fname in manifest["files"]]
+    )

@@ -222,3 +222,87 @@ class GaReportFixtureDataSource:
 def register_fixture_datasource(spark) -> None:
     """Idempotently register the paginated fixture source on a session."""
     spark.dataSource.register(GaReportFixtureDataSource.make())
+
+
+class GaUploadSinkDataSource:
+    """`df.write.format("ga_upload_sink")` — the WRITER half of the Python
+    DataSource API (s14 covers the reader half): GA's Data-Import /
+    upload direction as a partition-parallel sink with a real two-phase
+    commit.
+
+    Each task serializes its partition to a JSON-lines part file under
+    ``path`` and returns a WriterCommitMessage naming it; ``commit``
+    publishes a `_MANIFEST.json` listing exactly the committed files (the
+    atomic-visibility pattern every table format uses — readers trust the
+    manifest, never the directory listing, so a straggler/zombie task's
+    orphan file is invisible); ``abort`` removes the named files.  Local
+    filesystem stands in for the shared store a cluster deployment would
+    target — the API surface (writer planning, per-task write, driver
+    commit/abort) is the genuine production shape."""
+
+    @staticmethod
+    def make():
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceWriter,
+            WriterCommitMessage,
+        )
+
+        class _Msg(WriterCommitMessage):
+            def __init__(self, fname: str, n_rows: int):
+                self.fname = fname
+                self.n_rows = n_rows
+
+        class _Writer(DataSourceWriter):
+            def __init__(self, options):
+                self.path = options["path"]
+
+            def write(self, rows):
+                import json
+                import os
+                import uuid
+
+                fname = f"part-{uuid.uuid4().hex}.jsonl"
+                n = 0
+                with open(os.path.join(self.path, fname), "w") as f:
+                    for row in rows:
+                        f.write(json.dumps(row.asDict()) + "\n")
+                        n += 1
+                return _Msg(fname, n)
+
+            def commit(self, messages):
+                import json
+                import os
+
+                manifest = {
+                    "files": sorted(m.fname for m in messages),
+                    "rows": sum(m.n_rows for m in messages),
+                }
+                tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+            def abort(self, messages):
+                import os
+
+                for m in messages:
+                    try:
+                        os.remove(os.path.join(self.path, m.fname))
+                    except OSError:
+                        pass
+
+        class _Source(DataSource):
+            @classmethod
+            def name(cls):
+                return "ga_upload_sink"
+
+            def writer(self, schema, overwrite):
+                return _Writer(self.options)
+
+        return _Source
+
+
+def register_upload_sink(spark) -> None:
+    """Idempotently register the upload sink on a session."""
+    spark.dataSource.register(GaUploadSinkDataSource.make())

@@ -115,3 +115,53 @@ def test_get_report_paginates_and_unions_with_injected_transport(spark):
     got = {r.source: r.sessions for r in df.collect()}
     assert got == {f"s{i}": 10 * i for i in range(5)}
     assert dict(df.dtypes)["sessions"] == "bigint"
+
+
+def test_upload_sink_manifest_hides_orphans_and_abort_cleans(spark, tmp_path):
+    """The sink's visibility contract: readers trust _MANIFEST.json, so a
+    part file from a failed/zombie task (present in the directory, absent
+    from the manifest) must be invisible; and abort() must remove exactly
+    the files its messages name."""
+    import json
+    import os
+
+    from google_analytics_dataframes_spark.sources.ga_api import (
+        GaUploadSinkDataSource,
+        register_upload_sink,
+    )
+
+    register_upload_sink(spark)
+    d = str(tmp_path)
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "'view' AS event_type",
+        "CAST(id AS DOUBLE) / 4 AS value",
+    )
+    df.repartition(3).write.format("ga_upload_sink").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 100 and len(manifest["files"]) == 3
+    # plant an orphan (a zombie task's leftover): directory listing sees
+    # it, the manifest-driven read must not
+    orphan = os.path.join(d, "part-orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": 999999, "user_id": 0, "event_type": "view", "value": 0.0}\n')
+    schema = "event_id long, user_id long, event_type string, value double"
+    back = spark.read.schema(schema).json(
+        [os.path.join(d, fn) for fn in manifest["files"]]
+    )
+    assert back.count() == 100
+    assert back.filter("event_id = 999999").count() == 0
+
+    # abort removes exactly the named files
+    src = GaUploadSinkDataSource.make()(options={"path": d})
+    writer = src.writer(None, overwrite=False)
+
+    class _R:
+        def __init__(self, i): self.i = i
+        def asDict(self): return {"event_id": self.i}
+    msg = writer.write(iter([_R(1), _R(2)]))
+    assert os.path.exists(os.path.join(d, msg.fname))
+    writer.abort([msg])
+    assert not os.path.exists(os.path.join(d, msg.fname))

@@ -133,6 +133,10 @@ QUERIES = [
     # (bulk, watermark-advancing mid, the straggler file, double flush);
     # state bounded by open windows regardless of straggler lateness
     "st21_stream_late_drop",
+    # round-8 batch 15: the Python DataSource WRITER half — 4 parallel
+    # part writes + one manifest rename; cost tracks the written slice
+    # (fixed 2000 rows), not the corpus
+    "s19_python_datasource_writer",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
