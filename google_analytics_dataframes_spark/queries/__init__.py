@@ -42,12 +42,21 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # round-8 batches 10-13: attribution models + conversion lag, session
+    # FIRST, before any new registration: the two rows whose CURRENT
+    # driver evidence is the round-7 RED (dg7 — VERDICT r7 item #1 asks
+    # for a green CORRECTNESS_r08 row after the cast-twin fix) or
+    # predates an ADVICE-r7 semantic fix (l66's id-offset change).  The
+    # sweep budget (~50) is smaller than round 8's ~44 new registrations,
+    # so whatever sits past the cut keeps last round's evidence — a
+    # standing red MUST NOT be what survives.
+    "dg7_", "l66_",
+    # round-8 batches 10-15: attribution models + conversion lag, session
     # entry paths, the parquet-footer stats manifest + its pruned-read
     # application, the source-overlap contamination matrix, two-iteration
     # Lloyd k-means, quality keeper election, cume_dist, timezone
-    # rendering, and the boolean-aggregate surface — never swept, so they
-    # outrank everything with evidence
+    # rendering, the boolean-aggregate surface, the watermark late-drop
+    # stream, and the DataSource writer — never swept, so they outrank
+    # everything with valid evidence
     "s19_", "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_",
     "l80_", "rb27_", "rb28_", "s17_", "l78_",
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
@@ -90,21 +99,17 @@ SWEEP_HEAD: list[str] = [
     # helper, reused by the persistent mask index) touches the bitmask
     # strategies the whole Jaccard family transitively references
     "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
-    # round-8 code changes: dg7's cast twins (the HUGEINT witness retired
-    # to a pytest, VERDICT r7 item #1) and l66's in-plan max(doc_id)+1 id
-    # offset (ADVICE r7)
-    "dg7_", "l66_",
     # decode_png's truncation bounds-check (ADVICE r7) touches the codec
     # helpers l63/l64 reference
     "l64_", "l63_",
     # the r02-evidence rotation (VERDICT r7 item #2's 12 rows).  Honest
-    # budget arithmetic (review r8): round 8 registered 29 new rows and
-    # changed 15 more, all of which MUST sweep before rows that still
-    # hold valid (if old) r02 evidence — that fills positions 1-44, so
-    # at the driver's 50-query budget only the first few of these 12 fit
-    # this round (~4 after the batch-7 registrations landed; new rows
-    # with NO driver evidence outrank rows with valid-but-old evidence);
-    # the remainder stays at the rotation head and clears in round 9
+    # budget arithmetic (final, end of round 8): the round registered 44
+    # new rows — alone near the ~50 sweep budget — so after dg7/l66 (the
+    # standing red + the semantic fix) and the never-swept registrations,
+    # the cut lands around position 50 and NONE of these 12 fit this
+    # round.  They hold valid (if old) r02 evidence, the new rows hold
+    # none; the rotation stays queued here and clears in round 9, ahead
+    # of everything that will by then carry r08 evidence.
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
     "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
     # LAST — guard OVER-APPROXIMATIONS (span adjacency from the l73/l74
