@@ -57,7 +57,7 @@ SWEEP_HEAD: list[str] = [
     # rendering, the boolean-aggregate surface, the watermark late-drop
     # stream, and the DataSource writer — never swept, so they outrank
     # everything with valid evidence
-    "s19_", "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_",
+    "j15_", "s19_", "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_",
     "l80_", "rb27_", "rb28_", "s17_", "l78_",
     # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
     # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-

@@ -346,3 +346,58 @@ def j14_skew_salted(spark, sf_dir):
     return salted_join(ev, dim, "user_id", salt=8).select(
         "event_id", "user_id", "event_type", "value", "c_mktsegment"
     )
+
+
+@register(
+    "j15_nullsafe_join",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                           ELSE c_nationkey END AS nk
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                      ELSE s_nationkey END AS nk
+          FROM supplier)
+    SELECT c.nk, CAST(COUNT(*) AS BIGINT) AS pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS suppliers
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+)
+def j15_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    surface's last predicate form: under plain `=`, NULL keys silently
+    drop from an inner join; null-safe equality makes NULL a VALUE that
+    matches NULL, the semantics dimension-coded GA exports need where
+    'unknown region' rows must still pair up.  A fifth of each side's
+    nation keys is nulled (nationkey % 5 == 0), so the NULL group is a
+    real, populated join key whose pair count the oracle checks.
+
+    Scale: Catalyst plans `<=>` as an ordinary hash-partitioned equi-join
+    (EqualNullSafe is a hashable key, not a theta condition), so this
+    costs exactly j1's shuffle — no BroadcastNestedLoop fallback.  Skew
+    note: coalescing many dirty keys to ONE null makes NULL the hot key
+    at scale; j14's salting applies unchanged."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_nationkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    return (
+        c.join(s, c["nk"].eqNullSafe(s["nk"]))
+        .groupBy(c["nk"].alias("nk"))
+        .agg(
+            F.count("*").alias("pairs"),
+            F.countDistinct("c_custkey").alias("customers"),
+            F.countDistinct("s_suppkey").alias("suppliers"),
+        )
+    )

@@ -921,3 +921,16 @@ def test_s18_manifest_actually_prunes_files(spark):
     df = registry()["s18_manifest_pruned_read"].fn(spark, SF_DIR)
     files = df.inputFiles()
     assert 0 < len(files) < 8, files
+
+
+def test_j15_nullsafe_is_hash_join_not_bnl(spark):
+    """j15: Catalyst must plan `<=>` as a hash-partitioned equi-join
+    (EqualNullSafe is a hashable key) — a BroadcastNestedLoopJoin here
+    would mean the null-safe predicate fell off the equi path and every
+    pair is compared."""
+    df = registry()["j15_nullsafe_join"].fn(spark, SF_DIR)
+    algs = audit.join_algorithms(df)
+    assert algs and all(
+        a in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for a in algs
+    ), algs

@@ -137,6 +137,9 @@ QUERIES = [
     # part writes + one manifest rename; cost tracks the written slice
     # (fixed 2000 rows), not the corpus
     "s19_python_datasource_writer",
+    # round-8 batch 16: null-safe equi-join (ordinary hash-partitioned
+    # join; NULL is the potential hot key — j14's salting applies)
+    "j15_nullsafe_join",
 ]
 
 SYNTH_DIR = "/tmp/spark_graft_synth_sf1"
