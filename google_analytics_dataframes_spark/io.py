@@ -380,14 +380,45 @@ def staged_dir(sf_dir: str, table: str, name: str, build_fn) -> str:
     (plan audits, repeated query invocations) never pay the staging write
     twice.  ``build_fn(path)`` must produce the directory contents
     including the marker (Spark's parquet writer emits `_SUCCESS`
-    itself)."""
+    itself).
+
+    Cross-process safety (review r8): the path is SHARED /tmp, so the
+    build goes into a unique scratch dir and publishes via one atomic
+    rename — two racing processes each build their own copy and exactly
+    one rename wins (the loser discards its build and reuses the
+    winner's).  Building in place would let process B rmtree process A's
+    in-flight output and interleave two writers into one directory.
+    Stale fingerprints (a regenerated dataset mints a new cache key) are
+    swept when a new build publishes, so repeated regenerations don't
+    accumulate full staged copies in /tmp; in-flight ".build-" dirs of
+    OTHER processes are never touched."""
+    import glob
     import shutil
     import tempfile
+    import uuid
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     fp = table_fingerprint(sf_dir, table)
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{sf_tag}_{fp}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        shutil.rmtree(out, ignore_errors=True)
-        build_fn(out)
+    prefix = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{sf_tag}_")
+    out = prefix + fp
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.build-{uuid.uuid4().hex}"
+    build_fn(tmp)
+    # a markerless leftover at `out` (crashed builder) blocks the rename;
+    # move it aside under a unique name before publishing
+    if os.path.exists(out) and not os.path.exists(os.path.join(out, "_SUCCESS")):
+        try:
+            os.rename(out, f"{out}.stale-{uuid.uuid4().hex}")
+        except OSError:
+            pass
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost the publish race — the winner's copy is complete; use it
+        shutil.rmtree(tmp, ignore_errors=True)
+    # sweep other fingerprints and set-aside debris for this fixture
+    for d in glob.glob(prefix + "*"):
+        if d != out and ".build-" not in d:
+            shutil.rmtree(d, ignore_errors=True)
     return out

@@ -1460,8 +1460,11 @@ def rb27_attribution(spark, sf_dir):
     forward) in ONE user-partitioned window pass — user_id is the
     high-cardinality key, so the single hash exchange is skew-free and
     both models ride the same sort.  The post-filter purchase set is a
-    tiny fraction of the corpus; the two model aggregations and their
-    union are metadata-sized."""
+    tiny fraction of the corpus, and both models come out of ONE
+    aggregation: each purchase explodes to its two (model, channel)
+    rows before a single groupBy, so the fact scan and window run once
+    (the first form union'd two aggregations and re-ran the whole
+    pipeline per model — review r8)."""
     from pyspark.sql import Window
 
     ev = T(spark, sf_dir, "events").select(
@@ -1492,13 +1495,23 @@ def rb27_attribution(spark, sf_dir):
         )
     )
 
-    def _model(col, name):
-        return pur.groupBy(F.col(col).alias("channel")).agg(
-            F.count("*").alias("purchases"),
-            dsum("value").alias("revenue"),
-        ).select(F.lit(name).alias("model"), "channel", "purchases", "revenue")
-
-    return _model("ft", "first_touch").unionAll(_model("lt", "last_touch"))
+    mc = F.explode(
+        F.array(
+            F.struct(
+                F.lit("first_touch").alias("model"), F.col("ft").alias("channel")
+            ),
+            F.struct(
+                F.lit("last_touch").alias("model"), F.col("lt").alias("channel")
+            ),
+        )
+    )
+    return (
+        pur.select(mc.alias("mc"), "value")
+        .groupBy(
+            F.col("mc.model").alias("model"), F.col("mc.channel").alias("channel")
+        )
+        .agg(F.count("*").alias("purchases"), dsum("value").alias("revenue"))
+    )
 
 
 @register(

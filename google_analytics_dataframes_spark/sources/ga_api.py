@@ -286,7 +286,12 @@ class GaUploadSinkDataSource:
             def abort(self, messages):
                 import os
 
+                # a FAILED task's commit message arrives as None (the
+                # DataSourceWriter contract) — only successful tasks'
+                # files exist to clean up
                 for m in messages:
+                    if m is None:
+                        continue
                     try:
                         os.remove(os.path.join(self.path, m.fname))
                     except OSError:
