@@ -22,6 +22,7 @@ from google_analytics_dataframes_spark.queries import udfs  # noqa: F401
 from google_analytics_dataframes_spark.queries import llm_ops  # noqa: F401
 from google_analytics_dataframes_spark.queries import corpus_ops  # noqa: F401
 from google_analytics_dataframes_spark.queries import report_queries  # noqa: F401
+from google_analytics_dataframes_spark.queries import analytic_suite  # noqa: F401
 from google_analytics_dataframes_spark.queries import diagnostics  # noqa: F401
 
 from google_analytics_dataframes_spark.registry import registry as _registry
@@ -86,6 +87,12 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 5: time-series gap-fill + time-bound funnel, and the
     # CDC-targeted dedup composition (l66 delta x l69 stored index)
     "w12_", "rb24_", "l75_",
+    # round-8 final batch: the composite analytic suite (h1-h22, §2.14)
+    # — never swept; sits below the earlier never-swept batches because
+    # its building blocks (joins/aggs/subqueries) all carry fresh
+    # evidence through their §2.2-2.8 rows, so a budget cut here loses
+    # the least
+    "h",
     # st12 references the shared staging helpers the sentinel change
     # touched, and its staging collapsed to one microbatch before the
     # review-r8 files_per_trigger fix — re-prove through the driver
@@ -135,7 +142,7 @@ SWEEP_ROTATION: list[str] = [
 
 # Deterministic tail: whatever budget remains walks the families.
 SWEEP_TAIL: list[str] = [
-    "rb", "l", "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st",
+    "rb", "l", "j", "a", "f", "s", "p", "w", "o", "u", "sf", "ud", "st", "h",
 ]
 
 SWEEP_PRIORITY: list[str] = SWEEP_HEAD + SWEEP_ROTATION + SWEEP_TAIL
