@@ -127,16 +127,21 @@ def h1_pricing_summary(spark, sf_dir):
 # and the correlated MIN targets s_acctbal instead of ps_supplycost)
 # --------------------------------------------------------------------------
 _H2_BODY = """
-    WITH part_sup AS (
+    WITH qual_parts AS (
+        SELECT p_partkey, p_name FROM {part}
+        WHERE p_type = 'LARGE' AND p_size >= 40
+    ),
+    part_sup AS (
         SELECT DISTINCT l_partkey, l_suppkey FROM {li}
+        WHERE l_partkey IN (SELECT p_partkey FROM qual_parts)
     )
     SELECT s.s_name, p.p_partkey, p.p_name, s.s_acctbal, n.n_name
-    FROM {part} p
+    FROM qual_parts p
     JOIN part_sup ps ON p.p_partkey = ps.l_partkey
     JOIN {sup} s ON ps.l_suppkey = s.s_suppkey
     JOIN {nat} n ON s.s_nationkey = n.n_nationkey
     JOIN {reg} r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size >= 40
+    WHERE r.r_name = 'EUROPE'
       AND s.s_acctbal = (
           SELECT MIN(s2.s_acctbal)
           FROM part_sup ps2
@@ -158,7 +163,14 @@ def h2_min_bal_supplier(spark, sf_dir):
     Catalyst decorrelates the subquery into an aggregate join on
     p_partkey (RewriteCorrelatedScalarSubquery), which is the plan a user
     writing the textbook SQL gets.  MIN is an exact selection (no float
-    arithmetic), so the equality predicate is engine-stable."""
+    arithmetic), so the equality predicate is engine-stable.
+
+    Scale note: the derived part-supplier relation is pre-restricted to
+    qualifying parts (IN semi-join) BEFORE its DISTINCT — Catalyst does
+    not push the outer part predicate through the subquery's aggregate on
+    its own, and without it both part_sup branches distinct the full fact
+    table (measured sf0.1: 20.1 s -> 2.5 s; at 100 TB the difference is a
+    full-corpus shuffle x2)."""
     _hv(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     return spark.sql(
         _H2_BODY.format(
@@ -548,18 +560,20 @@ def h10_returned_items(spark, sf_dir):
         GROUP BY l.l_partkey
     )
     SELECT l_partkey, value FROM vals
-    WHERE value > (SELECT {dsum_sql('value')} * 0.002 FROM vals)
+    WHERE 2 * value * (SELECT COUNT(*) FROM vals)
+          > 5 * (SELECT {dsum_sql('value')} FROM vals)
     """,
 )
 def h11_important_parts(spark, sf_dir):
-    """Q11 shape: group values filtered against a scalar fraction of the
-    global total.  The single-row global aggregate broadcasts back over
-    the per-part values — no second scan of the fact table, no sort.
+    """Q11 shape: group values filtered against a global scalar threshold.
+    The single-row global aggregate broadcasts back over the per-part
+    values — no second scan of the fact table, no sort.
 
-    Float note: the threshold is an exact-decimal sum (dsum twins on BOTH
-    sides) of values that are themselves exact-decimal doubles, so the
-    `value > total * 0.002` comparison sees bit-identical operands in
-    both engines — no summation-order wobble can flip a membership."""
+    The spec's fixed global fraction would be scale-DEpendent (at 10x the
+    parts, every part's share of the total shrinks 10x and the result
+    empties), so the threshold is 2.5x the mean per-part value, restated
+    multiplicatively (2 * value * n > 5 * total) over exact-decimal sums
+    — scale-free membership with no engine-divergent division."""
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(
@@ -571,10 +585,12 @@ def h11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(dsum(_rev()).alias("value"))
     )
-    total = vals.agg((dsum("value") * 0.002).alias("threshold"))
+    total = vals.agg(
+        dsum("value").alias("tot"), F.count("*").alias("n_parts")
+    )
     return (
         vals.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(2 * F.col("value") * F.col("n_parts") > 5 * F.col("tot"))
         .select("l_partkey", "value")
     )
 
