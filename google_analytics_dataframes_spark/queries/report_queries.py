@@ -1697,3 +1697,69 @@ def rb29_conversion_lag(spark, sf_dir):
             6,
         ).alias("avg_lag_sec"),
     )
+
+
+@register(
+    "rb30_scd2_pointintime",
+    oracle=f"""
+    WITH versions AS (
+        SELECT user_id, event_type AS seg, ts AS eff_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS eff_to
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT v.seg, COUNT(*) AS n_purchases,
+           {dsum_sql('p.value')} AS revenue
+    FROM events p
+    JOIN versions v
+      ON p.user_id = v.user_id
+     AND v.eff_from <= p.ts
+     AND (v.eff_to IS NULL OR p.ts < v.eff_to)
+    WHERE p.event_type = 'purchase'
+    GROUP BY v.seg
+    """,
+)
+def rb30_scd2_pointintime(spark, sf_dir):
+    """SCD2 dimension build + point-in-time attribution — the GA4
+    user-property semantic: a user's property changes over time and each
+    event is attributed to the value IN EFFECT at the event's timestamp,
+    not the latest one.  The versioned dimension is built with one
+    window pass (LEAD over (user, ts, event_id) gives half-open
+    [eff_from, eff_to) validity ranges — duplicate-timestamp-safe: a
+    zero-width version matches nothing), then purchases point-in-time
+    join on the user key with the range as a co-located post-join
+    predicate — j11's as-of machinery applied to the warehouse SCD2
+    shape.
+
+    Scale: both sides hash-partition on user_id (one exchange each, and
+    AQE coalesces the window and join exchanges onto the same key);
+    per-user version chains are small, so the range predicate filters
+    bounded candidate sets — never a time-cross-product.  Purchases
+    before a user's first version row drop out of the inner join (no
+    version was in effect), mirroring GA's "(not set)" exclusion."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("v_user").orderBy("eff_from", "event_id")
+    ver = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_type").alias("seg"),
+            F.col("ts").alias("eff_from"),
+            "event_id",
+        )
+        .withColumn("eff_to", F.lead("eff_from").over(w))
+        .drop("event_id")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    return (
+        pur.join(
+            ver,
+            (pur.user_id == ver.v_user)
+            & (ver.eff_from <= pur.ts)
+            & (ver.eff_to.isNull() | (pur.ts < ver.eff_to)),
+        )
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_purchases"), dsum("value").alias("revenue"))
+    )

@@ -870,3 +870,77 @@ def s19_python_datasource_writer(spark, sf_dir):
     return spark.read.schema(schema).json(
         [os.path.join(d, fname) for fname in manifest["files"]]
     )
+
+
+# --------------------------------------------------------------------------
+# s20 — runtime Bloom-filter join pruning
+# --------------------------------------------------------------------------
+
+#: Confs that let Spark's runtime Bloom-filter injection engage at test
+#: scale.  At 100 TB the defaults do the same job by themselves: the
+#: filtered build side exceeds autoBroadcastJoinThreshold (so the join is
+#: not broadcast) and the probe-side scan exceeds the 10 GB application
+#: threshold; here both must be forced because sf0.1 is megabytes.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark, sf_dir):
+    """The un-staged join s20 executes (shared with the plan-pin test):
+    fact-side lineitem joined to the selective urgent-orders slice."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(rev).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "s20_bloom_pruned_join",
+    oracle=f"""
+    SELECT l.l_linestatus, COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+    """,
+)
+def s20_bloom_pruned_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (SPARK-32268): Catalyst injects a
+    `bloom_filter_agg` over the selective build side and a `might_contain`
+    predicate on the probe side, so fact rows that cannot join are dropped
+    AT THE SCAN — before the shuffle — cutting probe-side exchange volume
+    by ~the build side's selectivity (here 1/5 priorities).  At 100 TB
+    this is the difference between shuffling 100 TB and shuffling 20 TB
+    into a sort-merge join.
+
+    The optimization is planning-time, so (like the streaming rows) this
+    query EXECUTES inside the fn with the enabling confs pinned and
+    restored, staging the result through parquet; the oracle hash-checks
+    the staged result, and tests/test_plans.py pins `bloom_filter_agg` +
+    `might_contain` in the executed plan.  The conf overrides exist only
+    because sf0.1 sits under the feature's size thresholds — production
+    defaults engage it exactly where it pays (see _BLOOM_CONFS)."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_bloom_join")
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        shutil.rmtree(out, ignore_errors=True)
+        bloom_join_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

@@ -934,3 +934,30 @@ def test_j15_nullsafe_is_hash_join_not_bnl(spark):
         a in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         for a in algs
     ), algs
+
+
+def test_s20_bloom_filter_injected(spark):
+    """s20's whole claim: with the enabling confs, Catalyst injects a
+    bloom_filter_agg on the selective build side and a might_contain
+    probe-side predicate (SPARK-32268).  Executed-plan assertion — the
+    injection happens during planning, not analysis."""
+    from google_analytics_dataframes_spark.queries.scans import (
+        _BLOOM_CONFS,
+        bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_join_frame(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
