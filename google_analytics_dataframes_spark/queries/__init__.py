@@ -87,9 +87,10 @@ SWEEP_HEAD: list[str] = [
     # round-8 batch 5: time-series gap-fill + time-bound funnel, and the
     # CDC-targeted dedup composition (l66 delta x l69 stored index)
     "w12_", "rb24_", "l75_",
-    # round-8 final batch: runtime Bloom-filter join pruning and the SCD2
-    # point-in-time attribution row
-    "s20_", "rb30_",
+    # round-8 final batch: runtime Bloom-filter join pruning, the SCD2
+    # point-in-time attribution row, dynamic partition overwrite, and the
+    # nested array-of-struct round trip
+    "s20_", "rb30_", "s21_", "sf20_",
     # round-8 final batch: the composite analytic suite (h1-h22, §2.14)
     # — never swept; sits below the earlier never-swept batches because
     # its building blocks (joins/aggs/subqueries) all carry fresh

@@ -648,3 +648,67 @@ def sf19_timezone_render(spark, sf_dir):
         F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("ts_tokyo"),
         F.hour(nyc).cast("long").alias("hour_nyc"),
     )
+
+
+@register(
+    "sf20_nested_arrays",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_id, event_type, value
+        FROM events WHERE value > 100.0
+    ),
+    numbered AS (
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) - 1 AS INT) AS pos,
+               event_id, event_type, value
+        FROM f
+    )
+    SELECT user_id, pos, event_id, event_type, value FROM numbered
+    UNION ALL
+    SELECT DISTINCT e.user_id,
+           CAST(NULL AS INT) AS pos,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.user_id = e.user_id)
+    """,
+)
+def sf20_nested_arrays(spark, sf_dir):
+    """Nested array-of-struct construction and NULL-preserving
+    deconstruction — the document-model surface: per-user events are
+    nested into a sorted `array<struct>` (sort_array on the collected
+    structs orders by the leading unique event_id, making collect_list's
+    arrival order irrelevant), pruned with a higher-order `filter`
+    lambda, then flattened back with `posexplode_outer`, which keeps
+    users whose array filtered to empty as a NULL row — GA's
+    keep-empty-rows semantic at the nested-column level.
+
+    The oracle reconstructs the same rows relationally (ROW_NUMBER for
+    the position, NOT EXISTS for the emptied users), so the hash proves
+    nest -> filter -> outer-unnest is exactly the relational filter +
+    left-preserved census.
+
+    Scale: one exchange (the groupBy); the lambda and both explodes are
+    narrow.  Per-user arrays are event-count bounded — the nested form
+    never concentrates a hot key's corpus on one executor beyond what
+    the raw group already does."""
+    ev = T(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_id", "event_type", "value"))
+        ).alias("items")
+    )
+    pruned = nested.withColumn(
+        "items", F.filter("items", lambda x: x["value"] > 100.0)
+    )
+    return pruned.select(
+        "user_id", F.posexplode_outer("items").alias("pos", "item")
+    ).select(
+        "user_id",
+        "pos",
+        F.col("item.event_id").alias("event_id"),
+        F.col("item.event_type").alias("event_type"),
+        F.col("item.value").alias("value"),
+    )

@@ -944,3 +944,76 @@ def s20_bloom_pruned_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@register(
+    "s21_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-07'
+                THEN value * 2 ELSE value END AS value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    """,
+)
+def s21_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (`partitionOverwriteMode=dynamic`): an
+    `INSERT OVERWRITE` that replaces ONLY the partitions present in the
+    incoming data — the warehouse restatement primitive (backfill one day
+    of a 100 TB day-partitioned table without touching the other 364).
+
+    Static overwrite mode would TRUNCATE the whole table first; dynamic
+    mode deletes exactly the directories the write produces.  Here the
+    2024-01-07 partition is restated with doubled values into a staged
+    day-partitioned copy; the oracle recomputes the expected post-restate
+    table from the source, so the driver hash proves both halves — the
+    restated partition changed, every other partition survived byte-exact.
+    tests/test_plans.py additionally pins the selectivity mechanically:
+    untouched partitions keep their file mtimes across the overwrite.
+
+    Scale: the overwrite's cost is O(restated partition), not O(table) —
+    the only rows that move are the day being restated."""
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_{fp}")
+    marker = os.path.join(out, "_SUCCESS")
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ev.repartition(F.col("day")).write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(out)
+
+    restated = (
+        ev.filter(F.col("day") == "2024-01-07")
+        .withColumn("value", F.col("value") * 2)
+        .repartition(F.col("day"))
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restated.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    back = spark.read.parquet(out)
+    # idempotent across runs: the restated partition is rebuilt from the
+    # SOURCE each time, so a cached staging dir that was already restated
+    # converges to the same content.
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("day").cast("string").alias("day"),
+    )

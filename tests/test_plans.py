@@ -961,3 +961,45 @@ def test_s20_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_s21_dynamic_overwrite_touches_only_target_partition(spark):
+    """s21's selectivity claim, pinned mechanically: re-running the dynamic
+    overwrite rewrites the 2024-01-07 partition's files and leaves every
+    other partition directory's files untouched (same names, same
+    mtimes)."""
+    import os
+
+    from google_analytics_dataframes_spark.registry import registry
+
+    reg = registry()
+    reg["s21_dynamic_partition_overwrite"].fn(spark, SF_DIR).count()
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    fp = table_fingerprint(SF_DIR, "events")
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_{fp}")
+
+    def snapshot():
+        snap = {}
+        for d in os.listdir(out):
+            if not d.startswith("day="):
+                continue
+            pd = os.path.join(out, d)
+            snap[d] = {
+                f: os.path.getmtime(os.path.join(pd, f))
+                for f in os.listdir(pd)
+                if f.endswith(".parquet")
+            }
+        return snap
+
+    before = snapshot()
+    reg["s21_dynamic_partition_overwrite"].fn(spark, SF_DIR).count()
+    after = snapshot()
+    assert set(before) == set(after) and len(before) > 2
+    changed = [d for d in before if before[d] != after[d]]
+    assert changed == ["day=2024-01-07"], (
+        f"dynamic overwrite touched {changed}, expected only day=2024-01-07"
+    )
