@@ -712,3 +712,94 @@ def sf20_nested_arrays(spark, sf_dir):
         F.col("item.event_type").alias("event_type"),
         F.col("item.value").alias("value"),
     )
+
+
+@register(
+    "sf21_sql_scripting",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(value) AS thr
+        FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CASE WHEN s.thr > 50.0 THEN 'high' ELSE 'low' END AS band
+    FROM events e, s
+    WHERE e.value > s.thr
+    GROUP BY e.event_type, CASE WHEN s.thr > 50.0 THEN 'high' ELSE 'low' END
+    """,
+)
+def sf21_sql_scripting(spark, sf_dir):
+    """Spark 4 SQL scripting (`BEGIN ... END` compound statements,
+    SQL/PSM): a script DECLAREs local variables, SETs one from a
+    data-dependent scalar subquery (the exact-decimal mean of `value`),
+    branches on it with IF/ELSE, and the script's value is its final
+    SELECT — the migration surface for stored-procedure-shaped warehouse
+    code.  The oracle restates the same computation relationally (the
+    variable becomes a CTE scalar), so the hash proves the scripted
+    control flow computed exactly the declarative answer.
+
+    Scale: the script's imperative layer runs on the DRIVER over scalar
+    variables only; both heavy statements (the mean, the report) are
+    ordinary distributed plans — scripting adds sequencing, never a
+    per-row loop."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("sf21_events")
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 0.0;
+              DECLARE lbl STRING DEFAULT '';
+              SET thr = (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                                     AS DOUBLE) / COUNT(value)
+                         FROM sf21_events);
+              IF thr > 50.0 THEN
+                SET lbl = 'high';
+              ELSE
+                SET lbl = 'low';
+              END IF;
+              SELECT event_type, COUNT(*) AS n, lbl AS band
+              FROM sf21_events WHERE value > thr GROUP BY event_type;
+            END
+            """
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+@register(
+    "sf22_parameterized_sql",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, 'q3-2024' AS tag
+    FROM events
+    WHERE value > 150.0
+    GROUP BY event_type
+    """,
+)
+def sf22_parameterized_sql(spark, sf_dir):
+    """Parameterized SQL with named parameter markers plus the IDENTIFIER
+    clause: the table name and the filter threshold both arrive as BOUND
+    PARAMETERS (`spark.sql(query, args=...)`), never string-spliced —
+    the injection-safe templating surface every multi-tenant report
+    runner needs, and IDENTIFIER() is how a parameter can name a table
+    without dynamic SQL.  The oracle states the same query with the
+    parameters inlined as literals, so the hash proves binding semantics
+    equal literal semantics.
+
+    Scale: parameters bind at parse time; the plan is identical to the
+    literal query's (same pushdown, same aggregate)."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("sf22_events")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n, :tag AS tag
+        FROM IDENTIFIER(:tbl)
+        WHERE value > :thr
+        GROUP BY event_type
+        """,
+        args={"tbl": "sf22_events", "thr": 150.0, "tag": "q3-2024"},
+    )
