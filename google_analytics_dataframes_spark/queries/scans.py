@@ -1017,3 +1017,50 @@ def s21_dynamic_partition_overwrite(spark, sf_dir):
         "value",
         F.col("day").cast("string").alias("day"),
     )
+
+
+@register(
+    "s22_catalog_ctas",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def s22_catalog_ctas(spark, sf_dir):
+    """Catalog DDL surface: CREATE TABLE AS SELECT into an explicit
+    LOCATION, then INSERT INTO the catalog table, then read it back BY
+    NAME through the session catalog — the `spark.sql("... FROM t")`
+    path every SQL user takes, distinct from all the path-based reads in
+    this family.  CTAS writes the urgent slice, INSERT appends the HIGH
+    slice; the oracle recomputes both slices from the source, so the
+    driver hash proves DDL + DML + catalog resolution end to end.
+
+    The vanilla session uses the in-memory catalog (no Hive metastore),
+    so table metadata is session-scoped and the only on-disk artifact is
+    the explicit /tmp LOCATION — re-created idempotently per call.
+
+    Scale: CTAS/INSERT are ordinary distributed writes; the catalog adds
+    name resolution, statistics storage, and (at 100 TB) the place where
+    partitioning/bucketing metadata lives so Catalyst can prune and
+    co-locate without listing files."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_ctas_orders")
+    spark.sql("DROP TABLE IF EXISTS s22_orders_slice")
+    shutil.rmtree(out, ignore_errors=True)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("s22_src_orders")
+    spark.sql(
+        f"""
+        CREATE TABLE s22_orders_slice
+        USING parquet LOCATION '{out}'
+        AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           FROM s22_src_orders WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO s22_orders_slice
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM s22_src_orders WHERE o_orderpriority = '2-HIGH'
+        """
+    )
+    return spark.sql("SELECT * FROM s22_orders_slice")
