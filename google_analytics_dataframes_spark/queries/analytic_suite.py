@@ -778,7 +778,10 @@ def h16_supplier_counts(spark, sf_dir):
     WITH pq AS (
         SELECT l_partkey, COUNT(*) AS cnt,
                SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sq
-        FROM lineitem GROUP BY l_partkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_brand = 'Brand#1')
+        GROUP BY l_partkey
     )
     SELECT {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly
     FROM lineitem l
@@ -794,12 +797,27 @@ def h17_small_qty_revenue(spark, sf_dir):
     (pre-aggregated per-part join) — the plan Catalyst produces anyway —
     and the threshold `qty < 0.2 * avg` is restated as
     `5 * qty * cnt < sum` over exact decimals, so no float division
-    decides membership in either engine."""
+    decides membership in either engine.
+
+    Scale note (h2's lesson applied here too, review r8): pq is
+    pre-restricted to the brand's partkeys with a broadcast semi-join
+    BEFORE its aggregate — the downstream equi-join discards every other
+    pq row anyway, and Catalyst cannot push that restriction through the
+    aggregate itself, so without it the per-part stats would group the
+    full fact table for a 1/25-brand consumer."""
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("sq"),
+    pq = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pq_partkey"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("sq"),
+        )
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)

@@ -927,10 +927,19 @@ def s20_bloom_pruned_join(spark, sf_dir):
     query EXECUTES inside the fn with the enabling confs pinned and
     restored, staging the result through parquet; the oracle hash-checks
     the staged result, and tests/test_plans.py pins `bloom_filter_agg` +
-    `might_contain` in the executed plan.  The conf overrides exist only
+    `might_contain` in the physical plan.  The conf overrides exist only
     because sf0.1 sits under the feature's size thresholds — production
-    defaults engage it exactly where it pays (see _BLOOM_CONFS)."""
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_bloom_join")
+    defaults engage it exactly where it pays (see _BLOOM_CONFS).
+
+    The staging path is (sf, pid)-scoped: the result is REGENERATED on
+    every call (it is the measured operation), so unlike the
+    fingerprint-cached fixtures it needs per-process isolation, not
+    cache keying — two concurrent driver processes (bench + sweep) must
+    not rmtree each other's in-flight result (review-r8 class)."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bloom_join_{sf_tag}_pid{os.getpid()}"
+    )
     saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     try:
         for k, v in _BLOOM_CONFS.items():
@@ -944,6 +953,34 @@ def s20_bloom_pruned_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+def _dpo_dir(sf_dir) -> str:
+    """s21's staged day-partitioned table path (shared with its pytest).
+
+    Unlike the read-only fixtures (io.staged_dir), this directory is
+    MUTATED by the query under test (the dynamic overwrite), so a shared
+    fingerprint-keyed cache would let two processes overwrite the same
+    partition concurrently; the pid suffix gives each process its own
+    mutable copy while the fingerprint still invalidates on dataset
+    regeneration.  Stale fingerprints OF THIS PROCESS are swept on the
+    way in, so repeated regenerations don't accumulate copies."""
+    import glob
+
+    from google_analytics_dataframes_spark.io import table_fingerprint
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = table_fingerprint(sf_dir, "events")
+    pid = os.getpid()
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_{fp}_pid{pid}"
+    )
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_*_pid{pid}")
+    ):
+        if stale != out:
+            shutil.rmtree(stale, ignore_errors=True)
+    return out
 
 
 @register(
@@ -973,11 +1010,7 @@ def s21_dynamic_partition_overwrite(spark, sf_dir):
 
     Scale: the overwrite's cost is O(restated partition), not O(table) —
     the only rows that move are the day being restated."""
-    from google_analytics_dataframes_spark.io import table_fingerprint
-
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    fp = table_fingerprint(sf_dir, "events")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_{fp}")
+    out = _dpo_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     ev = T(spark, sf_dir, "events").select(
         "event_id",
@@ -1044,7 +1077,10 @@ def s22_catalog_ctas(spark, sf_dir):
     name resolution, statistics storage, and (at 100 TB) the place where
     partitioning/bucketing metadata lives so Catalyst can prune and
     co-locate without listing files."""
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_ctas_orders")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ctas_orders_{sf_tag}_pid{os.getpid()}"
+    )
     spark.sql("DROP TABLE IF EXISTS s22_orders_slice")
     shutil.rmtree(out, ignore_errors=True)
     T(spark, sf_dir, "orders").createOrReplaceTempView("s22_src_orders")

@@ -939,8 +939,11 @@ def test_j15_nullsafe_is_hash_join_not_bnl(spark):
 def test_s20_bloom_filter_injected(spark):
     """s20's whole claim: with the enabling confs, Catalyst injects a
     bloom_filter_agg on the selective build side and a might_contain
-    probe-side predicate (SPARK-32268).  Executed-plan assertion — the
-    injection happens during planning, not analysis."""
+    probe-side predicate (SPARK-32268).  InjectRuntimeFilter is an
+    OPTIMIZER rule, so the injection is visible in the physical plan
+    without running the join (review r8: an earlier version executed the
+    full join through a noop sink and then asserted on a fresh
+    queryExecution anyway — dead work)."""
     from google_analytics_dataframes_spark.queries.scans import (
         _BLOOM_CONFS,
         bloom_join_frame,
@@ -951,7 +954,6 @@ def test_s20_bloom_filter_injected(spark):
         for k, v in _BLOOM_CONFS.items():
             spark.conf.set(k, v)
         df = bloom_join_frame(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan
         assert "might_contain" in plan
@@ -974,13 +976,9 @@ def test_s21_dynamic_overwrite_touches_only_target_partition(spark):
 
     reg = registry()
     reg["s21_dynamic_partition_overwrite"].fn(spark, SF_DIR).count()
-    from google_analytics_dataframes_spark.io import table_fingerprint
+    from google_analytics_dataframes_spark.queries.scans import _dpo_dir
 
-    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    fp = table_fingerprint(SF_DIR, "events")
-    import tempfile
-
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_dpo_{sf_tag}_{fp}")
+    out = _dpo_dir(SF_DIR)
 
     def snapshot():
         snap = {}
