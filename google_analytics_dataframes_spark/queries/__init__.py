@@ -90,7 +90,7 @@ SWEEP_HEAD: list[str] = [
     # round-8 final batch: runtime Bloom-filter join pruning, the SCD2
     # point-in-time attribution row, dynamic partition overwrite, and the
     # nested array-of-struct round trip
-    "s20_", "rb30_", "s21_", "sf20_", "sf21_", "sf22_", "s22_",
+    "s20_", "rb30_", "s21_", "sf20_", "sf21_", "sf22_", "s22_", "j16_",
     # round-8 final batch: the composite analytic suite (h1-h22, §2.14)
     # — never swept; sits below the earlier never-swept batches because
     # its building blocks (joins/aggs/subqueries) all carry fresh

@@ -401,3 +401,99 @@ def j15_nullsafe_join(spark, sf_dir):
             F.countDistinct("s_suppkey").alias("suppliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# j16 — AQE skew-join (the built-in counterpart of j14's manual salting)
+# --------------------------------------------------------------------------
+
+#: Confs that let AQE's OptimizeSkewedJoin engage at test scale.  At 100 TB
+#: the DEFAULTS (256 MB threshold, 5x median factor) do the same job; here
+#: every partition is kilobytes so the thresholds must shrink, broadcast
+#: must be disabled (the right side is megabytes and a broadcast join would
+#: make skew moot), and force= lifts the extra-shuffle cost veto that the
+#: post-join aggregation's exchange otherwise triggers.
+_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def skew_join_frame(spark, sf_dir):
+    """The un-staged skewed join j16 executes (shared with the plan-pin
+    test): 90% of left rows share one hot key, carrying an incompressible
+    sha2 payload so the hot partition's COMPRESSED shuffle size (what
+    MapStatus reports and skew detection reads) reflects the row count.
+
+    fanout(32) is load-bearing, not cosmetic: OptimizeSkewedJoin splits a
+    skewed reduce partition at MAPPER granularity, so a left side read as
+    one map task (one small parquet file) is unsplittable no matter how
+    skewed — measured: identical query, 0 skew splits at 1 mapper, split
+    at 32.  At 100 TB the map side has thousands of tasks and this is
+    automatic; locally the rebalance models it."""
+    from google_analytics_dataframes_spark.io import fanout
+
+    ev = T(spark, sf_dir, "events")
+    left = fanout(ev, 32).select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id"))
+        .alias("k"),
+        F.sha2(F.col("event_id").cast("string"), 256).alias("payload"),
+        "value",
+    )
+    right = ev.select(F.col("event_id").alias("rk"), "user_id")
+    return left.join(right, F.col("k") == F.col("rk")).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_v"),
+    )
+
+
+@register(
+    "j16_aqe_skew_join",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dsum_sql('l.value')} AS sum_v
+    FROM (SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id END AS k,
+                 value
+          FROM events) l
+    JOIN events r ON l.k = r.event_id
+    """,
+)
+def j16_aqe_skew_join(spark, sf_dir):
+    """AQE runtime skew-join handling — the BUILT-IN counterpart of j14's
+    manual salting: a planted 90%-hot-key join where AQE splits the
+    skewed reduce partition into mapper-range slices and replicates the
+    matching build rows (`SortMergeJoin(skew=true)` +
+    `AQEShuffleRead skewed`, pinned in tests/test_plans.py), so one
+    straggler task becomes ~balanced parallel tasks with no key rewrite.
+
+    Skew handling is a runtime re-plan, so (s20's pattern) the query
+    executes inside the fn with the enabling confs pinned and restored,
+    staging the single-row result through parquet; the oracle recomputes
+    the join relationally.  See _SKEW_CONFS for why each override exists
+    only at test scale, and skew_join_frame for the mapper-granularity
+    constraint this row documents."""
+    import os
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_skewjoin_{sf_tag}_pid{os.getpid()}"
+    )
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    try:
+        for k, v in _SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        shutil.rmtree(out, ignore_errors=True)
+        skew_join_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

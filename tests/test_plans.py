@@ -1001,3 +1001,32 @@ def test_s21_dynamic_overwrite_touches_only_target_partition(spark):
     assert changed == ["day=2024-01-07"], (
         f"dynamic overwrite touched {changed}, expected only day=2024-01-07"
     )
+
+
+def test_j16_aqe_splits_the_skewed_partition(spark):
+    """j16's claim: AQE's OptimizeSkewedJoin fires — the executed plan
+    (this one genuinely requires execution: skew handling is a runtime
+    re-plan from materialized shuffle statistics) shows the skew-marked
+    sort-merge join and the skewed shuffle read.  Also re-documents the
+    mapper-granularity constraint: the frame's fanout(32) is what makes
+    the hot partition splittable at all."""
+    from google_analytics_dataframes_spark.queries.joins import (
+        _SKEW_CONFS,
+        skew_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    try:
+        for k, v in _SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        df = skew_join_frame(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
