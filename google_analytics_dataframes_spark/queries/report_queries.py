@@ -1737,9 +1737,22 @@ def rb30_scd2_pointintime(spark, sf_dir):
     bounded candidate sets — never a time-cross-product.  Purchases
     before a user's first version row drop out of the inner join (no
     version was in effect), mirroring GA's "(not set)" exclusion."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        scd2_point_in_time(ev)
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_purchases"), dsum("value").alias("revenue"))
+    )
+
+
+def scd2_point_in_time(ev):
+    """rb30's core, pre-aggregation (shared with the property test in
+    tests/test_property.py): every purchase row joined to the
+    non-purchase version in effect at its timestamp.  Input needs
+    columns (event_id, user_id, ts, event_type, value); output is the
+    purchase rows plus the matched version's `seg`."""
     from pyspark.sql import Window
 
-    ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("v_user").orderBy("eff_from", "event_id")
     ver = (
         ev.filter(F.col("event_type") != "purchase")
@@ -1753,13 +1766,9 @@ def rb30_scd2_pointintime(spark, sf_dir):
         .drop("event_id")
     )
     pur = ev.filter(F.col("event_type") == "purchase")
-    return (
-        pur.join(
-            ver,
-            (pur.user_id == ver.v_user)
-            & (ver.eff_from <= pur.ts)
-            & (ver.eff_to.isNull() | (pur.ts < ver.eff_to)),
-        )
-        .groupBy("seg")
-        .agg(F.count("*").alias("n_purchases"), dsum("value").alias("revenue"))
+    return pur.join(
+        ver,
+        (pur.user_id == ver.v_user)
+        & (ver.eff_from <= pur.ts)
+        & (ver.eff_to.isNull() | (pur.ts < ver.eff_to)),
     )

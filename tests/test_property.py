@@ -348,3 +348,66 @@ def test_wav_roundtrips_arbitrary_pcm(samples, rate):
     out = M.decode_wav(M.encode_wav(s, rate))
     assert out["sample_rate"] == rate
     assert np.array_equal(out["samples"][:, 0], s)
+
+
+_scd2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=20),  # ts seconds (collisions likely)
+        st.sampled_from(["a", "b", "c", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=_scd2_events)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_point_in_time_equals_sequential_reference(spark, events):
+    """rb30's SCD2 point-in-time join must equal the obvious sequential
+    reference on arbitrary event streams — including duplicate
+    timestamps within a user (where the half-open [eff_from, eff_to)
+    ranges make every zero-width version unmatchable and the LAST
+    same-timestamp version win) and purchases before any version (which
+    must drop out)."""
+    from google_analytics_dataframes_spark.queries.report_queries import (
+        scd2_point_in_time,
+    )
+
+    rows = [
+        (i, u, t, et, float(i))  # event_id = list index (unique), value = id
+        for i, (u, t, et) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s long, event_type string, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("ts_s").alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {
+        (r["event_id"], r["seg"])
+        for r in scd2_point_in_time(ev).select("event_id", "seg").collect()
+    }
+
+    # sequential reference: for each purchase, the version in effect is the
+    # latest non-purchase event (by ts then event_id) at or before its ts
+    want = set()
+    for pid, (pu, pt, pet) in enumerate(events):
+        if pet != "purchase":
+            continue
+        candidates = [
+            (t, vid, vet)
+            for vid, (vu, t, vet) in enumerate(events)
+            if vu == pu and vet != "purchase" and t <= pt
+        ]
+        if candidates:
+            _, _, seg = max(candidates)
+            want.add((pid, seg))
+    assert got == want
