@@ -47,9 +47,11 @@ SWEEP_HEAD: list[str] = [
     # driver evidence is the round-7 RED (dg7 — VERDICT r7 item #1 asks
     # for a green CORRECTNESS_r08 row after the cast-twin fix) or
     # predates an ADVICE-r7 semantic fix (l66's id-offset change).  The
-    # sweep budget (~50) is smaller than round 8's ~44 new registrations,
-    # so whatever sits past the cut keeps last round's evidence — a
-    # standing red MUST NOT be what survives.
+    # sweep budget (~50) is far smaller than round 8's ~75 new
+    # registrations (44 early-round + s20-s22/j16/rb30/sf20-sf22 + the
+    # 22-row h suite), so whatever sits past the cut keeps last round's
+    # evidence and leads round 9 — a standing red MUST NOT be what
+    # survives, hence these two outrank everything.
     "dg7_", "l66_",
     # round-8 batches 10-15: attribution models + conversion lag, session
     # entry paths, the parquet-footer stats manifest + its pruned-read
@@ -114,11 +116,11 @@ SWEEP_HEAD: list[str] = [
     # helpers l63/l64 reference
     "l64_", "l63_",
     # the r02-evidence rotation (VERDICT r7 item #2's 12 rows).  Honest
-    # budget arithmetic (final, end of round 8): the round registered 44
-    # new rows — alone near the ~50 sweep budget — so after dg7/l66 (the
-    # standing red + the semantic fix) and the never-swept registrations,
-    # the cut lands around position 50 and NONE of these 12 fit this
-    # round.  They hold valid (if old) r02 evidence, the new rows hold
+    # budget arithmetic (final, end of round 8): the round registered ~75
+    # new rows — alone far over the ~50 sweep budget — so after dg7/l66
+    # (the standing red + the semantic fix) and the never-swept
+    # registrations, the cut lands around position 50 and NONE of these
+    # 12 fit this round.  They hold valid (if old) r02 evidence, the new rows hold
     # none; the rotation stays queued here and clears in round 9, ahead
     # of everything that will by then carry r08 evidence.
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
