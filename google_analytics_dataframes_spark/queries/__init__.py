@@ -93,6 +93,7 @@ SWEEP_HEAD: list[str] = [
     # point-in-time attribution row, dynamic partition overwrite, and the
     # nested array-of-struct round trip
     "s20_", "rb30_", "s21_", "sf20_", "sf21_", "sf22_", "s22_", "j16_",
+    "j17_",
     # round-8 final batch: the composite analytic suite (h1-h22, §2.14)
     # — never swept; sits below the earlier never-swept batches because
     # its building blocks (joins/aggs/subqueries) all carry fresh

@@ -497,3 +497,100 @@ def j16_aqe_skew_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@register(
+    "j17_binned_interval_join",
+    oracle=f"""
+    SELECT o.o_orderkey, COUNT(*) AS n_overlap,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderdate < l.l_shipdate + INTERVAL 7 DAY
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-02-01'
+      AND o.o_orderpriority = '1-URGENT'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R' AND l.l_quantity >= 45
+    GROUP BY o.o_orderkey
+    """,
+)
+def j17_binned_interval_join(spark, sf_dir):
+    """PURE interval-overlap join — no equi key at all, the shape j10/j12
+    dodge by hashing on user_id.  Naively this is a quadratic
+    BroadcastNestedLoopJoin; the 100-TB answer is BINNING: explode each
+    interval into the fixed-width time bins it covers (7-day bins here:
+    order activity windows cover <=6, ship windows <=2), equi-join on
+    the bin, re-check the exact overlap predicate on co-located rows,
+    and keep each true pair exactly once WITHOUT a distinct — only in
+    the bin containing max(start_a, start_b) (every overlapping pair
+    covers that bin by construction, and covers it once).  Join volume
+    becomes |bins| x per-bin density instead of |A| x |B|, the bin
+    width trading candidate fan-out against per-bin skew.
+
+    The oracle is the naive theta join stated directly — the driver hash
+    proves the binned plan computes exactly the quadratic join's answer.
+    Plan pin (tests/test_plans.py): the join is an EQUI join on the bin
+    column; no BroadcastNestedLoopJoin/CartesianProduct anywhere.
+
+    Like j15, this shape is ANSWER-bounded quadratic: with both interval
+    sets growing 10x, true overlap pairs grow 100x no matter the plan
+    (binning fixes the JOIN strategy, not the output) — an unsliced
+    month x quarter at the 10x synth is ~150M pairs.  The registered
+    slices (urgent orders x returned high-quantity items) keep the pair
+    count in the answer's intended regime; production users pick bin
+    width and slices the same way."""
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).alias("a0"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("a0") / 7).cast("int"),
+                    F.floor((F.col("a0") + 29) / 7).cast("int"),
+                )
+            ),
+        )
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 45)
+        )
+        .select(
+            "l_quantity",
+            F.datediff(F.col("l_shipdate"), epoch).alias("b0"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("b0") / 7).cast("int"),
+                    F.floor((F.col("b0") + 6) / 7).cast("int"),
+                )
+            ),
+        )
+    )
+    overlap = (F.col("a0") < F.col("b0") + 7) & (F.col("b0") < F.col("a0") + 30)
+    anchor_bin = F.floor(F.greatest("a0", "b0") / 7).cast("int")
+    return (
+        o.join(li, "bin")
+        .filter(overlap & (F.col("bin") == anchor_bin))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_overlap"), dsum("l_quantity").alias("sum_qty"))
+    )

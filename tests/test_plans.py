@@ -1030,3 +1030,17 @@ def test_j16_aqe_splits_the_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_j17_binned_interval_join_is_equi_on_bin(spark):
+    """j17's claim: a pure interval-overlap join (no natural equi key)
+    plans as an EQUI join on the derived bin column — never the
+    quadratic BroadcastNestedLoopJoin the naive theta join produces."""
+    df = registry()["j17_binned_interval_join"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    joins = audit.join_algorithms(df)
+    assert joins, plan
+    assert set(joins) <= {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+    assert "bin" in plan
