@@ -543,54 +543,53 @@ def j17_binned_interval_join(spark, sf_dir):
     count in the answer's intended regime; production users pick bin
     width and slices the same way."""
     epoch = F.lit("1970-01-01").cast("date")
-    o = (
-        T(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
-            & (F.col("o_orderpriority") == "1-URGENT")
-        )
-        .select(
-            "o_orderkey",
-            F.datediff(F.col("o_orderdate"), epoch).alias("a0"),
-        )
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("a0") / 7).cast("int"),
-                    F.floor((F.col("a0") + 29) / 7).cast("int"),
-                )
-            ),
-        )
-    )
-    li = (
-        T(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-            & (F.col("l_returnflag") == "R")
-            & (F.col("l_quantity") >= 45)
-        )
-        .select(
-            "l_quantity",
-            F.datediff(F.col("l_shipdate"), epoch).alias("b0"),
-        )
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("b0") / 7).cast("int"),
-                    F.floor((F.col("b0") + 6) / 7).cast("int"),
-                )
-            ),
-        )
-    )
-    overlap = (F.col("a0") < F.col("b0") + 7) & (F.col("b0") < F.col("a0") + 30)
-    anchor_bin = F.floor(F.greatest("a0", "b0") / 7).cast("int")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", F.datediff(F.col("o_orderdate"), epoch).alias("a0"))
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 45)
+    ).select("l_quantity", F.datediff(F.col("l_shipdate"), epoch).alias("b0"))
     return (
-        o.join(li, "bin")
-        .filter(overlap & (F.col("bin") == anchor_bin))
+        binned_overlap_join(o, li, a_len=30, b_len=7, width=7)
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_overlap"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+def binned_overlap_join(a, b, a_len: int, b_len: int, width: int):
+    """j17's core, pre-aggregation (shared with the property test in
+    tests/test_property.py): join every A interval [a0, a0+a_len) to
+    every B interval [b0, b0+b_len) that overlaps it, via bin explosion
+    on fixed `width`-day bins, an exact overlap re-check, and the
+    anchor-bin dedup (keep the pair only in the bin containing
+    max(a0, b0) — every overlapping pair covers that bin exactly once,
+    so no distinct is needed).  Inputs need integer day columns `a0` /
+    `b0`; other columns pass through."""
+    ab = a.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("a0") / width).cast("int"),
+                F.floor((F.col("a0") + a_len - 1) / width).cast("int"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("b0") / width).cast("int"),
+                F.floor((F.col("b0") + b_len - 1) / width).cast("int"),
+            )
+        ),
+    )
+    overlap = (F.col("a0") < F.col("b0") + b_len) & (
+        F.col("b0") < F.col("a0") + a_len
+    )
+    anchor_bin = F.floor(F.greatest("a0", "b0") / width).cast("int")
+    return ab.join(bb, "bin").filter(overlap & (F.col("bin") == anchor_bin))

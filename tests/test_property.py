@@ -411,3 +411,49 @@ def test_scd2_point_in_time_equals_sequential_reference(spark, events):
             _, _, seg = max(candidates)
             want.add((pid, seg))
     assert got == want
+
+
+_intervals = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),  # a0s
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),  # b0s
+    st.integers(min_value=1, max_value=12),  # a_len
+    st.integers(min_value=1, max_value=12),  # b_len
+    st.integers(min_value=1, max_value=9),  # bin width
+)
+
+
+@given(spec=_intervals)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_binned_overlap_join_equals_naive_reference(spark, spec):
+    """j17's binning core must produce EXACTLY the naive quadratic
+    overlap join's pair set — each true pair exactly once — for
+    arbitrary interval starts, lengths, and bin widths, including the
+    dedup corner cases: pairs spanning several shared bins, identical
+    starts, touching-but-not-overlapping intervals (half-open), and
+    width larger than either interval."""
+    from google_analytics_dataframes_spark.queries.joins import binned_overlap_join
+
+    a0s, b0s, a_len, b_len, width = spec
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a0s)], "a_id long, a0 long"
+    )
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(b0s)], "b_id long, b0 long"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in binned_overlap_join(a, b, a_len, b_len, width)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, av in enumerate(a0s)
+        for j, bv in enumerate(b0s)
+        if av < bv + b_len and bv < av + a_len
+    )
+    assert got == want
