@@ -43,104 +43,56 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # FIRST, before any new registration: the two rows whose CURRENT
-    # driver evidence is the round-7 RED (dg7 — VERDICT r7 item #1 asks
-    # for a green CORRECTNESS_r08 row after the cast-twin fix) or
-    # predates an ADVICE-r7 semantic fix (l66's id-offset change).  The
-    # sweep budget (~50) is far smaller than round 8's ~75 new
-    # registrations (44 early-round + s20-s22/j16/rb30/sf20-sf22 + the
-    # 22-row h suite), so whatever sits past the cut keeps last round's
-    # evidence and leads round 9 — a standing red MUST NOT be what
-    # survives, hence these two outrank everything.
-    "dg7_", "l66_",
-    # round-8 batches 10-15: attribution models + conversion lag, session
-    # entry paths, the parquet-footer stats manifest + its pruned-read
-    # application, the source-overlap contamination matrix, two-iteration
-    # Lloyd k-means, quality keeper election, cume_dist, timezone
-    # rendering, the boolean-aggregate surface, the watermark late-drop
-    # stream, and the DataSource writer — never swept, so they outrank
-    # everything with valid evidence
-    "j15_", "s19_", "st21_", "s18_", "w14_", "sf19_", "a20_", "rb29_", "l79_",
-    "l80_", "rb27_", "rb28_", "s17_", "l78_",
-    # round-8 batch 7: the recursive-CTE surface (WITH RECURSIVE ->
-    # UnionLoop, SPARK-24497), DataFrame.unpivot, and exact-decimal-
-    # moment statistics (stddev/corr/regr) — newest first
-    "rb26_", "sf17_", "a19_", "l77_", "s15_", "s16_", "st20_", "w13_", "sf18_",
-    # round-8 batch 6: the Spark-4 arbitrary-state streaming tier
-    # (transformWithStateInPandas, MapState+ValueState census),
-    # fixed-budget weighted sampling, and navigation PageRank — newest
-    # registrations sweep first; st13's span sits directly below the
-    # st18 insertion so the stale tracker flags it for re-proof too
-    "st18_", "st19_", "l76_", "rb25_", "st13_",
-    # new in round 8: baseline JPEG round trip, WAV/PCM round trip, the
-    # stored-gram-index incremental near-dup (VERDICT r7 items #3/#7),
-    # and the PassJoin edit-distance sim-join
-    "l67_", "l68_", "l69_", "l70_",
-    # round-8 batch 2: MERGE/upsert apply, GIF87a LZW round trip, and the
-    # stream-stream LEFT OUTER interval join (whose dual-type flush
-    # sentinels also touched st14's staging helper)
-    "l71_", "l72_", "st16_", "st17_",
-    # round-8 batch 3: dynamic-partition-pruning join (s12; the staging
-    # refactor also touched s10's partitioned-copy helper)
-    "s12_", "s10_", "s13_", "s14_", "l73_", "l74_", "rb23_",
-    # round-8 batch 4: Spark-4 API surfaces — arrow-optimized scalar UDF,
-    # mapInArrow, VARIANT, collations
-    "ud7_", "ud8_", "sf15_", "sf16_",
-    # round-8 batch 5: time-series gap-fill + time-bound funnel, and the
-    # CDC-targeted dedup composition (l66 delta x l69 stored index)
-    "w12_", "rb24_", "l75_",
-    # round-8 final batch: runtime Bloom-filter join pruning, the SCD2
-    # point-in-time attribution row, dynamic partition overwrite, and the
-    # nested array-of-struct round trip
-    "s20_", "rb30_", "s21_", "sf20_", "sf21_", "sf22_", "s22_", "j16_",
-    "j17_",
-    # round-8 final batch: the composite analytic suite (h1-h22, §2.14)
-    # — never swept; sits below the earlier never-swept batches because
-    # its building blocks (joins/aggs/subqueries) all carry fresh
-    # evidence through their §2.2-2.8 rows, so a budget cut here loses
-    # the least
+    # ROUND 9 IS A CONSOLIDATION ROUND (VERDICT r8 item #1): the registry
+    # froze at 283 (+ the one sanctioned ANN-index registration below) and
+    # the whole ~50-row sweep budget goes to the 45-row driver-evidence
+    # backlog.  Zero rows anywhere carry a RED, so ordering is purely
+    # "least evidence first":
+    #
+    # Tier 1 — the 33 rows registered in round 8 that the r08 sweep's
+    # budget could not reach (VERDICT r8 "What's missing" #1).  They have
+    # NO driver evidence at all, only the local differential.  The
+    # h-suite's composite joins are the single largest unproven surface,
+    # so it leads; then the round-8 final-batch scan/SQL/join rows.
     "h",
-    # st12 references the shared staging helpers the sentinel change
-    # touched, and its staging collapsed to one microbatch before the
-    # review-r8 files_per_trigger fix — re-prove through the driver
-    "st12_",
-    # round-8 scale fix: the four append-mode streams switched from the
-    # memory sink to a parquet file sink (stream-probe finding — full
-    # output volume must not transit the driver; st10 at 10x: 33.6 s ->
-    # 3.5 s); re-prove all four through the driver after the sink change
-    "st9_", "st10_", "st11_", "st14_",
-    # the packed_mask_aggs refactor (shared bitmask packing now one
-    # helper, reused by the persistent mask index) touches the bitmask
-    # strategies the whole Jaccard family transitively references
-    "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
-    # decode_png's truncation bounds-check (ADVICE r7) touches the codec
-    # helpers l63/l64 reference
-    "l64_", "l63_",
-    # the r02-evidence rotation (VERDICT r7 item #2's 12 rows).  Honest
-    # budget arithmetic (final, end of round 8): the round registered ~75
-    # new rows — alone far over the ~50 sweep budget — so after dg7/l66
-    # (the standing red + the semantic fix) and the never-swept
-    # registrations, the cut lands around position 50 and NONE of these
-    # 12 fit this round.  They hold valid (if old) r02 evidence, the new rows hold
-    # none; the rotation stays queued here and clears in round 9, ahead
-    # of everything that will by then carry r08 evidence.
+    "j16_", "j17_", "rb24_", "rb30_", "l75_",
+    "s20_", "s21_", "s22_", "sf20_", "sf21_", "sf22_",
+    # Tier 2 — rows whose code changes THIS round (the stale-evidence
+    # tracker will demand head placement for them): st19's per-event
+    # loop vectorization (VERDICT r8 item #2) and the new persistent
+    # embedding-ANN index rows (VERDICT r8 item #3; l81 probes the
+    # stored IVF index, l14/l62b now build on the shared quantizer
+    # helper whose span the refactor touches).
+    "st19_", "l81_", "l14_", "l62b_", "l62_",
+    # Tier 3 — the r02-evidence rotation (queued since round 7, displaced
+    # twice by registration waves; VERDICT r8 says "none older than r03"
+    # is the done-bar).  These 12 hold valid-but-ancient r02 evidence.
     "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
     "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
-    # LAST — guard OVER-APPROXIMATIONS (span adjacency from the l73/l74
-    # and l67/l68 insertions; no semantic change, r07-fresh evidence):
-    # if the budget truncates anything, it truncates these
-    "l13_", "l27_",
+    # 33 + 5 + 12 = 50 = the whole budget.  Everything below this line is
+    # past the expected cut.
+    # Tier 4 — rows the stale tracker flags for round-8-era code changes
+    # that postdate their last driver sweep (the memory->parquet sink
+    # switch on the four append streams, the packed-mask refactor the
+    # Jaccard family transitively references, codec-helper adjacency).
+    # All hold r06-r08 driver evidence for semantically-identical output
+    # and pass the local differential at HEAD; they queue behind the
+    # judge-ranked 45-row backlog and clear in round 10.
+    "st9_", "st10_", "st11_", "st12_", "st14_",
+    "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
+    "l64_", "l63_", "l13_", "l27_",
+    # Guards: ADVICE-r8 staging-dir sweep touches the shared staging
+    # helper s10/s12 reference (no semantic change, r08-fresh evidence).
+    "s10_", "s12_",
 ]
 
-# Staleness rotation (VERDICT r7 item #2): oldest driver evidence first —
-# the 12 remaining r02-proofed rows lead so round 8 finishes the "nothing
-# older than r03" bar the r02 tier missed last round.
+# Staleness rotation: oldest driver evidence first — once the head's
+# backlog clears (round 9), the r03-evidence tier is the oldest remaining
+# and leads the round-10 rotation.
 SWEEP_ROTATION: list[str] = [
-    # determinism probes (dg7 is already in the head — it changed; the
-    # r02-evidence rows moved INTO the head for budget reasons)
     "dg",
     # r03 evidence next (oldest after the r02 tier clears)
-    "s9_", "s10_", "s11_",
+    "s9_", "s11_",
     "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l10_", "l14_", "l15_",
     "l16_", "l17_", "l18_", "l19_", "l20_", "l21_", "l22_", "l23_",
     "l25_", "l26_", "l28_", "l31_", "l32_", "l35_", "l37_",

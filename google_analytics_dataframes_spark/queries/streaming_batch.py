@@ -915,10 +915,15 @@ def st19_stream_timer_sessions(spark, sf_dir):
     increments equal the one-shot oracle sum.
 
     Three sentinels (st16's lesson): timers fire under the APPLIED
-    watermark, which lags a batch behind the data; at 2 files/trigger two
-    sentinels share a batch, so the third forces the extra batch in which
-    the advanced watermark is live and every remaining open session's
-    timer fires."""
+    watermark, which lags a batch behind the data.  At 3 files/trigger the
+    7 staged files (4 data + 3 sentinels) make exactly three batches —
+    [f0 f1 f2], [f3 s0 s1], [s2] — and the final batch applies the
+    watermark batch 2's sentinels advanced (max_ts + 4h − 1h lateness >
+    every real expiry), so every remaining open session's timer fires.
+    2 files/trigger gives the same rows across four batches; the r09
+    vectorization left batch fixed cost (state-store lifecycles + per-key
+    RPC rounds) as st19's dominant term, and dropping the fourth batch
+    measured 12.2 → 7.7 s isolated at sf0.1 and 40.7 → 18.2 s at 10x."""
     import uuid
 
     from google_analytics_dataframes_spark.streaming import jobs
@@ -927,7 +932,7 @@ def st19_stream_timer_sessions(spark, sf_dir):
     )
 
     src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=3)
     with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
             tws = jobs.st19_timer_sessionize(stream)
