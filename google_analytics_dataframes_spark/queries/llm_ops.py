@@ -545,6 +545,64 @@ def l14_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "l81_ann_ivf_stored",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 7),
+    cells AS (SELECT label, unnest(range(0, 64)) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings),
+    cent AS (SELECT label, dim,
+                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+             FROM cells GROUP BY label, dim),
+    cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cent GROUP BY label),
+    probe AS (SELECT label
+              FROM cvec CROSS JOIN q
+              ORDER BY list_dot_product(centroid, q.qv)
+                       / (sqrt(list_dot_product(centroid, centroid))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC, label
+              LIMIT 2),
+    cand AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+             FROM embeddings e SEMI JOIN probe p ON e.label = p.label)
+    SELECT vec_id, label,
+           round(list_dot_product(v, q.qv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+    FROM cand CROSS JOIN q
+    ORDER BY cos DESC, vec_id
+    LIMIT 5
+    """,
+)
+def l81_ann_ivf_stored(spark, sf_dir):
+    """l14's IVF ANN query served from a PERSISTENT STORED INDEX (VERDICT
+    r8 item #3 — the l69 treatment for vectors): sources/bucketed.
+    ivf_index_tables materializes the coarse quantizer (exact-decimal
+    label centroids) and the cell-PARTITIONED vector assignments as
+    catalog tables ONCE per corpus fingerprint; the query probes the
+    stored tables with zero quantizer recompute, and the fine scan is
+    partition-pruned to the nprobe probed cells (dynamic partition
+    pruning off the broadcast probe join — asserted in tests/
+    test_plans.py::test_l81_stored_index_plan).  The oracle is l14's
+    VERBATIM (same query vector, k, nprobe): a stored index is only an
+    index if it returns the exact per-run-build answer.  At 100 TB the
+    per-run build l14 demonstrates is the expensive half of ANN — this
+    row is the serving path that amortizes it."""
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        ivf_index_tables,
+    )
+
+    centroid_table, cells_table = ivf_index_tables(spark, sf_dir)
+    qv = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 7)
+        .select(S.as_double("embedding").alias("qv"))
+    )
+    return S.ivf_topk_stored(
+        spark, centroid_table, cells_table, qv, k=5, nprobe=2
+    )
+
+
+@register(
     "l10_embed_agg",
     oracle="""
     WITH cells AS (

@@ -780,6 +780,10 @@ def test_oracles_avoid_hash_fragile_constructs():
         # passed at registration; pending its first driver row (l4's
         # precedent).
         "l79_kmeans_lloyd",
+        # l81 (round-9): l14's oracle VERBATIM (stored-index serving path
+        # must return the per-run-build answer); l14 is driver-hash-proven
+        # since r03, so the construct shape carries that proof.
+        "l81_ann_ivf_stored",
     }
     FRAGILE = {
         "struct-literal MIN/MAX aggregate": re.compile(r"(MIN|MAX)\s*\(\s*\{", re.I),

@@ -1044,3 +1044,56 @@ def test_j17_binned_interval_join_is_equi_on_bin(spark):
     assert joins, plan
     assert set(joins) <= {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
     assert "bin" in plan
+
+
+def test_l81_stored_index_plan(spark):
+    """l81's claim (VERDICT r8 item #3): the ANN query is served from the
+    STORED IVF index — the plan reads the two catalog tables, the probed
+    cell scan carries a dynamic-partition-pruning filter (the broadcast
+    probe join becomes a scan-time partition filter), and the coarse
+    quantizer is NOT recomputed (no posexplode/aggregation over the
+    corpus embeddings — the 640-cell decimal build l14 pays per run)."""
+    df = registry()["l81_ann_ivf_stored"].fn(spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "ivf_centroids_" in plan
+    assert "ivf_cells_" in plan
+    assert "dynamicpruning" in plan.lower()
+    # no quantizer recompute: the posexplode + per-(label,dim) aggregate
+    # of label_centroids must be absent
+    assert "posexplode" not in plan.lower()
+    nodes = audit.node_names(df)
+    assert "Generate" not in nodes
+
+
+def test_h_family_subqueries_stay_hash_or_merge(spark):
+    """VERDICT r8 item #4: the h-suite rows whose correlated subqueries
+    Catalyst decorrelates (h2 min-cost supplier, h15 top supplier, h16
+    NOT IN suppliers, h18 large-volume IN-subquery, h20 excess-parts,
+    h21 EXISTS/NOT EXISTS, h22 outstanding-balance anti join) must plan
+    every join hash or merge — BASELINE.md verified at 10x that none
+    flip to BroadcastNestedLoopJoin/CartesianProduct on real statistics;
+    this pins that property at sf0.01 so a stats or rewrite regression
+    cannot silently reintroduce a quadratic join.  (Scalar-subquery
+    results reused as literals are fine — they appear as Subquery nodes,
+    not joins.)"""
+    reg = registry()
+    for name in (
+        "h2_min_bal_supplier",
+        "h15_top_supplier",
+        "h16_supplier_counts",
+        "h18_large_volume_customers",
+        "h20_excess_suppliers",
+        "h21_waiting_orders",
+        "h22_sales_opportunity",
+    ):
+        df = reg[name].fn(spark, SF_DIR)
+        plan = audit.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        joins = audit.join_algorithms(df)
+        assert joins, name
+        assert set(joins) <= {
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+        }, (name, joins)
