@@ -87,6 +87,32 @@ def _scratch_base() -> str:
     return _SCRATCH_BASE
 
 
+def sweep_dead_pid_dirs() -> None:
+    """Reap pid-suffixed staging dirs left by DEAD processes (ADVICE r8):
+    the mutable staging paths (s20 bloom result, s21's day-partitioned
+    events copy — sizable at 10x — j16's skew-join result, s22's CTAS
+    location) embed ``_pid<NNN>`` precisely so liveness is checkable, but
+    a crashed/killed process never runs its own sweep and the dirs
+    accumulated in /tmp indefinitely.  Every query that creates one calls
+    this on entry; same /proc liveness test the scratch-base sweep uses."""
+    import re
+    import shutil
+    import tempfile
+
+    pat = re.compile(r"^spark_graft_.*_pid(\d+)$")
+    base = tempfile.gettempdir()
+    try:
+        entries = os.listdir(base)
+    except OSError:  # pragma: no cover - tempdir oddities
+        return
+    for entry in entries:
+        m = pat.match(entry)
+        if m is None or int(m.group(1)) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+
 def scratch_dir(name: str) -> str:
     """Ephemeral scratch directory for staging/checkpoint artifacts,
     RAM-backed when the host offers tmpfs (with headroom).

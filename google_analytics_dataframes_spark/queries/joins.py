@@ -480,6 +480,9 @@ def j16_aqe_skew_join(spark, sf_dir):
     import shutil
     import tempfile
 
+    from google_analytics_dataframes_spark.io import sweep_dead_pid_dirs
+
+    sweep_dead_pid_dirs()
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_skewjoin_{sf_tag}_pid{os.getpid()}"
@@ -506,8 +509,10 @@ def j16_aqe_skew_join(spark, sf_dir):
            {dsum_sql('l.l_quantity')} AS sum_qty
     FROM orders o
     JOIN lineitem l
-      ON o.o_orderdate < l.l_shipdate + INTERVAL 7 DAY
-     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+      ON date_trunc('day', o.o_orderdate)
+           < date_trunc('day', l.l_shipdate) + INTERVAL 7 DAY
+     AND date_trunc('day', l.l_shipdate)
+           < date_trunc('day', o.o_orderdate) + INTERVAL 30 DAY
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate < TIMESTAMP '1996-02-01'
       AND o.o_orderpriority = '1-URGENT'
@@ -532,6 +537,12 @@ def j17_binned_interval_join(spark, sf_dir):
 
     The oracle is the naive theta join stated directly — the driver hash
     proves the binned plan computes exactly the quadratic join's answer.
+    Both formulations work at DAY granularity: the DataFrame side bins on
+    datediff-from-epoch (whole days), and the oracle truncates both
+    timestamps with date_trunc('day', ...) in the overlap arithmetic
+    (ADVICE r8), so intra-day components can never make the two sides
+    diverge — on the synth data all values are midnight-aligned and the
+    truncation is a no-op.
     Plan pin (tests/test_plans.py): the join is an EQUI join on the bin
     column; no BroadcastNestedLoopJoin/CartesianProduct anywhere.
 

@@ -936,6 +936,9 @@ def s20_bloom_pruned_join(spark, sf_dir):
     fingerprint-cached fixtures it needs per-process isolation, not
     cache keying — two concurrent driver processes (bench + sweep) must
     not rmtree each other's in-flight result (review-r8 class)."""
+    from google_analytics_dataframes_spark.io import sweep_dead_pid_dirs
+
+    sweep_dead_pid_dirs()
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bloom_join_{sf_tag}_pid{os.getpid()}"
@@ -967,8 +970,12 @@ def _dpo_dir(sf_dir) -> str:
     way in, so repeated regenerations don't accumulate copies."""
     import glob
 
-    from google_analytics_dataframes_spark.io import table_fingerprint
+    from google_analytics_dataframes_spark.io import (
+        sweep_dead_pid_dirs,
+        table_fingerprint,
+    )
 
+    sweep_dead_pid_dirs()
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     fp = table_fingerprint(sf_dir, "events")
     pid = os.getpid()
@@ -1077,6 +1084,9 @@ def s22_catalog_ctas(spark, sf_dir):
     name resolution, statistics storage, and (at 100 TB) the place where
     partitioning/bucketing metadata lives so Catalyst can prune and
     co-locate without listing files."""
+    from google_analytics_dataframes_spark.io import sweep_dead_pid_dirs
+
+    sweep_dead_pid_dirs()
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ctas_orders_{sf_tag}_pid{os.getpid()}"
@@ -1087,7 +1097,7 @@ def s22_catalog_ctas(spark, sf_dir):
     spark.sql(
         f"""
         CREATE TABLE s22_orders_slice
-        USING parquet LOCATION '{out}'
+        USING parquet LOCATION '{out.replace("'", "''")}'
         AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
            FROM s22_src_orders WHERE o_orderpriority = '1-URGENT'
         """
