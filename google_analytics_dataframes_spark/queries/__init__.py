@@ -59,13 +59,12 @@ SWEEP_HEAD: list[str] = [
     "s20_", "s21_", "s22_", "sf20_", "sf21_", "sf22_",
     # Tier 2 — rows whose code changes THIS round (the stale-evidence
     # tracker demands head placement for them): st19's vectorization +
-    # batch-count cut (VERDICT r8 item #2) and the new persistent
-    # embedding-ANN index row (VERDICT r8 item #3).
-    "st19_", "l81_",
-    # Tier 2b — the first three stale-tracker rows (round-8 memory->
-    # parquet sink switch postdates their last driver sweep); they take
-    # the slots freed by keeping unchanged rows out of the top-50.
-    "st9_", "st10_", "st11_",
+    # batch-count cut (VERDICT r8 item #2), the new persistent
+    # embedding-ANN index row (VERDICT r8 item #3), the two JPEG rows
+    # whose codec helpers gained 4:2:0 support (VERDICT r8 stretch item
+    # #7: l67 decode path, l74 encode path), and l10 (span adjacency
+    # from the l81 insertion in llm_ops.py — no semantic change).
+    "st19_", "l81_", "l67_", "l74_", "l10_",
     # Tier 3 — the r02-evidence rotation (queued since round 7, displaced
     # twice by registration waves; VERDICT r8 says "none older than r03"
     # is the done-bar).  These 12 hold valid-but-ancient r02 evidence.
@@ -79,9 +78,8 @@ SWEEP_HEAD: list[str] = [
     # Jaccard family transitively references, codec-helper adjacency).
     # All hold r06-r08 driver evidence for semantically-identical output
     # and pass the local differential at HEAD; they queue behind the
-    # judge-ranked 45-row backlog (st9/st10/st11 moved into the top-50
-    # above) and clear in round 10.
-    "st12_", "st14_",
+    # judge-ranked 45-row backlog and clear in round 10.
+    "st9_", "st10_", "st11_", "st12_", "st14_",
     "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
     "l64_", "l63_", "l13_", "l27_",
     # Guards: ADVICE-r8 staging-dir sweep touches the shared staging

@@ -195,9 +195,12 @@ def test_multimodal_jpeg_roundtrip_known_answer():
     > 15), negative magnitudes, cross-block DC prediction, and forced
     0xFF byte stuffing; (c) 4:4:4 color decode equals the analytic
     YCbCr round trip; (d) textured content with an all-ones quant table
-    reconstructs within +-1; (e) progressive / subsampled streams raise
-    the honest seam error, truncation raises ValueError; (f) decode_real
-    dispatches on the FFD8 magic."""
+    reconstructs within +-1; (e) 4:2:0 chroma subsampling (round 9)
+    round-trips EXACTLY on 16x16-flat-block color — the box-mean
+    downsample and replication upsample are exact inverses on constant
+    chroma — including non-MCU-aligned dims; (f) progressive streams and
+    sampling factors above 2 raise the honest seam error, truncation
+    raises ValueError; (g) decode_real dispatches on the FFD8 magic."""
     import numpy as np
     import pytest
 
@@ -240,8 +243,32 @@ def test_multimodal_jpeg_roundtrip_known_answer():
     dec = M.decode_jpeg(M.encode_jpeg(tex, qtable=np.ones((8, 8), int)))
     assert np.abs(dec.astype(int) - tex.astype(int)).max() <= 1
 
-    # (e) honest seams: progressive SOF2 and subsampled chroma raise
-    # NotImplementedError; truncation raises ValueError
+    # (e) 4:2:0: exact round trip on 16x16-flat-block color (chroma
+    # constant per MCU, so 2x2 box mean + replication is lossless), at
+    # MCU-aligned AND non-aligned dims; SOF carries the 0x22/0x11 factors
+    y, x = np.indices((32, 48))
+    rgb16 = np.stack(
+        [((3 * 31 + (y // 16) * 7 + (x // 16) * 13 + c * 41) % 256) for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    jp420 = M.encode_jpeg(rgb16, subsampling="4:2:0")
+    sof = jp420.find(b"\xff\xc0")
+    assert (jp420[sof + 11], jp420[sof + 14], jp420[sof + 17]) == (0x22, 0x11, 0x11)
+    assert np.array_equal(
+        M.decode_jpeg(jp420), M.ycbcr_to_rgb(M.rgb_to_ycbcr(rgb16))
+    )
+    y, x = np.indices((19, 21))
+    rgbna = np.stack(
+        [((9 * 31 + (y // 16) * 7 + (x // 16) * 13 + c * 41) % 256) for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        M.decode_jpeg(M.encode_jpeg(rgbna, subsampling="4:2:0")),
+        M.ycbcr_to_rgb(M.rgb_to_ycbcr(rgbna)),
+    )
+
+    # (f) honest seams: progressive SOF2 and sampling factors above 2
+    # raise NotImplementedError; truncation raises ValueError
     progressive = bytearray(jp)
     sof = progressive.find(b"\xff\xc0")
     progressive[sof + 1] = 0xC2
@@ -250,8 +277,8 @@ def test_multimodal_jpeg_roundtrip_known_answer():
     jp3 = M.encode_jpeg(rgb)
     sub = bytearray(jp3)
     sof = sub.find(b"\xff\xc0")
-    sub[sof + 11] = 0x22  # component 1 sampling factor 2x2
-    with pytest.raises(NotImplementedError, match="subsampl"):
+    sub[sof + 11] = 0x41  # component 1 sampling factor 4x1 (4:1:1)
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         M.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         M.decode_jpeg(jp[: len(jp) // 2])
