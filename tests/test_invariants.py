@@ -973,6 +973,27 @@ def test_readme_query_count_matches_registry():
     )
 
 
+def test_baseline_snapshot_count_matches_registry():
+    """VERDICT r8 item #6 (extending the README count test's mechanism):
+    BASELINE.md's end-of-round snapshot said "282-query registry" while
+    the same-commit driver bench recorded 283 — prose written one commit
+    early.  The headline is now test-enforced: the LATEST (= last in the
+    file) "COMPLETE N-query registry" claim must equal the live registry
+    size, so the snapshot paragraph has to be (re)written at the true
+    end-of-round count or the suite fails."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "BASELINE.md").read_text()
+    claims = re.findall(r"COMPLETE (\d+)-query registry", text)
+    assert claims, "BASELINE.md lost its end-of-round snapshot headline"
+    assert int(claims[-1]) == len(registry()), (
+        f"BASELINE.md's latest snapshot claims a {claims[-1]}-query "
+        f"registry; the registry has {len(registry())} — rewrite the "
+        "end-of-round snapshot at the real count"
+    )
+
+
 def test_multimodal_gif_roundtrip_known_answer():
     """Round-8: GIF87a decodes for real — hand-rolled variable-width LZW
     (9->12 bits, clear-code resets, KwKwK, LSB-first packing, sub-block

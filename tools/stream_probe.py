@@ -50,6 +50,11 @@ STAGERS = {
     # variant; the restart query stages its two phase files
     "st16_stream_outer_join": ("_stage_stream_dir_with_flush", {"n_sentinels": 3}),
     "st17_stream_restart_resume": ("_stage_restart_phases", {}),
+    # round-9 additions: the two TWS rows (typed-state census, timer
+    # sessionization) so the stream-layer table carries their
+    # staging-split numbers like the rest of the family
+    "st18_stream_typed_state": ("_stage_stream_dir", {"ordered": False}),
+    "st19_stream_timer_sessions": ("_stage_stream_dir_with_flush", {"n_sentinels": 3}),
 }
 
 
