@@ -62,9 +62,9 @@ SWEEP_HEAD: list[str] = [
     # batch-count cut (VERDICT r8 item #2), the new persistent
     # embedding-ANN index row (VERDICT r8 item #3), the two JPEG rows
     # whose codec helpers gained 4:2:0 support (VERDICT r8 stretch item
-    # #7: l67 decode path, l74 encode path), and l10 (span adjacency
-    # from the l81 insertion in llm_ops.py — no semantic change).
-    "st19_", "l81_", "l67_", "l74_", "l10_",
+    # #7: l67 decode path, l74 encode path), and st18 (the st19 RPC
+    # treatment applied to its census hot path).
+    "st19_", "l81_", "l67_", "l74_", "st18_",
     # Tier 3 — the r02-evidence rotation (queued since round 7, displaced
     # twice by registration waves; VERDICT r8 says "none older than r03"
     # is the done-bar).  These 12 hold valid-but-ancient r02 evidence.
@@ -83,8 +83,11 @@ SWEEP_HEAD: list[str] = [
     "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
     "l64_", "l63_", "l13_", "l27_",
     # Guards: ADVICE-r8 staging-dir sweep touches the shared staging
-    # helper s10/s12 reference (no semantic change, r08-fresh evidence).
-    "s10_", "s12_",
+    # helper s10/s12 reference (no semantic change, r08-fresh evidence);
+    # l10 is span adjacency from the l81 insertion in llm_ops.py (no
+    # semantic change, r03 evidence — it yields its top-50 slot to the
+    # genuinely-changed st18).
+    "l10_", "s10_", "s12_",
 ]
 
 # Staleness rotation: oldest driver evidence first — once the head's

@@ -248,15 +248,15 @@ def st18_typed_state_census(events: DataFrame) -> DataFrame:
                 n_rows += len(pdf)
                 for et, n in pdf["event_type"].value_counts().items():
                     batch_counts[et] = batch_counts.get(et, 0) + int(n)
-            # point-write only the event_types this batch touched
+            # point-write only the event_types this batch touched; one
+            # getValue doubles as the containsKey probe (None = absent),
+            # the st19 r9 treatment — every saved call is a state-server
+            # round trip, the row's unit cost
             for et, n in batch_counts.items():
-                prev = (
-                    self._census.getValue((et,))[0]
-                    if self._census.containsKey((et,))
-                    else 0
-                )
-                self._census.updateValue((et,), (prev + n,))
-            total = (self._total.get()[0] if self._total.exists() else 0) + n_rows
+                prev = self._census.getValue((et,))
+                self._census.updateValue((et,), ((prev[0] if prev else 0) + n,))
+            prev_total = self._total.get()
+            total = (prev_total[0] if prev_total else 0) + n_rows
             self._total.update((total,))
             now = {k: v[0] for (k,), v in self._census.iterator()}
             yield pd.DataFrame(
