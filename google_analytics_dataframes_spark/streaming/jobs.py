@@ -278,6 +278,52 @@ def st18_typed_state_census(events: DataFrame) -> DataFrame:
     )
 
 
+def micro_units(v: float) -> int:
+    """One double -> exact integer micro-units under the dsum contract:
+    python Decimal HALF_UP at 6 decimals is bit-identical to Spark's and
+    DuckDB's CAST(v AS DECIMAL(30,6)) of the same binary double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        * 1_000_000
+    )
+
+def micro_units_vec(vals):
+    """Vectorized :func:`micro_units`, exact vs the Decimal contract
+    (property-tested in tests/test_streaming.py against the scalar path,
+    adversarial ties included).
+
+    m = v*1e6 in float carries relative error <= 2^-53, and
+    r = m - floor(m) is exact (integer subtraction below 2^53), so
+    |r - exact_frac| <= |m| * 2^-53 up to a whole-integer wrap — and a
+    wrap across an integer boundary yields the SAME half-up result
+    (frac 1-eps -> floor k-1, +1 = k; float frac eps -> floor k,
+    +0 = k).  Only the .5 tie can flip the answer, so rows within
+    eps = |m|*2.3e-15 (20x the error bound) of the tie — plus
+    negatives (Decimal HALF_UP is away-from-zero, floor+carry is
+    toward +inf), non-finite, and |m| >= 2^52 (float grid coarser
+    than 1) — take the per-value Decimal path."""
+    import numpy as np
+
+    vals = np.asarray(vals, np.float64)
+    m = vals * 1e6
+    f = np.floor(m)
+    r = m - f
+    out = (f + (r >= 0.5)).astype("int64")
+    eps = np.abs(m) * 2.3e-15 + 1e-9
+    exact_path = (
+        (np.abs(r - 0.5) <= eps)
+        | (vals < 0)
+        | ~np.isfinite(vals)
+        | (np.abs(m) >= 2.0**52)
+    )
+    if exact_path.any():
+        idx = np.flatnonzero(exact_path)
+        out[idx] = [micro_units(float(vals[i])) for i in idx]
+    return out
+
+
 def st19_timer_sessionize(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
     """GA 30-min-gap sessionization rebuilt on TWS EVENT-TIME TIMERS — the
     `handleExpiredTimer` surface st18's census never touches, and the
@@ -337,43 +383,7 @@ def st19_timer_sessionize(events: DataFrame, lateness: str = "1 hour") -> DataFr
     output_schema = (
         "user_id bigint, start_us bigint, n_events bigint, acc_micro bigint"
     )
-
-    def _to_micro(v: float) -> int:
-        from decimal import ROUND_HALF_UP, Decimal
-
-        return int(
-            Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-            * 1_000_000
-        )
-
-    def _to_micro_vec(vals: "np.ndarray") -> "np.ndarray":
-        """Vectorized HALF_UP-at-6-decimals, exact vs the Decimal contract.
-
-        m = v*1e6 in float carries relative error <= 2^-53, and
-        r = m - floor(m) is exact (integer subtraction below 2^53), so
-        |r - exact_frac| <= |m| * 2^-53 up to a whole-integer wrap — and a
-        wrap across an integer boundary yields the SAME half-up result
-        (frac 1-eps -> floor k-1, +1 = k; float frac eps -> floor k,
-        +0 = k).  Only the .5 tie can flip the answer, so rows within
-        eps = |m|*2.3e-15 (20x the error bound) of the tie — plus
-        negatives (Decimal HALF_UP is away-from-zero, floor+carry is
-        toward +inf), non-finite, and |m| >= 2^52 (float grid coarser
-        than 1) — take the per-value Decimal path."""
-        m = vals * 1e6
-        f = np.floor(m)
-        r = m - f
-        out = (f + (r >= 0.5)).astype("int64")
-        eps = np.abs(m) * 2.3e-15 + 1e-9
-        exact_path = (
-            (np.abs(r - 0.5) <= eps)
-            | (vals < 0)
-            | ~np.isfinite(vals)
-            | (np.abs(m) >= 2.0**52)
-        )
-        if exact_path.any():
-            idx = np.flatnonzero(exact_path)
-            out[idx] = [_to_micro(float(vals[i])) for i in idx]
-        return out
+    _to_micro_vec = micro_units_vec
 
     class SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -1030,3 +1030,63 @@ def test_sized_state_partitions_tracks_source_volume(tmp_path):
     # band, not the exact quotient of the parquet byte size)
     if os.path.isdir("/root/testdata/sf0.1"):
         assert 12 <= _sized_state_partitions("/root/testdata/sf0.1") <= 32
+
+
+def test_micro_units_vec_matches_decimal_contract():
+    """st19's r9 vectorization claim, tested directly: the float-grid
+    fast path of micro_units_vec must equal the per-value Decimal
+    HALF_UP contract on (a) uniform randoms across magnitudes, (b)
+    adversarial exact .5 ties at 6 decimals, (c) near-tie neighbors one
+    ulp either side, (d) negatives (away-from-zero vs toward-+inf
+    divergence route), and (e) huge values past the float grid."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.streaming.jobs import (
+        micro_units,
+        micro_units_vec,
+    )
+
+    rs = np.random.RandomState(7)
+    cases = [
+        rs.uniform(0, 1, 4000),
+        rs.uniform(0, 1e6, 4000),
+        rs.uniform(0, 1e12, 1000),
+        np.float64([k + 0.5 for k in range(50)]) / 1e6,  # exact ties
+        np.nextafter(np.float64([k + 0.5 for k in range(50)]) / 1e6, 0.0),
+        np.nextafter(np.float64([k + 0.5 for k in range(50)]) / 1e6, 1.0),
+        -rs.uniform(0, 100, 500),
+        rs.uniform(2.0**51, 2.0**54, 200) / 1e6,
+    ]
+    vals = np.concatenate(cases)
+    got = micro_units_vec(vals)
+    want = np.array([micro_units(float(v)) for v in vals], np.int64)
+    mism = np.flatnonzero(got != want)
+    assert mism.size == 0, (
+        f"{mism.size} mismatches, first: v={vals[mism[0]]!r} "
+        f"vec={got[mism[0]]} decimal={want[mism[0]]}"
+    )
+
+
+def test_sweep_dead_pid_dirs_reaps_only_dead(tmp_path):
+    """ADVICE r8: the reaper removes spark_graft_*_pid<N> dirs whose
+    process is gone, and must NOT touch the current process's dirs or
+    names without the pid suffix."""
+    import tempfile
+
+    from google_analytics_dataframes_spark.io import sweep_dead_pid_dirs
+
+    base = tempfile.gettempdir()
+    dead = os.path.join(base, "spark_graft_unittest_pid999999")
+    alive = os.path.join(base, f"spark_graft_unittest_pid{os.getpid()}")
+    nosuffix = os.path.join(base, "spark_graft_unittest_nopid")
+    for d in (dead, alive, nosuffix):
+        os.makedirs(d, exist_ok=True)
+    try:
+        sweep_dead_pid_dirs()
+        assert not os.path.exists(dead), "dead-pid dir not reaped"
+        assert os.path.exists(alive), "live (own) pid dir was reaped"
+        assert os.path.exists(nosuffix), "non-pid-suffixed dir was reaped"
+    finally:
+        shutil.rmtree(alive, ignore_errors=True)
+        shutil.rmtree(nosuffix, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)
