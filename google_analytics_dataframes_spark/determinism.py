@@ -32,8 +32,25 @@ def dsum(c: Column | str) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE)"
+    """DuckDB twin of :func:`dsum`.
+
+    The render goes DECIMAL -> STRING -> DOUBLE rather than a direct
+    DECIMAL -> DOUBLE cast (round-9 finding): once the sum's unscaled
+    int128 exceeds 2^53 (sums > ~9e9 at scale 6 — any money total at the
+    10x synth), DuckDB's direct cast double-rounds (int128 -> double,
+    then / 10^scale) and can land 1 ulp off the correctly-rounded value
+    Spark's BigDecimal.doubleValue() produces.  Witness:
+    DECIMAL '50777888124.420500' -> 50777888124.420494 direct vs
+    ...4205 via the string route (= python float(str), correctly
+    rounded), found by the 10x differential on h1's sum_charge.  The
+    string parse is strtod — correctly rounded — and NULL-safe, so both
+    engines render the identical exact decimal to the identical double
+    at ANY scale.  STRING (not VARCHAR) because three h rows execute
+    this same SQL on the Spark side too, and Spark's parser requires a
+    length for VARCHAR; DuckDB accepts STRING as a VARCHAR alias, and
+    Spark's own decimal->double is already correctly rounded so the
+    extra hop is a semantic no-op there."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS STRING) AS DOUBLE)"
 
 
 def davg(c: Column | str) -> Column:
@@ -43,7 +60,13 @@ def davg(c: Column | str) -> Column:
 
 
 def davg_sql(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE) / COUNT({expr}))"
+    """DuckDB twin of :func:`davg`; same VARCHAR-routed render as
+    :func:`dsum_sql` so the numerator double is correctly rounded at any
+    magnitude."""
+    return (
+        f"(CAST(CAST(SUM(CAST(({expr}) AS {_DEC_SQL})) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr}))"
+    )
 
 
 def r6(c: Column) -> Column:

@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -105,8 +106,11 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table dir (10x synth)
+            path += "/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     sf_pinned_active = not args.sf.rstrip("/").endswith("sf0.01")
