@@ -1067,3 +1067,35 @@ def test_multimodal_gif_roundtrip_known_answer():
         assert np.array_equal(
             M.decode_gif(M.encode_gif(arr, pal))["indexed"], arr
         ), n
+
+
+def test_decimal_render_witness_above_2_53(spark):
+    """Round-9 finding (dg7's sibling): above 2^53 unscaled, DuckDB's
+    direct DECIMAL->DOUBLE cast double-rounds (witness renders 1 ulp
+    low) while the STRING route — which dsum_sql/davg_sql now use — is
+    correctly rounded and agrees with Spark's direct cast and python's
+    float(str).  Pins all three engines' renders on the witness so a
+    dependency upgrade that shifts any of them fails loudly here, not
+    as a value-hash mystery at the next large-scale differential."""
+    import duckdb
+
+    w = "50777888124.420500"
+    correct = float(w)  # python strtod: correctly rounded
+    duck_direct = duckdb.sql(
+        f"SELECT CAST(CAST('{w}' AS DECIMAL(30,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    duck_string = duckdb.sql(
+        f"SELECT CAST(CAST(CAST('{w}' AS DECIMAL(30,6)) AS STRING) AS DOUBLE)"
+    ).fetchone()[0]
+    spark_direct = spark.sql(
+        f"SELECT CAST(CAST('{w}' AS DECIMAL(30,6)) AS DOUBLE)"
+    ).first()[0]
+    assert duck_string == correct, "DuckDB STRING route stopped being exact"
+    assert spark_direct == correct, "Spark decimal->double stopped being exact"
+    # documents (not demands) the defect the STRING route works around;
+    # if a DuckDB upgrade fixes the direct cast this assert flips and the
+    # workaround can be retired
+    assert duck_direct != correct, (
+        "DuckDB's direct cast now renders the witness correctly — "
+        "dsum_sql's STRING route is no longer needed; simplify it"
+    )
