@@ -45,6 +45,23 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCRATCH_BASE: str | None = None
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe for the orphan-dir sweeps, via signal-0
+    rather than /proc (ADVICE r9): on hosts without procfs (macOS, some
+    containers) an ``exists('/proc/<pid>')`` test calls EVERY other live
+    process dead and rmtree's its staging — reintroducing the concurrent
+    bench-vs-sweep clobbering the pid suffix exists to prevent.
+    ``kill(pid, 0)`` is POSIX-portable; PermissionError means the pid is
+    alive under another uid, so unknown/odd outcomes fail SAFE (alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:  # pragma: no cover - EPERM et al: treat as alive
+        return True
+    return True
+
+
 def _scratch_base() -> str:
     """Per-process scratch root, chosen once and removed at interpreter exit.
 
@@ -75,10 +92,7 @@ def _scratch_base() -> str:
             if not entry.startswith("spark_graft_scratch"):
                 continue
             suffix = entry.removeprefix("spark_graft_scratch").lstrip("_")
-            try:
-                alive = suffix.isdigit() and os.path.exists(f"/proc/{suffix}")
-            except OSError:  # pragma: no cover - /proc oddities
-                alive = True
+            alive = suffix.isdigit() and _pid_alive(int(suffix))
             if not alive:  # also reaps the pre-PID-suffix legacy dir
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         _SCRATCH_BASE = os.path.join(base, f"spark_graft_scratch_{os.getpid()}")
@@ -94,7 +108,8 @@ def sweep_dead_pid_dirs() -> None:
     location) embed ``_pid<NNN>`` precisely so liveness is checkable, but
     a crashed/killed process never runs its own sweep and the dirs
     accumulated in /tmp indefinitely.  Every query that creates one calls
-    this on entry; same /proc liveness test the scratch-base sweep uses."""
+    this on entry; same signal-0 liveness test the scratch-base sweep
+    uses (see :func:`_pid_alive`)."""
     import re
     import shutil
     import tempfile
@@ -109,7 +124,7 @@ def sweep_dead_pid_dirs() -> None:
         m = pat.match(entry)
         if m is None or int(m.group(1)) == os.getpid():
             continue
-        if not os.path.exists(f"/proc/{m.group(1)}"):
+        if not _pid_alive(int(m.group(1))):
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
 

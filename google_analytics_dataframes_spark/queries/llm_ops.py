@@ -514,7 +514,8 @@ def l4_knn_join(spark, sf_dir):
                      unnest(CAST(embedding AS DOUBLE[])) AS x
               FROM embeddings),
     cent AS (SELECT label, dim,
-                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+                    CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                    / COUNT(x) AS cx
              FROM cells GROUP BY label, dim),
     cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cent GROUP BY label),
     probe AS (SELECT label
@@ -540,7 +541,12 @@ def l14_ann_ivf(spark, sf_dir):
     every step is deterministic — exact-decimal centroids, sequential-fold
     cosine (matches DuckDB list_dot_product order, same contract l3 relies
     on), total (ccos, label) / (cos, vec_id) orderings — so the full probe
-    + rerank pipeline has an exact SQL twin."""
+    + rerank pipeline has an exact SQL twin.  The oracle's centroid render
+    goes DECIMAL -> STRING -> DOUBLE (the dsum_sql hop, ADVICE r9): a
+    direct DuckDB DECIMAL(30,15)->DOUBLE cast double-rounds above 2^53
+    unscaled, which at scale 15 is |sum| > ~0.009 — the same defect pinned
+    in tests/test_invariants.py::test_decimal_render_witness_above_2_53.
+    l81's oracle is this one verbatim; l38/l47 share the cent CTE idiom."""
     return S.ivf_topk(T(spark, sf_dir, "embeddings"), query_vec_id=7, k=5, nprobe=2)
 
 
@@ -553,7 +559,8 @@ def l14_ann_ivf(spark, sf_dir):
                      unnest(CAST(embedding AS DOUBLE[])) AS x
               FROM embeddings),
     cent AS (SELECT label, dim,
-                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+                    CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                    / COUNT(x) AS cx
              FROM cells GROUP BY label, dim),
     cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cent GROUP BY label),
     probe AS (SELECT label
@@ -2054,7 +2061,8 @@ def l39_batch_knn(spark, sf_dir):
                           unnest(CAST(embedding AS DOUBLE[])) AS x
                    FROM embeddings),
     cent AS (SELECT label, dim,
-                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+                    CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                    / COUNT(x) AS cx
              FROM cells GROUP BY label, dim),
     cvec AS (SELECT label, list(cx ORDER BY dim) AS c FROM cent GROUP BY label)
     SELECT a.label AS label_a, b.label AS label_b,
@@ -2933,7 +2941,8 @@ def l46_dsir_weights(spark, sf_dir):
                           unnest(CAST(embedding AS DOUBLE[])) AS x
                    FROM embeddings),
     cent AS (SELECT label, dim,
-                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+                    CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                    / COUNT(x) AS cx
              FROM cells GROUP BY label, dim),
     cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid
              FROM cent GROUP BY label),

@@ -432,6 +432,20 @@ def st19_timer_sessionize(events: DataFrame, lateness: str = "1 hour") -> DataFr
             bounds = np.flatnonzero(new_sess)
             seg_start = ts_us[bounds]
             seg_n = np.diff(np.append(bounds, len(ts_us)))
+            # int64 domain guard (ADVICE r9): np.add.reduceat wraps
+            # SILENTLY on int64 overflow, unlike the old scalar loop's
+            # arbitrary-precision Python ints.  max|micro| * n_rows bounds
+            # every segment sum, so when it clears int64 we fail loudly
+            # instead of emitting a wrapped acc_micro.  (micro_units_vec
+            # already raises OverflowError for any single value outside
+            # int64 micro-units, i.e. |v| >= ~9.2e12.)
+            if len(micro) and int(np.abs(micro).max()) * len(micro) > 2**63 - 1:
+                raise OverflowError(
+                    "st19 session accumulator: per-session micro-unit sum "
+                    "may exceed int64 (max|value*1e6| * batch rows = "
+                    f"{int(np.abs(micro).max())} * {len(micro)}); the "
+                    "acc_micro output schema is bigint by contract"
+                )
             seg_acc = np.add.reduceat(micro, bounds)
             # Scalar carry-in: the open session either absorbs the first
             # batch segment (no gap) or closes ahead of it (gap).

@@ -1092,10 +1092,16 @@ def test_decimal_render_witness_above_2_53(spark):
     ).first()[0]
     assert duck_string == correct, "DuckDB STRING route stopped being exact"
     assert spark_direct == correct, "Spark decimal->double stopped being exact"
-    # documents (not demands) the defect the STRING route works around;
-    # if a DuckDB upgrade fixes the direct cast this assert flips and the
-    # workaround can be retired
-    assert duck_direct != correct, (
-        "DuckDB's direct cast now renders the witness correctly — "
-        "dsum_sql's STRING route is no longer needed; simplify it"
-    )
+    # Documents (not demands) the defect the STRING route works around.
+    # A warning, not an assert (ADVICE r9): a DuckDB upgrade that FIXES
+    # its direct cast is an improvement, and must not turn the suite red
+    # — it just means dsum_sql's STRING hop became retireable.
+    if duck_direct == correct:
+        import warnings
+
+        warnings.warn(
+            "DuckDB's direct DECIMAL->DOUBLE cast now renders the witness "
+            "correctly — dsum_sql/davg_sql's STRING route is no longer "
+            "needed; simplify it (determinism.py)",
+            stacklevel=1,
+        )
