@@ -43,64 +43,45 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
 SWEEP_HEAD: list[str] = [
-    # ROUND 9 IS A CONSOLIDATION ROUND (VERDICT r8 item #1): the registry
-    # froze at 283 (+ the one sanctioned ANN-index registration below) and
-    # the whole ~50-row sweep budget goes to the 45-row driver-evidence
-    # backlog.  Zero rows anywhere carry a RED, so ordering is purely
-    # "least evidence first":
+    # ROUND 10 closes the evidence program (VERDICT r9 items #1/#4): no
+    # row anywhere carries a RED, so the head is "changed-this-round
+    # first, then oldest evidence", sized to the ~50-row budget:
     #
-    # Tier 1 — the 33 rows registered in round 8 that the r08 sweep's
-    # budget could not reach (VERDICT r8 "What's missing" #1).  They have
-    # NO driver evidence at all, only the local differential.  The
-    # h-suite's composite joins are the single largest unproven surface,
-    # so it leads; then the round-8 final-batch scan/SQL/join rows.
-    "h",
-    "j16_", "j17_", "rb24_", "rb30_", "l75_",
-    "s20_", "s21_", "s22_", "sf20_", "sf21_", "sf22_",
-    # Tier 2 — rows whose code changes THIS round (the stale-evidence
-    # tracker demands head placement for them): st19's vectorization +
-    # batch-count cut (VERDICT r8 item #2), the new persistent
-    # embedding-ANN index row (VERDICT r8 item #3), the two JPEG rows
-    # whose codec helpers gained 4:2:0 support (VERDICT r8 stretch item
-    # #7: l67 decode path, l74 encode path), and st18 (the st19 RPC
-    # treatment applied to its census hot path).
-    "st19_", "l81_", "l67_", "l74_", "st18_",
-    # Tier 3 — the r02-evidence rotation (queued since round 7, displaced
-    # twice by registration waves; VERDICT r8 says "none older than r03"
-    # is the done-bar).  These 12 hold valid-but-ancient r02 evidence.
-    "sf10_", "sf13_", "sf14_", "st1_", "st2_", "u5_",
-    "w3_", "w5_", "w7_", "w8_", "w9_", "w10_",
-    # 33 + 5 + 12 = 50 = the whole budget.  Everything below this line is
-    # past the expected cut.
-    # Tier 4 — rows the stale tracker flags for round-8-era code changes
-    # that postdate their last driver sweep (the memory->parquet sink
-    # switch on the four append streams, the packed-mask refactor the
-    # Jaccard family transitively references, codec-helper adjacency).
-    # All hold r06-r08 driver evidence for semantically-identical output
-    # and pass the local differential at HEAD; they queue behind the
-    # judge-ranked 45-row backlog and clear in round 10.
-    "st9_", "st10_", "st11_", "st12_", "st14_",
+    # Tier 1 — rows whose code/oracle changed THIS round (stale-evidence
+    # tracker demands head placement): the de-pinned sf_dir-parameterized
+    # oracles (rb8 pivot winners, s9 read_blob glob), the four
+    # centroid-CTE oracles re-rendered through the DECIMAL->STRING->DOUBLE
+    # hop (l14 + verbatim twin l81, l38, l47), st19's int64 overflow
+    # guard, and the st14/st16 microbatch fixed-cost cuts.
+    "rb8_", "s9_", "l14_", "l81_", "l38_", "l47_", "st19_",
+    "st14_", "st16_", "l10_",
+    # Tier 2 — the r03-evidence rotation (VERDICT r9 item #1): every row
+    # whose latest driver check is still round 3.  With tier 1's s9/rb8/
+    # l10/l14 these cover all 32 listed in the verdict.
+    "s11_",
+    "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l15_", "l16_", "l17_",
+    "l18_", "l19_", "l20_", "l21_", "l22_", "l23_", "l25_", "l26_",
+    "l28_", "l31_", "l32_", "l35_", "l37_",
+    "rb5_", "rb6_", "rb9_", "rb10_", "rb11_",
+    # 10 + 28 = 38.  Tier 3 — rows the stale tracker flags for round-8/9
+    # code changes that postdate their last driver sweep (r06-r07
+    # evidence, local differential green at HEAD): the four append
+    # streams' sink switch, the packed-mask Jaccard family, codec
+    # adjacency.  Freshest evidence last (l63/l64 hold r07) so the
+    # budget cut, if it lands here, bumps the least-stale rows.
+    "st9_", "st10_", "st11_", "st12_",
     "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
-    "l64_", "l63_", "l13_", "l27_",
-    # Guards: ADVICE-r8 staging-dir sweep touches the shared staging
-    # helper s10/s12 reference (no semantic change, r08-fresh evidence);
-    # l10 is span adjacency from the l81 insertion in llm_ops.py (no
-    # semantic change, r03 evidence — it yields its top-50 slot to the
-    # genuinely-changed st18).
-    "l10_", "s10_", "s12_",
+    "l13_", "l27_", "l63_", "l64_",
+    # 38 + 15 = 53: within one row of the observed 50-52 budget; any cut
+    # lands on r07-evidence codec rows that re-queue next round.
 ]
 
-# Staleness rotation: oldest driver evidence first — once the head's
-# backlog clears (round 9), the r03-evidence tier is the oldest remaining
-# and leads the round-10 rotation.
+# Staleness rotation: oldest driver evidence first once the head clears.
+# After the round-10 head lands, the oldest remaining evidence is the
+# r04 tier (s3, p2, f8, a9, a15, j11, o3, u1, sf1).
 SWEEP_ROTATION: list[str] = [
     "dg",
-    # r03 evidence next (oldest after the r02 tier clears)
-    "s9_", "s11_",
-    "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l10_", "l14_", "l15_",
-    "l16_", "l17_", "l18_", "l19_", "l20_", "l21_", "l22_", "l23_",
-    "l25_", "l26_", "l28_", "l31_", "l32_", "l35_", "l37_",
-    "rb5_", "rb6_", "rb8_", "rb9_", "rb10_", "rb11_",
+    "s3_", "p2_", "f8_", "a9_", "a15_", "j11_", "o3_", "u1_", "sf1_",
 ]
 
 # Deterministic tail: whatever budget remains walks the families.

@@ -5,6 +5,8 @@ metrics, filters DSL, date range, sort, pagination) in one declarative plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from google_analytics_dataframes_spark.registry import register
@@ -241,24 +243,46 @@ def rb7_funnel(spark, sf_dir):
     )
 
 
-@register(
-    "rb8_pivot_report",
-    oracle="""
+def _rb8_oracle(sf_dir: str) -> str:
+    """sf_dir-parameterized oracle (de-pinned from sf0.01, VERDICT r9
+    item 4): the pivot's winning columns are data-dependent — static SQL
+    cannot name them — so the oracle TEXT is generated per dataset by
+    ranking event types exactly as report.py's ``pivot=`` does
+    (count desc, value asc; report.py:358-366), via a metadata-sized
+    DuckDB probe over the same parquet the views read."""
+    import duckdb
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):  # Spark-written table dir (10x synth)
+        path = os.path.join(path, "*.parquet")
+    winners = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT event_type FROM read_parquet('{path}') GROUP BY 1 "
+            "ORDER BY COUNT(*) DESC, event_type ASC LIMIT 3"
+        ).fetchall()
+    ]
+    cols = ",\n           ".join(
+        f"COUNT(CASE WHEN event_type = '{w}' THEN 1 END) AS {w}_sessions"
+        for w in winners
+    )
+    return f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_sessions,
-           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_sessions,
-           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_sessions
+           {cols}
     FROM events
     GROUP BY day
-    """,
-)
+    """
+
+
+@register("rb8_pivot_report", oracle=_rb8_oracle)
 def rb8_pivot_report(spark, sf_dir):
     """GA v4 `pivots` [K]: sessions by day, pivoted over the top-3 event
     types by total sessions (GA maxGroupCount group ranking, value-asc
     tiebreak).  The Spark side ranks groups dynamically (report.py
-    `pivot=`); the oracle hardcodes the sf0.01 winners (signup, error,
-    click — counts 2017/2014/2006, no ties), since static SQL cannot name
-    data-dependent columns."""
+    `pivot=`); the oracle is a CALLABLE that regenerates the winning
+    column list per sf_dir (at sf0.01: signup/error/click, counts
+    2017/2014/2006, no ties), so cross-sf sweeps compare it instead of
+    skipping."""
     ev = T(spark, sf_dir, "events")
     return report(
         ev,

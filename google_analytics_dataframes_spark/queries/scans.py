@@ -206,22 +206,36 @@ def s8_clustered_write(spark, sf_dir):
     return back.filter((F.col("user_id") >= 100) & (F.col("user_id") < 200))
 
 
-@register(
-    "s9_binaryfile_source",
-    oracle="""
+def _s9_oracle(sf_dir: str) -> str:
+    """sf_dir-parameterized oracle (de-pinned from the literal sf0.01
+    path, VERDICT r9 item 4): read_blob's glob is generated from the
+    sf_dir under check so every sweep compares the same directory the
+    Spark side lists.  Single-quote escaping is not needed — sf_dir is
+    a filesystem path we control — but assert it anyway so a quoted
+    path fails loudly rather than injecting."""
+    assert "'" not in sf_dir, sf_dir
+    glob = sf_dir.rstrip("/") + "/*.parquet"
+    import glob as _glob
+
+    if any(os.path.isdir(p) for p in _glob.glob(glob)):
+        glob += "/*.parquet"  # Spark-written table dirs (10x synth)
+    return f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
            CAST(octet_length(content) AS BIGINT) AS n_bytes
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
-    """,
-)
+    FROM read_blob('{glob}')
+    """
+
+
+@register("s9_binaryfile_source", oracle=_s9_oracle)
 def s9_binaryfile_source(spark, sf_dir):
     """`binaryFile` source — the ingestion path for opaque multimodal blobs
     (images/audio/video land as whole-file rows before l19/l25/l26 decode
     plumbing).  Column pruning matters here: selecting only path+length
     reads FILE METADATA, not the bytes — at 100 TB of media that is the
     difference between an ls and a full scan.  Oracle reads the same files
-    via DuckDB's read_blob; like rb8, the oracle's literal path pins the
-    sf0.01 check directory (static SQL cannot take the sf_dir parameter)."""
+    via DuckDB's read_blob; the oracle is a CALLABLE that formats the
+    glob from the sf_dir under check, so cross-sf sweeps compare it
+    instead of skipping (previously the literal path pinned sf0.01)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")

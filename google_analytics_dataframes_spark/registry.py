@@ -23,14 +23,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: The dataset the DRIVER's oracle gate runs at; sf_dir-parameterized
+#: oracles resolve here for the driver-facing ``oracle_sqls()`` dict.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
 
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB-runnable ANSI SQL; None => rows-only check
+    # DuckDB-runnable ANSI SQL; None => rows-only check.  A CALLABLE
+    # oracle takes sf_dir and returns the SQL for THAT dataset — the
+    # escape hatch for the two queries whose oracle text is data- or
+    # path-dependent (rb8's pivot winners, s9's read_blob path), so
+    # cross-sf sweeps no longer have to skip them (VERDICT r9 item 4).
+    oracle: str | Callable[[str], str] | None
     tier: str  # "O" full oracle | "R" rows-only | "D" design/streaming
     doc: str = ""
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        return self.oracle(sf_dir) if callable(self.oracle) else self.oracle
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -99,4 +111,10 @@ def query_fns() -> dict[str, QueryFn]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: q.oracle for name, q in sweep_registry().items() if q.oracle is not None}
+    """Driver-facing oracle dict: plain SQL strings, callables resolved at
+    the driver's compare dataset (``DRIVER_SF_DIR``)."""
+    return {
+        name: q.oracle_for(DRIVER_SF_DIR)
+        for name, q in sweep_registry().items()
+        if q.oracle is not None
+    }

@@ -825,7 +825,7 @@ def test_oracles_avoid_hash_fragile_constructs():
         if q.oracle is None or name in ALLOWED:
             continue
         for label, pat in FRAGILE.items():
-            if pat.search(q.oracle):
+            if pat.search(q.oracle_for(SF_DIR)):
                 bad.append(f"{name}: {label}")
     assert not bad, (
         "hash-fragile construct(s) in non-probe oracles (restate in a "
@@ -872,7 +872,7 @@ def test_oracles_never_emit_hugeint_columns():
     for name, q in registry().items():
         if q.oracle is None:
             continue
-        cols = hugeint_cols(q.oracle)
+        cols = hugeint_cols(q.oracle_for(SF_DIR))
         if cols:
             bad.append(f"{name}: {cols}")
     assert not bad, (

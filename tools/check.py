@@ -76,15 +76,6 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
-#: Oracles that PIN the sf0.01 dataset in static SQL (data-dependent
-#: pivot columns / literal file paths cannot take the sf_dir parameter);
-#: at any other --sf the oracle reads different data than the query, so
-#: the compare is skipped with a note rather than reported as a FAIL.
-#: The round-9 cross-sf sweep measured exactly these two failing at
-#: sf0.001 and everything else exact — the pin, not a logic defect.
-SF001_PINNED = {"rb8_pivot_report", "s9_binaryfile_source"}
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("patterns", nargs="*", help="query name prefixes (default: all)")
@@ -113,15 +104,10 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
-    sf_pinned_active = not args.sf.rstrip("/").endswith("sf0.01")
     n_pass = n_fail = n_skip = 0
     for name in names:
         q = reg[name]
         if q.oracle is None and not args.include_r:
-            n_skip += 1
-            continue
-        if sf_pinned_active and name in SF001_PINNED:
-            print(f"skip {name}: oracle pins sf0.01 (static SQL), --sf differs")
             n_skip += 1
             continue
         t0 = time.time()
@@ -137,7 +123,8 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            odf = con.execute(q.oracle).fetchdf()
+            # callable oracles (rb8, s9) format their SQL for THIS sf_dir
+            odf = con.execute(q.oracle_for(args.sf)).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
             n_fail += 1
