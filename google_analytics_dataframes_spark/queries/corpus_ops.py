@@ -1649,6 +1649,169 @@ def l75_delta_dedup(spark, sf_dir):
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
 
 
+# ------------------------------------------- l60b/l69b/l75b slice audits ---
+# The pair-compare family's ORACLES are the quadratic naive gram join —
+# at the 10x synth DuckDB's gi x gx intermediate hit 111 GB RSS and had
+# to be killed, so the 10x differential EXCLUDED the whole l family
+# (VERDICT r9 missing item #3).  These slice-audit twins fix the proof,
+# not the engine: the incoming side is restricted to a deterministic
+# 1-in-20 doc_id residue class, which divides the oracle's join
+# intermediate by ~20 (feasible at 10x) while the corpus side — the side
+# whose candidate generation is the scale risk — stays FULL.  The engine
+# side runs the identical adaptive operators (jaccard_pairs_cross /
+# _stored_index_cross_pairs) on the sliced batch vs the full corpus, so
+# the differential still exercises full-corpus candidate generation,
+# threshold algebra, and index probing end-to-end at 10x.
+
+#: Incoming doc_ids occupy residues 10-19 (mod 20) by the generator's
+#: construction, so the slice predicate is doc_id % 40 == 10 — exactly
+#: 1-in-20 of the incoming side (13/250 docs, 239/4228 qualifying pairs
+#: at sf0.01: non-vacuous at every sf); at the 10x synth it bounds the
+#: oracle's join intermediate near 6 GB where the unsliced form needed
+#: 111 GB.  (A % 20 == 0 slice selects ZERO incoming docs — checked.)
+_SLICE_MOD = 40
+_SLICE_RES = 10
+
+_SLICE_ORACLE_BODY = """
+    gx AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM ex)),
+    gi AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+                 FROM inc)),
+    sx AS (SELECT doc_id, COUNT(*) AS sz FROM gx GROUP BY doc_id),
+    si AS (SELECT doc_id, COUNT(*) AS sz FROM gi GROUP BY doc_id),
+    inter AS (SELECT gi.doc_id AS doc_in, gx.doc_id AS doc_ex,
+                     COUNT(*) AS inter
+              FROM gi JOIN gx USING (gram)
+              GROUP BY gi.doc_id, gx.doc_id)
+    SELECT i.doc_in, i.doc_ex, i.inter,
+           CAST(a.sz + b.sz - i.inter AS BIGINT) AS uni,
+           round(CAST(i.inter AS DOUBLE) / (a.sz + b.sz - i.inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN si a ON a.doc_id = i.doc_in
+    JOIN sx b ON b.doc_id = i.doc_ex
+    WHERE 100 * i.inter >= 60 * (a.sz + b.sz - i.inter)
+"""
+
+
+@register(
+    "l60b_neardup_slice",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, text FROM documents WHERE length(source) = 4),
+    inc AS (SELECT doc_id, text FROM documents
+            WHERE length(source) = 5
+              AND doc_id % {_SLICE_MOD} = {_SLICE_RES}),
+    {_SLICE_ORACLE_BODY}
+    """,
+)
+def l60b_neardup_slice(spark, sf_dir):
+    """l60's incremental near-dup with the incoming batch sliced to the
+    1-in-20 doc_id residue class (_SLICE_MOD) — the 10x-RUNNABLE audit
+    twin (see the family note above): same adaptive cross pair-join,
+    full corpus side, bounded oracle.  Slicing the BATCH (not the
+    output) keeps both formulations' work comparable and the predicate
+    trivially pushes to the incoming scan on the engine side."""
+    from google_analytics_dataframes_spark.operators.dedup import (
+        char_ngrams,
+        jaccard_pairs_cross,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
+    inc = docs.filter(
+        (F.length("source") == 5)
+        & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
+    ).select("doc_id", grams)
+    ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
+    pairs = jaccard_pairs_cross(inc, ex, threshold_pct=60)
+    return pairs.select(
+        "doc_in",
+        "doc_ex",
+        "inter",
+        "uni",
+        F.round(F.col("inter") / F.col("uni").cast("double"), 6).alias("jaccard"),
+    )
+
+
+@register(
+    "l69b_indexed_slice",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, text FROM documents WHERE length(source) = 4),
+    inc AS (SELECT doc_id, text FROM documents
+            WHERE length(source) = 5
+              AND doc_id % {_SLICE_MOD} = {_SLICE_RES}),
+    {_SLICE_ORACLE_BODY}
+    """,
+)
+def l69b_indexed_slice(spark, sf_dir):
+    """l69's stored-index near-dup on the sliced batch — proves at 10x
+    that the PERSISTENT index (mask or bucketed-gram form) returns the
+    exact naive-join answer for the residue-class batch against the FULL
+    stored corpus index; shares l60b's oracle text by construction (the
+    stored plan must be answer-identical to the per-run plan)."""
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    docs = T(spark, sf_dir, "documents")
+    grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
+    inc_items = docs.filter(
+        (F.length("source") == 5)
+        & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
+    ).select("doc_id", grams)
+    return _stored_index_cross_pairs(spark, sf_dir, inc_items)
+
+
+@register(
+    "l75b_delta_slice",
+    oracle=f"""
+    WITH offs AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    delta AS (
+      SELECT doc_id, text || ' rev2' AS text
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + (SELECT o FROM offs), reverse(text)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    ex AS (SELECT doc_id, text FROM documents WHERE length(source) = 4),
+    inc AS (SELECT doc_id, text FROM delta WHERE doc_id % 20 = 0),
+    {_SLICE_ORACLE_BODY}
+    """,
+)
+def l75b_delta_slice(spark, sf_dir):
+    """l75's CDC-targeted dedup on the sliced delta (residue class taken
+    AFTER the re-crawl derivation, so both changed and re-discovered ids
+    land in the slice deterministically in both formulations) — the
+    10x-runnable audit twin of the stored-index CDC composition."""
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    offset = F.broadcast(
+        docs.agg((F.max("doc_id") + F.lit(1)).alias("_id_offset"))
+    )
+    changed = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", F.concat("text", F.lit(" rev2")).alias("text"))
+    added = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .crossJoin(offset)
+        .select(
+            (F.col("doc_id") + F.col("_id_offset")).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
+    )
+    delta_items = (
+        changed.unionAll(added)
+        .filter(F.col("doc_id") % 20 == 0)  # delta ids span all residues
+        # (unlike the incoming side's 10-19 mod 20): % 20 == 0 keeps ~1/20
+        # of the delta at every sf — 6 docs at sf0.01, non-vacuous
+        .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
+    )
+    return _stored_index_cross_pairs(spark, sf_dir, delta_items)
+
+
 # ------------------------------------------------------------------- l77 ---
 @register(
     "l77_bpe_encode_roundtrip",

@@ -614,11 +614,16 @@ def st16_stream_outer_join(spark, sf_dir):
     # the APPLIED watermark, which lags one batch behind the data (see
     # _stage_stream_dir_with_flush) — one sentinel leaves the final
     # lateness-window's unmatched purchases unflushed (measured: 7 rows
-    # short at sf0.01), and at 2 files/trigger two sentinels share one
-    # batch, so a third forces the extra batch that applies the advanced
-    # watermark
+    # short at sf0.01), and two sentinels sharing the last batch never
+    # get their advanced watermark applied, so a third forces the extra
+    # batch.  3 files/trigger lays the 7 files as [f0 f1 f2][f3 s0 s1]
+    # [s2] — st19's exact proven layout, one fewer batch than fpt=2's
+    # four (st19's microbatch-count lesson, VERDICT r9 item #3;
+    # same-window A/B at sf0.1: 9.02 -> 7.94 s median, identical rows,
+    # tools/stream_probe_r10.py) — while the final batch still applies
+    # the watermark batch 2's sentinels advanced.
     src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=3)
     with _few_state_partitions(spark):
         out = jobs.run_available_now_parquet(
             jobs.st16_attribution_left_join(stream),
@@ -1087,7 +1092,14 @@ def st14_stream_sessionize(spark, sf_dir):
     from google_analytics_dataframes_spark.streaming import jobs
 
     src = _stage_stream_dir_with_flush(spark, sf_dir)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=2)
+    # 3 files/trigger over the 5-file staging (st19's microbatch-count
+    # lesson, VERDICT r9 item #3): [f0 f1 f2][f3 s] — one fewer batch
+    # than fpt=2's [f0 f1][f2 f3][s] with >=2 data batches kept, so
+    # sessions still OPEN in batch 1 and extend/close in batch 2.  Batch
+    # fixed cost (state-store lifecycle + sink commit) was the dominant
+    # term: same-window A/B at sf0.1 measured 4.09 -> 2.95 s median
+    # (tools/stream_probe_r10.py), identical emitted rows.
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=3)
     with _few_state_partitions(spark):
         out = jobs.run_available_now_parquet(
             jobs.st3_session_stream(stream),
