@@ -7,7 +7,8 @@ partition.  `decode_real` REALLY decodes the formats a stdlib+numpy codec
 can honestly cover — 24-bit BMP, binary PPM (round 6), 8-bit truecolor
 PNG with zlib inflate + full scanline un-filtering (round 7), and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
-and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9) — and
+and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1
+and restart intervals (round 10) — and
 raises NotImplementedError for progressive JPEG and audio/video, which need libs this
 container does not ship; `fake_decode_features` keeps a deterministic
 stand-in for those.  The Spark-side plumbing — schema, batch shape,
@@ -417,6 +418,15 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-bit padding; a padded 0xFF gets stuffed like any
+        data byte) and emit a raw RST(n mod 8) marker — markers are never
+        stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data; removes 0xFF00
@@ -463,6 +473,23 @@ class _JpegBitReader:
             if sym is not None:
                 return sym
         raise ValueError("decode_jpeg: invalid Huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current byte's padding bits (encoders pad with 1-bits before a
+        marker, T.81 B.2.1.2) and require exactly 0xFFD0+n next — the
+        modulo-8 sequence check is how real decoders detect dropped or
+        duplicated entropy segments."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("decode_jpeg: truncated at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"decode_jpeg: expected RST{n} at {self.pos}, got "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
 
 
 def _jpeg_size(v: int) -> int:
@@ -573,7 +600,12 @@ def ycbcr_to_rgb(arr):
 
 
 def _jpeg_headers(
-    w: int, h: int, qt_zz: bytes, n_comp: int, samps: list[int] | None = None
+    w: int,
+    h: int,
+    qt_zz: bytes,
+    n_comp: int,
+    samps: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     import struct
 
@@ -583,6 +615,8 @@ def _jpeg_headers(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt_zz  # DQT Pq=0 Tq=0
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for cid in range(1, n_comp + 1):
         sof += bytes((cid, samps[cid - 1], 0))  # HiVi nibbles, quant table 0
@@ -615,27 +649,38 @@ def _jpeg_component_coeffs(plane, qt):
     return q.reshape(h8 // 8, w8 // 8, 64)[..., _JPEG_ZZ_FLAT]
 
 
-def encode_jpeg(img, qtable=None, subsampling: str = "4:4:4") -> bytes:
+#: Chroma (horizontal, vertical) subsampling factors per JFIF notation;
+#: the Y component carries the (fh, fv) sampling nibbles, chroma is 1x1.
+_JPEG_SUBSAMP = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2), "4:1:1": (4, 1)}
+
+
+def encode_jpeg(
+    img, qtable=None, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
     """Encode an HxW grayscale or HxWx3 RGB uint8 array as a REAL baseline
     JPEG: level shift, 8x8 FDCT (orthonormal matrix — identical scaling to
     T.81's convention), quantization, zigzag, DC prediction, canonical
     Huffman entropy coding with byte stuffing, and SOI/APP0/DQT/SOF0/DHT/
-    SOS/EOI framing.  Color uses the JFIF YCbCr transform at 4:4:4 or —
-    ``subsampling="4:2:0"`` (round 9, VERDICT r8 stretch) — with chroma
-    downsampled 2x2 (box mean, rounded half-up like the color transform)
-    and the scan interleaved in 16x16 MCUs of 4 Y + Cb + Cr blocks, the
-    layout most web JPEGs use.  Dimensions need not be block-aligned —
-    edges replicate, as real encoders do (at 4:2:0 the pad target is the
-    16-pixel MCU, so the replicated margin keeps chroma flat)."""
+    SOS/EOI framing.  Color uses the JFIF YCbCr transform at 4:4:4,
+    4:2:2, 4:2:0 (round 9), or 4:1:1 (round 10): chroma is box-mean
+    downsampled by the (fh, fv) factor (rounded half-up like the color
+    transform) and the scan interleaved in 8*fh x 8*fv MCUs — 4:2:0's
+    16x16 4Y+Cb+Cr is the layout most web JPEGs use.  Dimensions need
+    not be block-aligned — edges replicate, as real encoders do (the pad
+    target is the MCU, so the replicated margin keeps chroma flat).
+    ``restart_interval=N`` (round 10) emits a DRI segment and an RSTn
+    marker every N MCUs with DC-predictor resets — the T.81 error-
+    resilience / parallel-decode machinery real camera files carry."""
     import numpy as np
 
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qt = np.asarray(qtable if qtable is not None else _JPEG_DEFAULT_QT, np.int32)
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in _JPEG_SUBSAMP:
         raise ValueError(f"encode_jpeg: unsupported subsampling {subsampling!r}")
-    if gray or subsampling == "4:4:4":
+    fh, fv = _JPEG_SUBSAMP[subsampling]
+    if gray or (fh, fv) == (1, 1):
         planes = (
             [img] if gray else [rgb_to_ycbcr(img)[..., i] for i in range(3)]
         )
@@ -646,25 +691,32 @@ def encode_jpeg(img, qtable=None, subsampling: str = "4:4:4") -> bytes:
             )
             for p in planes
         ]
-        return _jpeg_entropy_assemble(comp_blocks, w, h, qt)
+        return _jpeg_entropy_assemble(
+            comp_blocks, w, h, qt, restart_interval=restart_interval
+        )
     ycc = np.pad(
         rgb_to_ycbcr(img),
-        ((0, (-h) % 16), (0, (-w) % 16), (0, 0)),
+        ((0, (-h) % (8 * fv)), (0, (-w) % (8 * fh)), (0, 0)),
         mode="edge",
     )
     hp, wp = ycc.shape[:2]
     planes = [ycc[..., 0]]
-    for c in (1, 2):  # 2x2 box mean; exact on 16-aligned flat-chroma blocks
+    for c in (1, 2):  # fh x fv box mean; exact on MCU-aligned flat chroma
         box = (
             ycc[..., c]
             .astype(np.float64)
-            .reshape(hp // 2, 2, wp // 2, 2)
+            .reshape(hp // fv, fv, wp // fh, fh)
             .mean(axis=(1, 3))
         )
         planes.append(np.clip(np.floor(box + 0.5), 0, 255).astype(np.uint8))
     comp_blocks = [_jpeg_component_coeffs(p, qt) for p in planes]
     return _jpeg_entropy_assemble(
-        comp_blocks, w, h, qt, samps=[0x22, 0x11, 0x11]
+        comp_blocks,
+        w,
+        h,
+        qt,
+        samps=[(fh << 4) | fv, 0x11, 0x11],
+        restart_interval=restart_interval,
     )
 
 
@@ -685,7 +737,9 @@ def encode_jpeg_coeffs(blocks, w: int, h: int, qtable=None) -> bytes:
     return _jpeg_entropy_assemble([blocks], w, h, qt)
 
 
-def _jpeg_entropy_assemble(comp_blocks, w, h, qt, samps=None) -> bytes:
+def _jpeg_entropy_assemble(
+    comp_blocks, w, h, qt, samps=None, restart_interval: int = 0
+) -> bytes:
     import numpy as np
 
     qt_zz = bytes(
@@ -707,6 +761,7 @@ def _jpeg_entropy_assemble(comp_blocks, w, h, qt, samps=None) -> bytes:
             )
     bw = _JpegBitWriter()
     preds = [0] * len(comp_blocks)
+    ri, mcu_done, rst_n = restart_interval, 0, 0
     # T.81 interleaved MCU order: per MCU, each component contributes its
     # hi x vi blocks in raster order.  At 4:4:4 this degenerates to the
     # one-block-per-component order the encoder always used.
@@ -723,8 +778,20 @@ def _jpeg_entropy_assemble(comp_blocks, w, h, qt, samps=None) -> bytes:
                             dc_enc,
                             ac_enc,
                         )
+            mcu_done += 1
+            if ri and mcu_done % ri == 0 and mcu_done < mcux * mcuy:
+                bw.restart(rst_n)  # byte-align + RST(n mod 8)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(comp_blocks)
     return (
-        _jpeg_headers(w, h, qt_zz, len(comp_blocks), samps=samps)
+        _jpeg_headers(
+            w,
+            h,
+            qt_zz,
+            len(comp_blocks),
+            samps=samps,
+            restart_interval=restart_interval,
+        )
         + bw.flush()
         + b"\xff\xd9"
     )
@@ -736,12 +803,14 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
     skipped), canonical Huffman decode with byte unstuffing, DC
     prediction, dequantization, inverse zigzag, 8x8 IDCT, level shift +
     clamp, and YCbCr->RGB for color.  Interleaved-MCU scans with
-    sampling factors up to 2 decode for real (4:4:4 / 4:2:2 / 4:2:0 —
-    chroma reconstructed by sample replication, the exact inverse of the
-    encoder's box mean on block-constant chroma).  Progressive (SOF2),
-    factors above 2, arithmetic coding (SOF9+), restart intervals, and
-    12-bit precision raise NotImplementedError — the honest subset
-    boundary.
+    sampling factors up to 4 decode for real (4:4:4 / 4:2:2 / 4:2:0 /
+    4:1:1 — chroma reconstructed by sample replication, the exact
+    inverse of the encoder's box mean on block-constant chroma), as do
+    restart intervals (DRI + RSTn modulo-8 sequence check, DC-predictor
+    resets, byte realignment — round 10; both seams were previously
+    declared NotImplementedError).  Progressive (SOF2), fractional
+    factor ratios (e.g. 3 vs 4), arithmetic coding (SOF9+), and 12-bit
+    precision raise NotImplementedError — the honest subset boundary.
 
     Returns HxW (grayscale) or HxWx3 (RGB) uint8 pixels; with
     ``return_coeffs=True`` returns (pixels, coeffs) where coeffs is a
@@ -760,6 +829,7 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
     comps = None
     w = h = None
     scan_comps = None
+    restart_interval = 0
     while True:
         if pos + 4 > len(blob):
             raise ValueError("decode_jpeg: truncated before SOS")
@@ -807,17 +877,14 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0x0F
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise NotImplementedError(
-                        "decode_jpeg: sampling factors above 2 unsupported "
-                        f"(sampling {samp:#04x}); 4:4:4 / 4:2:2 / 4:2:0 only"
+                        "decode_jpeg: sampling factors above 4 unsupported "
+                        f"(sampling {samp:#04x})"
                     )
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
-        elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise NotImplementedError(
-                    "decode_jpeg: restart intervals unsupported"
-                )
+        elif marker == 0xDD:  # DRI (round 10: restart intervals decode)
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             # malformed-stream contract: every structural defect raises
             # the documented ValueError, not TypeError/StopIteration/
@@ -860,11 +927,35 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
         )
     hmax = max(c["h"] for (c, _td, _ta) in scan_comps)
     vmax = max(c["v"] for (c, _td, _ta) in scan_comps)
+    for (c, _td, _ta) in scan_comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "decode_jpeg: fractional chroma upsampling unsupported "
+                f"(factors {c['h']}x{c['v']} vs max {hmax}x{vmax}); every "
+                "factor must divide the max (4:4:4/4:2:2/4:2:0/4:1:1 do)"
+            )
     br = _JpegBitReader(blob, pos)
     preds = [0] * len(scan_comps)
+    ri = restart_interval
+    mcu_done, rst_n = 0, 0
+
+    def _maybe_restart(total_mcus: int) -> None:
+        # T.81 restart machinery: every `ri` MCUs the entropy stream
+        # byte-aligns and an RST(n mod 8) marker separates independently
+        # decodable segments; DC predictors reset.  The final MCU is
+        # followed by EOI, never RST.
+        nonlocal mcu_done, rst_n, preds
+        mcu_done += 1
+        if ri and mcu_done % ri == 0 and mcu_done < total_mcus:
+            br.sync_restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(scan_comps)
+
     if len(scan_comps) == 1:
         # non-interleaved scan: the component's own block grid, no MCU
-        # padding (T.81 A.2.2); grayscale lands here with hi = vi = 1
+        # padding (T.81 A.2.2); grayscale lands here with hi = vi = 1.
+        # In a non-interleaved scan the MCU is ONE block (T.81 A.2.2),
+        # so the restart cadence counts blocks.
         comp = scan_comps[0][0]
         hb = (-(-(h * comp["v"]) // vmax) + 7) // 8
         wb = (-(-(w * comp["h"]) // hmax) + 7) // 8
@@ -876,6 +967,7 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                     br, preds[0], dc_luts[td], ac_luts[ta]
                 )
                 coeffs[0][by, bx] = zz
+                _maybe_restart(hb * wb)
     else:
         # interleaved scan: MCU raster, each component contributing its
         # hi x vi blocks per MCU (this is where 4:2:0's 4Y+Cb+Cr lives)
@@ -894,6 +986,7 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                                 br, preds[ci], dc_luts[td], ac_luts[ta]
                             )
                             coeffs[ci][my * vi + byi, mx * hi + bxi] = zz
+                _maybe_restart(mcux * mcuy)
     m = _jpeg_dct_matrix()
     planes = []
     for ci, (comp, _td, _ta) in enumerate(scan_comps):

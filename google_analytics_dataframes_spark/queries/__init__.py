@@ -56,8 +56,11 @@ SWEEP_HEAD: list[str] = [
     "rb8_", "s9_", "l14_", "l81_", "l38_", "l47_", "st19_",
     "st14_", "st16_", "l10_",
     # ...plus the three NEW slice-audit twins that let the 10x
-    # differential cover the pair-compare family (VERDICT r9 item #5).
-    "l60b_", "l69b_", "l75b_",
+    # differential cover the pair-compare family (VERDICT r9 item #5),
+    # and the two JPEG rows whose codec gained restart intervals +
+    # 4:2:2/4:1:1 for real this round (r9 evidence, byte-identical
+    # default path, but the tracker rightly demands re-proof).
+    "l60b_", "l69b_", "l75b_", "l67_", "l74_",
     # Tier 2 — the r03-evidence rotation (VERDICT r9 item #1): every row
     # whose latest driver check is still round 3.  With tier 1's s9/rb8/
     # l10/l14 these cover all 32 listed in the verdict.
