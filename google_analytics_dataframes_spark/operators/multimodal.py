@@ -1025,17 +1025,33 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
 # PNG codec, which leans on stdlib zlib for DEFLATE, the LZW entropy stage
 # here is hand-rolled: dictionary growth 9->12 bits, clear/EOI codes,
 # LSB-first bit packing, 255-byte sub-block framing).  Honest subset:
-# single-frame, non-interlaced, 8-bit global color table; GIF89a extension
-# blocks are skipped per spec; interlace/animation raise explicitly.
+# single-frame, 8-bit global color table, optionally 4-pass interlaced
+# (round 10); GIF89a extension blocks are skipped per spec; animation and
+# local color tables raise explicitly.
 
 
-def encode_gif(indexed, palette) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row schedule (89a spec appendix E): storage
+    row k holds display row order[k] — passes start at rows 0/4/2/1 with
+    strides 8/8/4/2."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif(indexed, palette, interlace: bool = False) -> bytes:
     """Encode an HxW uint8 INDEX array + a 256x3 palette as a GIF87a byte
     stream: logical screen descriptor, global color table, image
     descriptor, and a real variable-width LZW-compressed index stream
     (min code size 8, dictionary 9->12 bits with clear-code resets,
     LSB-first bits, sub-block framing).  GIF is lossless for indexed
-    content, so decode(encode(img)) round-trips bitwise."""
+    content, so decode(encode(img)) round-trips bitwise.
+    ``interlace=True`` (round 10) stores rows in the 4-pass schedule and
+    sets the image-descriptor interlace flag — the progressive-render
+    layout many real-world GIFs use."""
     import struct
 
     import numpy as np
@@ -1045,11 +1061,15 @@ def encode_gif(indexed, palette) -> bytes:
     if pal.shape != (256, 3):
         raise ValueError("encode_gif: palette must be 256x3")
     h, w = idx.shape
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
     out = bytearray(b"GIF87a")
     # logical screen: global color table, 8 bits/pixel, 256 entries
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )  # image descriptor
     out.append(8)  # LZW minimum code size
 
     # --- LZW compress (variable width, MSB of stream = LSB-first bits) ---
@@ -1117,9 +1137,10 @@ def decode_gif(blob: bytes):
     """Decode a GIF87a/89a stream: screen/image descriptors, global color
     table, extension-block skipping, and full variable-width LZW
     decompression (clear-code resets, deferred width growth, LSB-first
-    bit order).  Returns {width, height, indexed, palette, pixels} with
-    pixels the palette-mapped HxWx3 uint8 RGB array.  Interlaced images,
-    local color tables, and multi-frame animations raise
+    bit order), including 4-pass interlaced images (round 10: rows
+    scattered back through the pass schedule).  Returns {width, height,
+    indexed, palette, pixels} with pixels the palette-mapped HxWx3 uint8
+    RGB array.  Local color tables and multi-frame animations raise
     NotImplementedError — the honest subset boundary."""
     import struct
 
@@ -1162,8 +1183,7 @@ def decode_gif(blob: bytes):
             raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
     _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
     pos += 10
-    if iflags & 0x40:
-        raise NotImplementedError("decode_gif: interlaced images unsupported")
+    interlaced = bool(iflags & 0x40)  # round 10: 4-pass interlace decodes
     if iflags & 0x80:
         raise NotImplementedError("decode_gif: local color tables unsupported")
     min_code = blob[pos]
@@ -1246,6 +1266,11 @@ def decode_gif(blob: bytes):
     if len(out) != iw * ih:
         raise ValueError("decode_gif: pixel count mismatch")
     idx = np.frombuffer(bytes(out), np.uint8).reshape(ih, iw)
+    if interlaced:
+        # storage row k is display row order[k]: scatter back
+        disp = np.empty_like(idx)
+        disp[_gif_interlace_order(ih)] = idx
+        idx = disp
     return {
         "width": iw,
         "height": ih,

@@ -1081,10 +1081,24 @@ def test_multimodal_gif_roundtrip_known_answer():
     with89 = b"GIF89a" + gif[6:img_at] + ext + gif[img_at:]
     assert np.array_equal(M.decode_gif(with89)["indexed"], idx)
 
+    # round 10: 4-pass interlace ROUND-TRIPS for real (was a declared
+    # seam) — encoder stores the pass-scheduled rows and sets the flag,
+    # decoder scatters them back; exact at heights exercising every pass
+    # boundary (1 row = pass-1 only, up to all four passes), and a
+    # flag-patched non-interlaced stream decodes to the row PERMUTATION
+    # (the storage-order rows land at display offsets), proving the flag
+    # actually drives the scatter
+    for hh, ww in ((1, 5), (2, 7), (3, 3), (5, 4), (9, 11), (17, 13)):
+        im = rs.randint(0, 256, (hh, ww)).astype(np.uint8)
+        gi = M.encode_gif(im, pal, interlace=True)
+        at = 13 + 256 * 3
+        assert gi[at + 9] & 0x40, (hh, ww)
+        assert np.array_equal(M.decode_gif(gi)["indexed"], im), (hh, ww)
     interlaced = bytearray(gif)
-    interlaced[img_at + 9] |= 0x40  # image-descriptor flags byte
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        M.decode_gif(bytes(interlaced))
+    interlaced[img_at + 9] |= 0x40  # flag a non-interlaced stream
+    perm = M.decode_gif(bytes(interlaced))["indexed"]
+    order = M._gif_interlace_order(9)
+    assert np.array_equal(perm[order], idx)
     with pytest.raises(ValueError):
         M.decode_gif(gif[: len(gif) // 2])
 
