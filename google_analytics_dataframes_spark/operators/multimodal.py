@@ -1137,10 +1137,12 @@ def decode_gif(blob: bytes):
     """Decode a GIF87a/89a stream: screen/image descriptors, global color
     table, extension-block skipping, and full variable-width LZW
     decompression (clear-code resets, deferred width growth, LSB-first
-    bit order), including 4-pass interlaced images (round 10: rows
-    scattered back through the pass schedule).  Returns {width, height,
-    indexed, palette, pixels} with pixels the palette-mapped HxWx3 uint8
-    RGB array.  Local color tables and multi-frame animations raise
+    bit order), including 4-pass interlaced images and per-image LOCAL
+    color tables overriding the global one (both round 10: rows scattered
+    back through the pass schedule; LCT read from the image descriptor).
+    Returns {width, height, indexed, palette, pixels} with pixels the
+    palette-mapped HxWx3 uint8 RGB array — `palette` is the table the
+    pixels were mapped through.  Multi-frame animations raise
     NotImplementedError — the honest subset boundary."""
     import struct
 
@@ -1150,11 +1152,11 @@ def decode_gif(blob: bytes):
         raise ValueError("decode_gif: not a GIF stream")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
-    if not flags & 0x80:
-        raise NotImplementedError("decode_gif: missing global color table")
-    gct_size = 2 << (flags & 0x07)
-    pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
-    pos += gct_size * 3
+    pal = None  # a GIF may carry only a LOCAL table (round 10)
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+        pos += gct_size * 3
     def skip_extension(pos: int) -> int:
         """Skip one 0x21 extension block (label + sub-blocks), bounds-
         checked so truncation raises the documented ValueError."""
@@ -1184,8 +1186,14 @@ def decode_gif(blob: bytes):
     _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
     pos += 10
     interlaced = bool(iflags & 0x40)  # round 10: 4-pass interlace decodes
-    if iflags & 0x80:
-        raise NotImplementedError("decode_gif: local color tables unsupported")
+    if iflags & 0x80:  # round 10: local color table overrides the global
+        lct_size = 2 << (iflags & 0x07)
+        if pos + lct_size * 3 > len(blob):
+            raise ValueError("decode_gif: truncated local color table")
+        pal = np.frombuffer(blob, np.uint8, lct_size * 3, pos).reshape(-1, 3)
+        pos += lct_size * 3
+    if pal is None:
+        raise ValueError("decode_gif: no color table (neither GCT nor LCT)")
     min_code = blob[pos]
     pos += 1
     data = bytearray()

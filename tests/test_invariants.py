@@ -1102,6 +1102,27 @@ def test_multimodal_gif_roundtrip_known_answer():
     with pytest.raises(ValueError):
         M.decode_gif(gif[: len(gif) // 2])
 
+    # round 10: LOCAL color tables decode (was a declared seam) — an LCT
+    # overrides the GCT, an LCT-only GIF (no global table) is legal, a
+    # table-less GIF and a truncated LCT raise the documented ValueErrors
+    lpal = rs.randint(0, 256, (256, 3)).astype(np.uint8)
+    desc = bytearray(gif[img_at : img_at + 10])
+    desc[9] |= 0x87  # LCT present, 256 entries
+    with_lct = gif[:img_at] + bytes(desc) + lpal.tobytes() + gif[img_at + 10 :]
+    dl = M.decode_gif(with_lct)
+    assert np.array_equal(dl["palette"], lpal)
+    assert np.array_equal(dl["pixels"], lpal[idx])
+    scr = bytearray(gif[6:13])
+    scr[4] &= 0x7F  # clear the GCT flag
+    lct_only = (
+        gif[:6] + bytes(scr) + bytes(desc) + lpal.tobytes() + gif[img_at + 10 :]
+    )
+    assert np.array_equal(M.decode_gif(lct_only)["pixels"], lpal[idx])
+    with pytest.raises(ValueError, match="no color table"):
+        M.decode_gif(gif[:6] + bytes(scr) + gif[img_at:])
+    with pytest.raises(ValueError, match="truncated local"):
+        M.decode_gif(gif[:img_at] + bytes(desc) + lpal.tobytes()[:100])
+
     # REAL animations interleave a graphics-control extension between
     # frames — the multi-frame guard must catch that shape, not just
     # back-to-back image blocks (round-8 code-review finding)
