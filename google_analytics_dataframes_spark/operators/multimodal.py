@@ -202,62 +202,89 @@ def encode_png(img, filter_mode: str = "mixed") -> bytes:
     )
 
 
-def decode_png(blob: bytes):
-    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG into an
-    HxWx3 uint8 RGB array: chunk walk with CRC verification, zlib inflate,
-    and full scanline un-filtering (None/Sub/Up/Average/Paeth per the PNG
-    spec, bpp=3).  Palette/alpha/16-bit/interlaced variants raise
-    explicitly — this is the honest subset a stdlib-only codec covers."""
+def encode_png_palette(indexed, palette, filter_mode: str = "mixed") -> bytes:
+    """Encode an HxW uint8 INDEX array + an Nx3 palette as a REAL
+    palettized PNG (8-bit color type 3, PLTE chunk, zlib IDAT) — round
+    10\'s companion to the truecolor encoder.  Filtering follows the same
+    ``y % 5`` rotation (pixel distance = 1 byte for indices), so a round
+    trip exercises every bpp=1 un-filter path in :func:`decode_png`.
+    Palette PNG is lossless on indexed content: decode returns
+    palette[indexed] exactly."""
     import struct
     import zlib
 
     import numpy as np
 
-    if blob[:8] != _PNG_SIG:
-        raise ValueError("decode_png: not a PNG stream")
-    pos, idat, w, h = 8, bytearray(), None, None
-    while pos + 8 <= len(blob):
-        (ln,) = struct.unpack_from(">I", blob, pos)
-        # bound the declared length against the remaining stream BEFORE
-        # slicing: a truncated/corrupt blob must fail as the documented
-        # ValueError, not a struct.error from the CRC unpack below or a
-        # silent loop exit when truncation lands inside a chunk (ADVICE r7)
-        if pos + 12 + ln > len(blob):
-            raise ValueError("decode_png: truncated chunk")
-        typ = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
-        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
-            raise ValueError(f"decode_png: bad CRC in {typ!r} chunk")
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
+    idx = np.asarray(indexed, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("encode_png_palette: palette must be Nx3, N<=256")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("encode_png_palette: index out of palette range")
+    h, w = idx.shape
+    raw = idx.astype(np.int16)[:, :, None]
+    scan = bytearray()
+    prev = np.zeros((w, 1), np.int16)
+    for y in range(h):
+        row = raw[y]
+        ft = y % 5 if filter_mode == "mixed" else 0
+        left = np.zeros((w, 1), np.int16)
+        left[1:] = row[:-1]
+        ul = np.zeros((w, 1), np.int16)
+        ul[1:] = prev[:-1]
+        if ft == 0:
+            pred = np.zeros((w, 1), np.int16)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = prev
+        elif ft == 3:
+            pred = (left + prev) // 2
+        else:  # Paeth, vectorized over the row
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
             )
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "decode_png: only 8-bit truecolor non-interlaced "
-                    f"supported (depth={depth}, color={ctype}, "
-                    f"interlace={inter})"
-                )
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("decode_png: missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = 3 * w
+        scan.append(ft)
+        scan += ((row - pred) % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Reconstruct scanlines from filtered PNG payload: filter byte +
+    None/Sub/Up/Average/Paeth per row, pixel distance = ``ch`` bytes
+    (3 for truecolor, 1 for palette indices).  Returns (h, w, ch) uint8."""
+    import numpy as np
+
+    stride = ch * w
     if len(raw) != h * (stride + 1):
         raise ValueError("decode_png: scanline payload size mismatch")
-    out = np.zeros((h, w, 3), np.int16)
-    prev = np.zeros((w, 3), np.int16)
-    zero3 = np.zeros(3, np.int16)
+    out = np.zeros((h, w, ch), np.int16)
+    prev = np.zeros((w, ch), np.int16)
+    zero_ch = np.zeros(ch, np.int16)
     for y in range(h):
         ft = raw[y * (stride + 1)]
         filt = (
             np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
-            .reshape(w, 3)
+            .reshape(w, ch)
             .astype(np.int16)
         )
         if ft == 0:
@@ -268,16 +295,16 @@ def decode_png(blob: bytes):
             # Sub/Average/Paeth need the just-reconstructed left pixel:
             # sequential across the row (rows are short; cross-row state
             # is only `prev`, so scanlines stream in O(stride) memory)
-            rec = np.zeros((w, 3), np.int16)
+            rec = np.zeros((w, ch), np.int16)
             for x in range(w):
-                left = rec[x - 1] if x else zero3
+                left = rec[x - 1] if x else zero_ch
                 up = prev[x]
                 if ft == 1:
                     pred = left
                 elif ft == 3:
                     pred = (left + up) // 2
                 else:
-                    ul = prev[x - 1] if x else zero3
+                    ul = prev[x - 1] if x else zero_ch
                     p = left + up - ul
                     pa, pb, pc = (
                         np.abs(p - left),
@@ -295,6 +322,68 @@ def decode_png(blob: bytes):
         out[y] = rec
         prev = rec
     return out.astype(np.uint8)
+
+
+def decode_png(blob: bytes):
+    """Decode an 8-bit truecolor (color type 2) or 8-bit PALETTE (color
+    type 3, round 10) non-interlaced PNG into an HxWx3 uint8 RGB array:
+    chunk walk with CRC verification, zlib inflate, full scanline
+    un-filtering (None/Sub/Up/Average/Paeth per the PNG spec — pixel
+    distance 3 bytes for truecolor, 1 for palette indices), and PLTE
+    lookup for palettized images.  Alpha / 16-bit / sub-byte depths /
+    interlaced variants raise explicitly — the honest subset a
+    stdlib-only codec covers."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("decode_png: not a PNG stream")
+    pos, idat, w, h, ctype, plte = 8, bytearray(), None, None, None, None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        # bound the declared length against the remaining stream BEFORE
+        # slicing: a truncated/corrupt blob must fail as the documented
+        # ValueError, not a struct.error from the CRC unpack below or a
+        # silent loop exit when truncation lands inside a chunk (ADVICE r7)
+        if pos + 12 + ln > len(blob):
+            raise ValueError("decode_png: truncated chunk")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"decode_png: bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (2, 3):
+                raise NotImplementedError(
+                    "decode_png: only 8-bit truecolor/palette "
+                    f"non-interlaced supported (depth={depth}, "
+                    f"color={ctype}, interlace={inter})"
+                )
+        elif typ == b"PLTE":
+            if ln % 3 or ln > 256 * 3:
+                raise ValueError("decode_png: malformed PLTE chunk")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("decode_png: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if ctype == 2:
+        return _png_unfilter(raw, w, h, 3)
+    if plte is None:
+        raise ValueError("decode_png: palette image without PLTE chunk")
+    idx = _png_unfilter(raw, w, h, 1)[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("decode_png: palette index out of range")
+    return plte[idx]
 
 
 def resize_nearest(img, width: int, height: int):
@@ -1292,22 +1381,38 @@ def decode_gif(blob: bytes):
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """Encode int16 PCM samples — shape (n,) mono or (n, ch) interleaved —
-    as a canonical RIFF/WAVE byte stream (44-byte header + little-endian
-    sample data).  WAV is lossless, so unlike JPEG the round trip is
-    bitwise for arbitrary content."""
+    """Encode PCM samples — shape (n,) mono or (n, ch) interleaved — as a
+    canonical RIFF/WAVE byte stream (44-byte header + little-endian
+    sample data).  The sample dtype picks the wire format (round 10):
+    int16 -> 16-bit integer PCM (format 1), float32/float64 -> IEEE-float
+    PCM (format 3); anything else is encoded as int16 for compatibility.
+    WAV is lossless, so unlike JPEG the round trip is bitwise for
+    arbitrary content."""
     import struct
 
     import numpy as np
 
-    s = np.asarray(samples, np.int16)
+    s = np.asarray(samples)
+    if s.dtype == np.float32:
+        audio_fmt, wire, width = 3, "<f4", 4
+    elif s.dtype == np.float64:
+        audio_fmt, wire, width = 3, "<f8", 8
+    else:
+        s = s.astype(np.int16)
+        audio_fmt, wire, width = 1, "<i2", 2
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.reshape(-1).astype("<i2").tobytes()
-    block_align = 2 * ch
+    data = s.reshape(-1).astype(wire).tobytes()
+    block_align = width * ch
     fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+        "<HHIIHH",
+        audio_fmt,
+        ch,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        8 * width,
     )
     return (
         b"RIFF"
@@ -1324,10 +1429,13 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(blob: bytes) -> dict:
     """Decode a RIFF/WAVE stream: chunk walk (unknown chunks like LIST are
-    skipped per the RIFF spec, including odd-length padding), 16-bit
-    integer PCM only — float, ADPCM, and other bit depths raise the
-    honest NotImplementedError seam.  Returns {sample_rate, n_channels,
-    n_samples, samples} with samples an (n, ch) int16 array."""
+    skipped per the RIFF spec, including odd-length padding); 8/16/24/32-
+    bit integer PCM and 32/64-bit IEEE-float PCM (round 10 — 24-bit is
+    unpacked from 3-byte frames with sign extension; 8-bit stays unsigned
+    per the spec).  ADPCM/extensible formats raise the honest
+    NotImplementedError seam.  Returns {sample_rate, n_channels,
+    n_samples, samples} with samples an (n, ch) array in the natural
+    dtype (uint8 / int16 / int32 / float32 / float64)."""
     import struct
 
     import numpy as np
@@ -1348,12 +1456,38 @@ def decode_wav(blob: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("decode_wav: missing fmt or data chunk")
     audio_fmt, ch, rate, _brate, _balign, bits = fmt
-    if audio_fmt != 1 or bits != 16:
+    if audio_fmt == 1:  # integer PCM; round 10 widens 16 -> 8/16/24/32
+        if bits == 16:
+            s = np.frombuffer(data, "<i2")
+        elif bits == 8:  # 8-bit WAV is UNSIGNED per the spec
+            s = np.frombuffer(data, np.uint8)
+        elif bits == 32:
+            s = np.frombuffer(data, "<i4")
+        elif bits == 24:  # packed 3-byte little-endian, sign-extended
+            raw24 = np.frombuffer(data, np.uint8)
+            if len(raw24) % 3:
+                raise ValueError("decode_wav: 24-bit data not 3-byte aligned")
+            raw24 = raw24.reshape(-1, 3).astype(np.int32)
+            s = raw24[:, 0] | (raw24[:, 1] << 8) | (raw24[:, 2] << 16)
+            s = (s << 8) >> 8  # sign-extend bit 23 through the int32
+        else:
+            raise NotImplementedError(
+                f"decode_wav: unsupported integer PCM width ({bits}-bit)"
+            )
+    elif audio_fmt == 3:  # IEEE float PCM (round 10; was a declared seam)
+        if bits == 32:
+            s = np.frombuffer(data, "<f4")
+        elif bits == 64:
+            s = np.frombuffer(data, "<f8")
+        else:
+            raise NotImplementedError(
+                f"decode_wav: unsupported float width ({bits}-bit)"
+            )
+    else:
         raise NotImplementedError(
-            f"decode_wav: only 16-bit integer PCM supported (format "
-            f"{audio_fmt}, {bits}-bit)"
+            f"decode_wav: only integer (1) and IEEE-float (3) PCM "
+            f"supported (format {audio_fmt}, {bits}-bit)"
         )
-    s = np.frombuffer(data, "<i2")
     if ch > 1:
         s = s.reshape(-1, ch)
     else:

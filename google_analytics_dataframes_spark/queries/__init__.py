@@ -60,7 +60,7 @@ SWEEP_HEAD: list[str] = [
     # and the two JPEG rows whose codec gained restart intervals +
     # 4:2:2/4:1:1 for real this round (r9 evidence, byte-identical
     # default path, but the tracker rightly demands re-proof).
-    "l60b_", "l69b_", "l75b_", "l67_", "l74_", "l72_",
+    "l60b_", "l69b_", "l75b_", "l67_", "l74_", "l72_", "l68_",
     # Tier 2 — the r03-evidence rotation (VERDICT r9 item #1): every row
     # whose latest driver check is still round 3.  With tier 1's s9/rb8/
     # l10/l14 these cover all 32 listed in the verdict.

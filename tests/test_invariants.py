@@ -173,6 +173,22 @@ def test_multimodal_png_roundtrip_known_answer():
     with pytest.raises(ValueError, match="CRC"):
         M.decode_png(bytes(corrupt))
 
+    # round 10: PALETTE PNGs (color type 3) round-trip for real — was a
+    # declared seam.  The bpp=1 un-filter paths all execute (rotating
+    # filters, h>=5); decode returns palette[index] exactly; a stream
+    # indexing past its PLTE raises the documented ValueError.
+    pal = rs.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rs.randint(0, 256, (9, 13)).astype(np.uint8)
+    ppng = M.encode_png_palette(idx, pal)
+    assert np.array_equal(M.decode_png(ppng), pal[idx])
+    pal8 = rs.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx8 = rs.randint(0, 8, (7, 4)).astype(np.uint8)
+    assert np.array_equal(
+        M.decode_png(M.encode_png_palette(idx8, pal8)), pal8[idx8]
+    )
+    with pytest.raises(ValueError, match="out of palette range"):
+        M.encode_png_palette(np.full((2, 2), 9, np.uint8), pal8)
+
     # grayscale (color type 0) is outside the honest subset
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     chunk = (
@@ -387,10 +403,40 @@ def test_multimodal_wav_roundtrip_known_answer():
     out3 = M.decode_wav(spliced)
     assert np.array_equal(out3["samples"][:, 0], mono)
 
-    floatwav = bytearray(wav)
-    struct.pack_into("<H", floatwav, 20, 3)  # IEEE float format tag
+    # round 10: IEEE-float and wider integer PCM decode for real (float
+    # was a declared seam).  float32/float64 round-trip bitwise via
+    # encode_wav's dtype dispatch (format tag 3); 24-bit sign-extends
+    # from packed 3-byte frames; 8-bit stays unsigned per spec.
+    for dt in (np.float32, np.float64):
+        f = rs.randn(151).astype(dt)
+        outf = M.decode_wav(M.encode_wav(f, 8000))
+        assert outf["samples"].dtype == dt
+        assert np.array_equal(outf["samples"][:, 0], f)
+
+    def raw_wav(fmtcode, bits, payload):
+        fmt = struct.pack("<HHIIHH", fmtcode, 1, 16000, 2000, 2, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    v24 = np.array([0, 1, -1, 8388607, -8388608, -654321], np.int32)
+    p24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+    out24 = M.decode_wav(raw_wav(1, 24, p24))
+    assert out24["samples"].dtype == np.int32
+    assert np.array_equal(out24["samples"][:, 0], v24)
+    out8 = M.decode_wav(raw_wav(1, 8, bytes([0, 255, 128, 7])))
+    assert out8["samples"].dtype == np.uint8
+    assert list(out8["samples"][:, 0]) == [0, 255, 128, 7]
+
+    # honest seams: ADPCM (format 2), 16-bit float, 12-bit int raise
     with pytest.raises(NotImplementedError, match="PCM"):
-        M.decode_wav(bytes(floatwav))
+        M.decode_wav(raw_wav(2, 4, b"\x00\x00"))
+    with pytest.raises(NotImplementedError, match="float width"):
+        M.decode_wav(raw_wav(3, 16, b"\x00\x00"))
+    with pytest.raises(NotImplementedError, match="integer PCM width"):
+        M.decode_wav(raw_wav(1, 12, b"\x00\x00"))
     with pytest.raises(ValueError):
         M.decode_wav(wav[:30])
 
