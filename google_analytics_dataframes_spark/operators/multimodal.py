@@ -136,39 +136,47 @@ def decode_ppm(blob: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+#: channel count -> PNG color type for 8-bit images
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
 def encode_png(img, filter_mode: str = "mixed") -> bytes:
-    """Encode an HxWx3 uint8 RGB array as a REAL PNG (8-bit truecolor,
-    zlib/DEFLATE IDAT, CRC-checked chunks) with stdlib ``zlib`` + numpy
-    only — no codec libs.
+    """Encode an 8-bit image as a REAL PNG (zlib/DEFLATE IDAT, CRC-checked
+    chunks) with stdlib ``zlib`` + numpy only — no codec libs.  Channel
+    count picks the color type (round 10 generalization): HxW or HxWx1
+    grayscale (0), HxWx2 gray+alpha (4), HxWx3 truecolor (2), HxWx4
+    RGBA (6).
 
     ``filter_mode="mixed"`` applies scanline filter ``y % 5`` (None, Sub,
     Up, Average, Paeth in rotation) so a round-trip exercises every
     un-filter path in :func:`decode_png`, not just the trivial one;
     ``"none"`` writes filter 0 rows.  Filters operate on the bytes the
     decoder will have reconstructed — for the encoder that IS the raw
-    image, so predictors read the raw array directly (bpp = 3 bytes = one
-    pixel shift for RGB8)."""
+    image, so predictors read the raw array directly (bpp = channels
+    bytes = one pixel shift at 8 bits)."""
     import struct
     import zlib
 
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
     h, w, c = img.shape
-    if c != 3:
-        raise ValueError("encode_png: expected HxWx3 RGB")
+    if c not in _PNG_CTYPE:
+        raise ValueError("encode_png: expected 1/2/3/4 channels")
     raw = img.astype(np.int16)
     scan = bytearray()
-    prev = np.zeros((w, 3), np.int16)
+    prev = np.zeros((w, c), np.int16)
     for y in range(h):
         row = raw[y]
         ft = y % 5 if filter_mode == "mixed" else 0
-        left = np.zeros((w, 3), np.int16)
+        left = np.zeros((w, c), np.int16)
         left[1:] = row[:-1]
-        ul = np.zeros((w, 3), np.int16)
+        ul = np.zeros((w, c), np.int16)
         ul[1:] = prev[:-1]
         if ft == 0:
-            pred = np.zeros((w, 3), np.int16)
+            pred = np.zeros((w, c), np.int16)
         elif ft == 1:
             pred = left
         elif ft == 2:
@@ -193,7 +201,7 @@ def encode_png(img, filter_mode: str = "mixed") -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[c], 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -325,14 +333,14 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
 
 
 def decode_png(blob: bytes):
-    """Decode an 8-bit truecolor (color type 2) or 8-bit PALETTE (color
-    type 3, round 10) non-interlaced PNG into an HxWx3 uint8 RGB array:
-    chunk walk with CRC verification, zlib inflate, full scanline
-    un-filtering (None/Sub/Up/Average/Paeth per the PNG spec — pixel
-    distance 3 bytes for truecolor, 1 for palette indices), and PLTE
-    lookup for palettized images.  Alpha / 16-bit / sub-byte depths /
-    interlaced variants raise explicitly — the honest subset a
-    stdlib-only codec covers."""
+    """Decode any 8-bit non-interlaced PNG — grayscale (0), truecolor
+    (2), palette (3), gray+alpha (4), RGBA (6); types beyond truecolor
+    are round 10 — into an HxWxC uint8 array (C = 1/3/2/4; palette
+    resolves through PLTE to HxWx3): chunk walk with CRC verification,
+    zlib inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth,
+    pixel distance = channel count).  16-bit / sub-byte depths / Adam7
+    interlace raise explicitly — the honest subset a stdlib-only codec
+    covers."""
     import struct
     import zlib
 
@@ -358,11 +366,15 @@ def decode_png(blob: bytes):
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (2, 3):
+            # round 10: every 8-bit color type decodes — gray (0),
+            # truecolor (2), palette (3), gray+alpha (4), RGBA (6)
+            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (
+                0, 2, 3, 4, 6,
+            ):
                 raise NotImplementedError(
-                    "decode_png: only 8-bit truecolor/palette "
-                    f"non-interlaced supported (depth={depth}, "
-                    f"color={ctype}, interlace={inter})"
+                    "decode_png: only 8-bit non-interlaced images "
+                    f"supported (depth={depth}, color={ctype}, "
+                    f"interlace={inter})"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 256 * 3:
@@ -376,14 +388,16 @@ def decode_png(blob: bytes):
     if w is None:
         raise ValueError("decode_png: missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    if ctype == 2:
-        return _png_unfilter(raw, w, h, 3)
-    if plte is None:
-        raise ValueError("decode_png: palette image without PLTE chunk")
-    idx = _png_unfilter(raw, w, h, 1)[:, :, 0]
-    if int(idx.max(initial=0)) >= len(plte):
-        raise ValueError("decode_png: palette index out of range")
-    return plte[idx]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image without PLTE chunk")
+        idx = _png_unfilter(raw, w, h, 1)[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("decode_png: palette index out of range")
+        return plte[idx]
+    # channel count per color type: gray 1, truecolor 3, gray+alpha 2,
+    # RGBA 4 — the un-filter pixel distance is the channel count at 8-bit
+    return _png_unfilter(raw, w, h, {0: 1, 2: 3, 4: 2, 6: 4}[ctype])
 
 
 def resize_nearest(img, width: int, height: int):

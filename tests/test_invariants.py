@@ -189,8 +189,16 @@ def test_multimodal_png_roundtrip_known_answer():
     with pytest.raises(ValueError, match="out of palette range"):
         M.encode_png_palette(np.full((2, 2), 9, np.uint8), pal8)
 
-    # grayscale (color type 0) is outside the honest subset
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # round 10: every 8-bit color type round-trips — gray (0),
+    # gray+alpha (4), RGBA (6) join truecolor/palette; channel count
+    # drives the color type and the bpp-sized un-filter distance
+    for ch in (1, 2, 4):
+        imc = rs.randint(0, 256, (11, 6, ch)).astype(np.uint8)
+        outc = M.decode_png(M.encode_png(imc))
+        assert outc.shape == (11, 6, ch) and np.array_equal(outc, imc), ch
+
+    # 16-bit depth stays outside the honest subset
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
