@@ -919,16 +919,21 @@ def st19_stream_timer_sessions(spark, sf_dir):
     bit-identical to both engines' DECIMAL(30,6) cast), so per-batch
     increments equal the one-shot oracle sum.
 
-    Three sentinels (st16's lesson): timers fire under the APPLIED
-    watermark, which lags a batch behind the data.  At 3 files/trigger the
-    7 staged files (4 data + 3 sentinels) make exactly three batches —
-    [f0 f1 f2], [f3 s0 s1], [s2] — and the final batch applies the
-    watermark batch 2's sentinels advanced (max_ts + 4h − 1h lateness >
-    every real expiry), so every remaining open session's timer fires.
-    2 files/trigger gives the same rows across four batches; the r09
-    vectorization left batch fixed cost (state-store lifecycles + per-key
-    RPC rounds) as st19's dominant term, and dropping the fourth batch
-    measured 12.2 → 7.7 s isolated at sf0.1 and 40.7 → 18.2 s at 10x."""
+    ONE sentinel + the no-data flush batch (round 10; was three):
+    timers fire under the APPLIED watermark, which lags a batch behind
+    the data — but Spark's stateful engine runs a NO-DATA microbatch
+    after the last data batch whenever the advanced watermark leaves
+    state to finalize (the noDataMicroBatches machinery st14's
+    session_window eviction already relies on), and event-time timers
+    fire in it.  The 5 staged files (4 data + 1 sentinel, st14's exact
+    staging — shared cache) at 3 files/trigger make [f0 f1 f2],
+    [f3 s0], then the timer-flush no-data batch: two DATA batches, so
+    cross-batch arrival extension and the stale-timer-ignore branch in
+    handleExpiredTimer still both execute, one fewer sentinel batch.
+    History: 2 files/trigger ran four data batches (r09 cut it to
+    three, 12.2 → 7.7 s isolated at sf0.1, 40.7 → 18.2 s at 10x); the
+    r10 sentinel cut measured 9.40 → 8.38 s at sf0.1 and 23.6 → 20.3 s
+    at 10x, same-window interleaved A/B, identical emitted rows."""
     import uuid
 
     from google_analytics_dataframes_spark.streaming import jobs
@@ -936,7 +941,7 @@ def st19_stream_timer_sessions(spark, sf_dir):
         armed_worker_env,
     )
 
-    src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
+    src = _stage_stream_dir_with_flush(spark, sf_dir)
     stream = jobs.read_event_stream(spark, src, files_per_trigger=3)
     with _rocksdb_state_provider(spark):
         with armed_worker_env(spark):
