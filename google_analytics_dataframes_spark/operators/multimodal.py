@@ -7,9 +7,9 @@ partition.  `decode_real` REALLY decodes the formats a stdlib+numpy codec
 can honestly cover — 24-bit BMP, binary PPM (round 6), 8-bit truecolor
 PNG with zlib inflate + full scanline un-filtering (round 7), and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
-and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1
-and restart intervals (round 10) — and
-raises NotImplementedError for progressive JPEG and audio/video, which need libs this
+and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1,
+restart intervals, and PROGRESSIVE (SOF2) streams (round 10) — and
+raises NotImplementedError for audio/video formats, which need libs this
 container does not ship; `fake_decode_features` keeps a deterministic
 stand-in for those.  The Spark-side plumbing — schema, batch shape,
 partition flow — is real and oracle-testable either way.
@@ -413,12 +413,12 @@ def resize_nearest(img, width: int, height: int):
 
 
 # ------------------------------------------------------------------ JPEG ---
-# Baseline sequential DCT JPEG (ITU-T T.81) in stdlib struct + numpy only —
-# the round-8 closure of the last major-format multimodal gap (VERDICT r7
-# item #3).  Honest subset, mirroring the PNG codec's discipline: baseline
-# (SOF0) Huffman-coded scans, 8-bit samples, grayscale or 4:4:4 YCbCr color;
-# progressive (SOF2), sampling factors above 2, arithmetic coding, restart markers,
-# and 12-bit precision raise NotImplementedError explicitly.  The encoder
+# DCT JPEG (ITU-T T.81) in stdlib struct + numpy only — baseline sequential
+# (round 8) AND progressive Huffman / Annex G (round 10), with restart
+# markers and sampling factors to 4 (round 10).  Honest subset, mirroring
+# the PNG codec's discipline: 8-bit samples, Huffman entropy coding;
+# arithmetic coding, 12-bit precision, and fractional factor ratios
+# raise NotImplementedError explicitly.  The encoder
 # emits spec-legal canonical Huffman tables (embedded via DHT, as T.81
 # allows — tables need not be the Annex K defaults), so streams decode in
 # any conforming reader.
@@ -840,6 +840,241 @@ def encode_jpeg_coeffs(blocks, w: int, h: int, qtable=None) -> bytes:
     return _jpeg_entropy_assemble([blocks], w, h, qt)
 
 
+def _jpeg_prog_ac_lengths() -> list[tuple[int, int]]:
+    """Progressive AC Huffman alphabet: the baseline run/size symbols plus
+    the 14 EOBn run-length symbols (0x10..0xE0) Annex G adds for EOB runs
+    longer than one block.  Flat 10-bit tail keeps the canonical Kraft
+    sum under 1 (0.83)."""
+    return _jpeg_ac_lengths() + [((r << 4), 10) for r in range(1, 15)]
+
+
+_JPEG_PROG_AC_LENGTHS = _jpeg_prog_ac_lengths()
+
+
+def encode_jpeg_progressive(img, qtable=None, al_levels: int = 1) -> bytes:
+    """Encode an HxW grayscale or HxWx3 RGB uint8 array as a REAL
+    PROGRESSIVE JPEG (SOF2, Huffman, T.81 Annex G) — round 10's closure
+    of the largest declared codec seam.  Six-scan script exercising every
+    progressive scan type the decoder implements:
+
+      1. DC first, all components interleaved, successive approximation
+         Al=1 (arithmetic-shift point transform, baseline-style diffs);
+      2. per component: AC first scans for spectral bands 1-5 and 6-63 at
+         Al=1 (sign-magnitude point transform, ZRL + EOBn run coding);
+      3. DC refinement (Ah=1, Al=0): one raw magnitude bit per block;
+      4. per component: AC refinement for both bands (newly-visible
+         coefficients as run/1 symbols + sign, correction bits for
+         already-nonzero coefficients buffered across EOB runs exactly
+         per the Annex G bit-ordering contract).
+
+    The quantized coefficients are identical to :func:`encode_jpeg`'s for
+    the same image+qtable, so decode(progressive) must equal
+    decode(baseline) COEFFICIENT-exactly — the round-trip proof in
+    tests/test_invariants.py.  Color is 4:4:4 only (progressive +
+    subsampling stays a declared seam); grayscale uses single-component
+    scans throughout."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt = np.asarray(qtable if qtable is not None else _JPEG_DEFAULT_QT, np.int32)
+    planes = [img] if gray else [rgb_to_ycbcr(img)[..., i] for i in range(3)]
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    blocks = [
+        _jpeg_component_coeffs(
+            np.pad(pl, ((0, pad_h), (0, pad_w)), mode="edge"), qt
+        )
+        for pl in planes
+    ]
+    n = len(blocks)
+    hb, wb = blocks[0].shape[:2]
+    _, _, dc_enc = _jpeg_canonical(_JPEG_DC_LENGTHS)
+    _, _, ac_enc = _jpeg_canonical(_JPEG_PROG_AC_LENGTHS)
+
+    # ---- headers: SOI APP0 DQT SOF2 DHT ----
+    qt_zz = bytes(int(qt.reshape(64)[i]) for i in _JPEG_ZZ_FLAT)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt_zz
+    sof = struct.pack(">BHHB", 8, h, w, n)
+    for cid in range(1, n + 1):
+        sof += bytes((cid, 0x11, 0))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    dc_bits, dc_vals, _ = _jpeg_canonical(_JPEG_DC_LENGTHS)
+    ac_bits, ac_vals, _ = _jpeg_canonical(_JPEG_PROG_AC_LENGTHS)
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes((tc << 4,)) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def sos(comp_ids, ss, se, ah, al, entropy):
+        hdr = bytes((len(comp_ids),))
+        for cid in comp_ids:
+            hdr += bytes((cid, 0x00))  # DC table 0 / AC table 0
+        hdr += bytes((ss, se, (ah << 4) | al))
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr)
+        out.extend(entropy)
+
+    if not 1 <= al_levels <= 10:
+        raise ValueError("encode_jpeg_progressive: al_levels must be 1-10")
+    top = al_levels  # first scans at Al=top, refinements top-1 .. 0
+
+    # ---- scan 1: DC first, interleaved, Al=top ----
+    bw = _JpegBitWriter()
+    preds = [0] * n
+    for by in range(hb):
+        for bx in range(wb):
+            for ci in range(n):
+                v = int(blocks[ci][by, bx, 0]) >> top  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                sz = _jpeg_size(diff)
+                code, ln = dc_enc[sz]
+                bw.write(code, ln)
+                if sz:
+                    bw.write(diff if diff > 0 else diff + (1 << sz) - 1, sz)
+    sos(list(range(1, n + 1)), 0, 0, 0, top, bw.flush())
+
+    # ---- AC first scans per component and band, Al=1 ----
+    def ac_first(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(hb):
+            for bx in range(wb):
+                blk = blocks[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    t = int(blk[k])
+                    tv = abs(t) >> al  # sign-magnitude point transform
+                    if t < 0:
+                        tv = -tv
+                    if tv == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, ln = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    sz = _jpeg_size(tv)
+                    code, ln = ac_enc[(r << 4) | sz]
+                    bw.write(code, ln)
+                    bw.write(tv if tv > 0 else tv + (1 << sz) - 1, sz)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    for ci in range(n):
+        sos([ci + 1], 1, 5, 0, top, ac_first(ci, 1, 5, top))
+    for ci in range(n):
+        sos([ci + 1], 6, 63, 0, top, ac_first(ci, 6, 63, top))
+
+    # ---- DC refinements, interleaved, Ah=al+1 Al=al for al=top-1..0 ----
+    for al in range(top - 1, -1, -1):
+        bw = _JpegBitWriter()
+        for by in range(hb):
+            for bx in range(wb):
+                for ci in range(n):
+                    bw.write(
+                        1 if int(blocks[ci][by, bx, 0]) & (1 << al) else 0, 1
+                    )
+        sos(list(range(1, n + 1)), 0, 0, al + 1, al, bw.flush())
+
+    # ---- AC refinement per component and band, Ah=1 Al=0 ----
+    def ac_refine(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                for b in pending:
+                    bw.write(b, 1)
+                eobrun = 0
+                pending = []
+
+        for by in range(hb):
+            for bx in range(wb):
+                blk = blocks[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eobk = ss - 1  # last newly-visible coefficient's k
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobk = ss + i
+                r = 0
+                brbits: list[int] = []
+                for i, t in enumerate(absv):
+                    k = ss + i
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs not foldable into the EOB run (Annex G: only
+                    # zero runs BEFORE the last newly-visible coefficient
+                    # need ZRL); runs after eobk ride the EOB run.  The
+                    # flush fires at EVERY nonzero so correction bits only
+                    # ever buffer under r <= 15 — the invariant that keeps
+                    # them inside the decoder's 16-zero ZRL walk.
+                    while r > 15 and k <= eobk:
+                        flush_eob()
+                        code, ln = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                        for b in brbits:
+                            bw.write(b, 1)
+                        brbits = []
+                    if t > 1:  # history-nonzero: one correction bit
+                        brbits.append(t & 1)
+                        continue
+                    # newly-visible coefficient: run/1 + sign + buffered
+                    flush_eob()
+                    code, ln = ac_enc[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+                    for b in brbits:
+                        bw.write(b, 1)
+                    brbits = []
+                    r = 0
+                if r > 0 or brbits:
+                    eobrun += 1
+                    pending.extend(brbits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    for al in range(top - 1, -1, -1):
+        for ci in range(n):
+            sos([ci + 1], 1, 5, al + 1, al, ac_refine(ci, 1, 5, al))
+        for ci in range(n):
+            sos([ci + 1], 6, 63, al + 1, al, ac_refine(ci, 6, 63, al))
+
+    return bytes(out) + b"\xff\xd9"
+
+
 def _jpeg_entropy_assemble(
     comp_blocks, w, h, qt, samps=None, restart_interval: int = 0
 ) -> bytes:
@@ -900,8 +1135,173 @@ def _jpeg_entropy_assemble(
     )
 
 
+def _jpeg_find_scan_end(blob: bytes, pos: int) -> int:
+    """Position of the marker terminating the entropy-coded segment that
+    starts at ``pos``: the next 0xFF not followed by a 0x00 stuffing
+    byte.  (RSTn would also terminate it, but progressive decode rejects
+    DRI up front, so any RST here surfaces as a marker error later.)"""
+    i = pos
+    n = len(blob)
+    while i < n - 1:
+        if blob[i] == 0xFF and blob[i + 1] != 0x00:
+            return i
+        i += 2 if blob[i] == 0xFF else 1
+    raise ValueError("decode_jpeg: truncated entropy data")
+
+
+def _jpeg_decode_prog_scan(
+    br, scan_comps, ss, se, ah, al, prog_coeffs, dc_luts, ac_luts, comps, w, h
+):
+    """Decode ONE progressive scan (T.81 Annex G, Huffman): DC first /
+    DC refinement (interleaved or single-component) and AC first / AC
+    refinement (single-component spectral bands with EOB runs),
+    accumulating successive-approximation bits into ``prog_coeffs``
+    (zigzag order, python-int-safe int64).  Mirrors the libjpeg-style
+    point-transform conventions exactly: DC uses arithmetic shifts on
+    the signed value (refinement ORs magnitude bits — two's-complement
+    OR, which python's arbitrary-precision ints honor), AC uses
+    sign-magnitude shifts with per-coefficient correction bits."""
+    if ss == 0 and se != 0:
+        raise ValueError("decode_jpeg: DC scan must have Se = 0")
+    if ss > se or se > 63:
+        raise ValueError("decode_jpeg: bad spectral band")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if ss == 0:  # ---- DC scan ----
+        preds = [0] * len(scan_comps)
+        if len(scan_comps) > 1:  # interleaved MCU raster
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (comp, td, _ta) in enumerate(scan_comps):
+                        cf = prog_coeffs[comp["id"]]
+                        for byi in range(comp["v"]):
+                            for bxi in range(comp["h"]):
+                                by = my * comp["v"] + byi
+                                bx = mx * comp["h"] + bxi
+                                preds[ci] = _jpeg_prog_dc_block(
+                                    br, cf, by, bx, dc_luts, td,
+                                    preds[ci], ah, al,
+                                )
+        else:  # single component: its own ceil grid
+            comp, td, _ta = scan_comps[0]
+            cf = prog_coeffs[comp["id"]]
+            hb = (-(-(h * comp["v"]) // vmax) + 7) // 8
+            wb = (-(-(w * comp["h"]) // hmax) + 7) // 8
+            for by in range(hb):
+                for bx in range(wb):
+                    preds[0] = _jpeg_prog_dc_block(
+                        br, cf, by, bx, dc_luts, td, preds[0], ah, al
+                    )
+        return 0
+    # ---- AC scan: exactly one component (T.81 B.2.3) ----
+    if len(scan_comps) != 1:
+        raise ValueError("decode_jpeg: progressive AC scan must be "
+                         "single-component")
+    comp, _td, ta = scan_comps[0]
+    cf = prog_coeffs[comp["id"]]
+    lut = ac_luts[ta]
+    hb = (-(-(h * comp["v"]) // vmax) + 7) // 8
+    wb = (-(-(w * comp["h"]) // hmax) + 7) // 8
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for by in range(hb):
+        for bx in range(wb):
+            blk = cf[by, bx]
+            if ah == 0:  # first AC scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_symbol(lut)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "decode_jpeg: AC run past band end"
+                        )
+                    blk[k] = _jpeg_extend(br.read_bits(sz), sz) * p1
+                    k += 1
+            else:  # AC refinement scan
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_symbol(lut)
+                        r, sz = rs >> 4, rs & 15
+                        newval = 0
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if sz != 1:
+                                raise ValueError(
+                                    "decode_jpeg: AC refinement size "
+                                    "must be 1"
+                                )
+                            newval = p1 if br.read_bits(1) else m1
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if br.read_bits(1) and (v & p1) == 0:
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "decode_jpeg: AC refinement run "
+                                    "past band end"
+                                )
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.read_bits(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_dc_block(br, cf, by, bx, dc_luts, td, pred, ah, al):
+    """One block's DC contribution in a progressive scan: first scan
+    (Ah=0) decodes a baseline-style DC diff of the point-transformed
+    value and stores pred << Al; refinement (Ah>0) ORs one raw bit into
+    bit position Al (two's-complement OR, matching the encoder's
+    arithmetic-shift point transform)."""
+    if ah == 0:
+        sz = br.read_symbol(dc_luts[td])
+        diff = _jpeg_extend(br.read_bits(sz), sz) if sz else 0
+        pred += diff
+        cf[by, bx, 0] = pred << al
+        return pred
+    if br.read_bits(1):
+        cf[by, bx, 0] = int(cf[by, bx, 0]) | (1 << al)
+    return pred
+
+
 def decode_jpeg(blob: bytes, return_coeffs: bool = False):
-    """Decode a baseline sequential JPEG (grayscale or 4:4:4 YCbCr) with
+    """Decode a baseline sequential OR progressive JPEG (grayscale or
+    YCbCr) with
     stdlib struct + numpy: marker parse (DQT/DHT/SOF0/SOS; APPn/COM
     skipped), canonical Huffman decode with byte unstuffing, DC
     prediction, dequantization, inverse zigzag, 8x8 IDCT, level shift +
@@ -910,10 +1310,17 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
     4:1:1 — chroma reconstructed by sample replication, the exact
     inverse of the encoder's box mean on block-constant chroma), as do
     restart intervals (DRI + RSTn modulo-8 sequence check, DC-predictor
-    resets, byte realignment — round 10; both seams were previously
-    declared NotImplementedError).  Progressive (SOF2), fractional
-    factor ratios (e.g. 3 vs 4), arithmetic coding (SOF9+), and 12-bit
-    precision raise NotImplementedError — the honest subset boundary.
+    resets, byte realignment — round 10), and PROGRESSIVE streams (SOF2,
+    T.81 Annex G — round 10's closure of the largest declared seam):
+    multi-scan spectral selection with EOB runs and successive
+    approximation on both the DC path (arithmetic-shift point transform,
+    raw refinement bits OR-ed into the magnitude) and the AC path
+    (sign-magnitude first scans, correction-bit refinement with the
+    Annex G buffering order), accumulated per component across scans and
+    reconstructed once at EOI.  Fractional factor ratios (e.g. 3 vs 4),
+    arithmetic coding (SOF9+), 12-bit precision, and DRI inside
+    progressive scans raise NotImplementedError — the honest subset
+    boundary.
 
     Returns HxW (grayscale) or HxWx3 (RGB) uint8 pixels; with
     ``return_coeffs=True`` returns (pixels, coeffs) where coeffs is a
@@ -933,17 +1340,26 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
     w = h = None
     scan_comps = None
     restart_interval = 0
+    progressive = False
+    prog_coeffs = None  # per-component zigzag coeff arrays across scans
+    prog_eobrun = 0
     while True:
-        if pos + 4 > len(blob):
+        if pos + 2 > len(blob):
             raise ValueError("decode_jpeg: truncated before SOS")
         if blob[pos] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at {pos}")
         marker = blob[pos + 1]
-        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xC4, 0xCC):
+        if marker == 0xD9:  # EOI carries no length segment
+            if progressive and prog_coeffs is not None:
+                break
+            raise ValueError("decode_jpeg: no scan data")
+        if marker in (0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xC4, 0xCC):
             raise NotImplementedError(
-                f"decode_jpeg: only baseline sequential (SOF0) supported, "
-                f"got SOF marker 0xFF{marker:02X}"
+                f"decode_jpeg: only baseline (SOF0) and progressive "
+                f"Huffman (SOF2) supported, got SOF marker 0xFF{marker:02X}"
             )
+        if pos + 4 > len(blob):
+            raise ValueError("decode_jpeg: truncated before SOS")
         (seglen,) = struct.unpack_from(">H", blob, pos + 2)
         seg = blob[pos + 4 : pos + 2 + seglen]
         if pos + 2 + seglen > len(blob):
@@ -972,7 +1388,8 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                     bits, vals
                 )
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("decode_jpeg: only 8-bit precision")
@@ -997,6 +1414,8 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("decode_jpeg: truncated SOS segment")
             nc = seg[0]
+            ss, se, ahal = seg[1 + 2 * nc : 4 + 2 * nc]
+            ah, al = ahal >> 4, ahal & 0x0F
             scan_comps = []
             for ci in range(nc):
                 cid, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
@@ -1007,7 +1426,14 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                         f"component id {cid}"
                     )
                 td, ta = tables >> 4, tables & 0x0F
-                if td not in dc_luts or ta not in ac_luts:
+                # a progressive DC scan never touches the AC table and
+                # an AC scan never touches the DC table — require only
+                # what the scan will actually read
+                need_dc = (not progressive) or ss == 0
+                need_ac = (not progressive) or se > 0
+                if (need_dc and td not in dc_luts) or (
+                    need_ac and ta not in ac_luts
+                ):
                     raise ValueError(
                         f"decode_jpeg: scan references undefined Huffman "
                         f"table (dc={td}, ac={ta})"
@@ -1019,10 +1445,51 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                     )
                 scan_comps.append((comp, td, ta))
             pos += 2 + seglen
-            break
-        elif marker in (0xD9,):  # EOI before SOS
-            raise ValueError("decode_jpeg: no scan data")
+            if not progressive:
+                break
+            # ---- progressive scan (round 10): accumulate coefficient
+            # bits across scans; reconstruction happens after EOI ----
+            if restart_interval:
+                raise NotImplementedError(
+                    "decode_jpeg: restart intervals inside progressive "
+                    "scans unsupported"
+                )
+            if prog_coeffs is None:
+                hmax_all = max(c["h"] for c in comps)
+                vmax_all = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax_all))
+                mcuy = -(-h // (8 * vmax_all))
+                prog_coeffs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                    )
+                    for c in comps
+                }
+            end = _jpeg_find_scan_end(blob, pos)
+            prog_eobrun = _jpeg_decode_prog_scan(
+                _JpegBitReader(blob, pos),
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                prog_coeffs,
+                dc_luts,
+                ac_luts,
+                comps,
+                w,
+                h,
+            )
+            del prog_eobrun  # per T.81 the EOB run never crosses a scan
+            scan_comps = None
+            pos = end
+            continue
         pos += 2 + seglen
+    if progressive:
+        # every scan was consumed in the marker loop; reuse the shared
+        # reconstruction below via a synthetic scan_comps (the table ids
+        # are irrelevant after entropy decode)
+        scan_comps = [(c, None, None) for c in comps]
     if comps is None or scan_comps is None or len(scan_comps) not in (1, 3):
         raise NotImplementedError(
             "decode_jpeg: only 1-component (grayscale) or 3-component "
@@ -1037,6 +1504,12 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                 f"(factors {c['h']}x{c['v']} vs max {hmax}x{vmax}); every "
                 "factor must divide the max (4:4:4/4:2:2/4:2:0/4:1:1 do)"
             )
+    coeffs = None
+    if progressive:
+        coeffs = [
+            prog_coeffs[comp["id"]].astype(np.int32)
+            for (comp, _td, _ta) in scan_comps
+        ]
     br = _JpegBitReader(blob, pos)
     preds = [0] * len(scan_comps)
     ri = restart_interval
@@ -1054,7 +1527,9 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
             rst_n = (rst_n + 1) & 7
             preds = [0] * len(scan_comps)
 
-    if len(scan_comps) == 1:
+    if coeffs is not None:
+        pass  # progressive: coefficient planes already accumulated
+    elif len(scan_comps) == 1:
         # non-interleaved scan: the component's own block grid, no MCU
         # padding (T.81 A.2.2); grayscale lands here with hi = vi = 1.
         # In a non-interleaved scan the MCU is ONE block (T.81 A.2.2),

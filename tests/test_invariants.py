@@ -327,14 +327,46 @@ def test_multimodal_jpeg_roundtrip_known_answer():
     with pytest.raises(ValueError, match="expected RST0"):
         M.decode_jpeg(bytes(broken))
 
-    # (f) honest seams: progressive SOF2, sampling factors above 4, and
-    # fractional factor ratios raise NotImplementedError; truncation
-    # raises ValueError
+    # (e3) round 10: PROGRESSIVE JPEG (SOF2, Annex G) decodes for real —
+    # the largest declared codec seam.  The progressive encoder emits the
+    # SAME quantized coefficients as the baseline encoder, so decode must
+    # agree COEFFICIENT-exactly; exercised across refinement depths
+    # (al_levels chains Al=L..0 through DC and AC refinement scans with
+    # EOB runs and correction-bit buffering) and content classes (random
+    # color, flat = max EOB runs, all-ones qtable = max correction
+    # traffic).  Deeper per-class coverage lives in the dev-time stress
+    # battery this section distills.
+    for lv, im, qq in (
+        (1, rgb16, None),
+        (2, img, None),
+        (3, rs.randint(0, 256, (17, 22, 3)).astype(np.uint8), None),
+        (2, rs.randint(0, 256, (16, 16, 3)).astype(np.uint8), np.ones((8, 8), int)),
+        (1, np.full((24, 24, 3), 128, np.uint8), None),
+    ):
+        jbase = M.encode_jpeg(im, qtable=qq)
+        jprog = M.encode_jpeg_progressive(im, qtable=qq, al_levels=lv)
+        sofp = jprog.find(b"\xff\xc2")
+        assert sofp > 0 and jprog.count(b"\xff\xda") >= 4  # SOF2, multi-scan
+        pxb, cfb = M.decode_jpeg(jbase, return_coeffs=True)
+        pxp, cfp = M.decode_jpeg(jprog, return_coeffs=True)
+        assert all(np.array_equal(a, b) for a, b in zip(cfb, cfp)), lv
+        assert np.array_equal(pxb, pxp), lv
+    # a baseline stream's SOF flipped to SOF2 is now MALFORMED progressive
+    # (its SOS claims a DC scan spanning Se=63), not an unsupported seam
     progressive = bytearray(jp)
     sof = progressive.find(b"\xff\xc0")
     progressive[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         M.decode_jpeg(bytes(progressive))
+
+    # (f) honest seams: arithmetic coding (SOF9), sampling factors above
+    # 4, and fractional factor ratios raise NotImplementedError;
+    # truncation raises ValueError
+    arith = bytearray(jp)
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
+        M.decode_jpeg(bytes(arith))
     jp3 = M.encode_jpeg(rgb)
     sub = bytearray(jp3)
     sof = sub.find(b"\xff\xc0")
