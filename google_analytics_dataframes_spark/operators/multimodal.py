@@ -644,7 +644,11 @@ def _jpeg_decode_block(br, pred: int, dc_lut: dict, ac_lut: dict):
 
     zz = np.zeros(64, np.int32)
     s = br.read_symbol(dc_lut)
+    if s > 15:  # corrupt DHT symbol: T.81 DC size categories are <= 15
+        raise ValueError(f"decode_jpeg: bad DC size category {s}")
     diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+    if abs(pred + diff) > 1 << 30:  # corrupt-stream predictor runaway
+        raise ValueError("decode_jpeg: DC predictor out of range")
     zz[0] = pred + diff
     k = 1
     while k < 64:
@@ -1290,8 +1294,12 @@ def _jpeg_prog_dc_block(br, cf, by, bx, dc_luts, td, pred, ah, al):
     arithmetic-shift point transform)."""
     if ah == 0:
         sz = br.read_symbol(dc_luts[td])
+        if sz > 15:  # corrupt DHT symbol: DC size categories are <= 15
+            raise ValueError(f"decode_jpeg: bad DC size category {sz}")
         diff = _jpeg_extend(br.read_bits(sz), sz) if sz else 0
         pred += diff
+        if abs(pred) > 1 << 30:  # corrupt-stream predictor runaway
+            raise ValueError("decode_jpeg: DC predictor out of range")
         cf[by, bx, 0] = pred << al
         return pred
     if br.read_bits(1):
@@ -1383,6 +1391,13 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
+                # bound the declared symbol count against the segment —
+                # a corrupt bits[] count would otherwise slice short and
+                # index past huffval (fuzz finding, round 10)
+                if len(bits) < 16 or i + 17 + n > len(seg):
+                    raise ValueError(
+                        "decode_jpeg: truncated DHT segment"
+                    )
                 vals = list(seg[i + 17 : i + 17 + n])
                 (dc_luts if tc == 0 else ac_luts)[th] = _jpeg_decode_lut(
                     bits, vals
@@ -1390,7 +1405,11 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            if len(seg) < 6:
+                raise ValueError("decode_jpeg: truncated SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("decode_jpeg: truncated SOF segment")
             if prec != 8:
                 raise NotImplementedError("decode_jpeg: only 8-bit precision")
             comps = []

@@ -396,6 +396,31 @@ def test_multimodal_jpeg_roundtrip_known_answer():
     with pytest.raises(ValueError, match="undefined Huffman"):
         M.decode_jpeg(bytes(bad_tbl))
 
+    # (f2) malformed-stream fuzz contract (round 10): every truncation
+    # and a battery of single-bit mutations over baseline, subsampled+
+    # restart, and progressive streams raise ONLY the documented
+    # ValueError/NotImplementedError — never struct.error, IndexError,
+    # or OverflowError (the round-10 fuzz found a DHT bound gap, a SOF
+    # length gap, and a DC-predictor int32 runaway; all guarded now)
+    frs = np.random.RandomState(17)
+    small = frs.randint(0, 256, (9, 10, 3)).astype(np.uint8)
+    for blob in (
+        M.encode_jpeg(small),
+        M.encode_jpeg(small, subsampling="4:2:0", restart_interval=1),
+        M.encode_jpeg_progressive(small, al_levels=2),
+    ):
+        for cut in range(2, len(blob), 9):
+            with pytest.raises((ValueError, NotImplementedError)):
+                M.decode_jpeg(blob[:cut])
+        for _ in range(400):
+            i = int(frs.randint(2, len(blob)))
+            b = bytearray(blob)
+            b[i] ^= 1 << int(frs.randint(0, 8))
+            try:
+                M.decode_jpeg(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract; silent success also ok
+
     # (f) decode_real dispatch: grayscale -> HxWx1, color -> HxWx3
     out = M.decode_real(jp)
     assert (out["width"], out["height"], out["channels"]) == (13, 11, 1)
