@@ -1730,60 +1730,35 @@ def encode_gif(indexed, palette, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
-def decode_gif(blob: bytes):
-    """Decode a GIF87a/89a stream: screen/image descriptors, global color
-    table, extension-block skipping, and full variable-width LZW
-    decompression (clear-code resets, deferred width growth, LSB-first
-    bit order), including 4-pass interlaced images and per-image LOCAL
-    color tables overriding the global one (both round 10: rows scattered
-    back through the pass schedule; LCT read from the image descriptor).
-    Returns {width, height, indexed, palette, pixels} with pixels the
-    palette-mapped HxWx3 uint8 RGB array — `palette` is the table the
-    pixels were mapped through.  Multi-frame animations raise
-    NotImplementedError — the honest subset boundary."""
+def _gif_skip_extension(blob: bytes, pos: int) -> int:
+    """Skip one 0x21 extension block (label + sub-blocks), bounds-checked
+    so truncation raises the documented ValueError."""
+    pos += 2
+    while True:
+        if pos >= len(blob):
+            raise ValueError("decode_gif: truncated extension block")
+        ln = blob[pos]
+        if ln == 0:
+            return pos + 1
+        if pos + 1 + ln > len(blob):
+            raise ValueError("decode_gif: truncated extension block")
+        pos += 1 + ln
+
+
+def _gif_read_image(blob: bytes, pos: int, gct):
+    """Parse ONE image block (``blob[pos] == 0x2C``): descriptor, optional
+    local color table, LZW data sub-blocks; returns ``(left, top, idx,
+    pal, new_pos)`` with ``idx`` the de-interlaced HxW index array and
+    ``pal`` the table it maps through (LCT if present, else ``gct``)."""
     import struct
 
     import numpy as np
 
-    if blob[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("decode_gif: not a GIF stream")
-    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
-    pos = 13
-    pal = None  # a GIF may carry only a LOCAL table (round 10)
-    if flags & 0x80:
-        gct_size = 2 << (flags & 0x07)
-        pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
-        pos += gct_size * 3
-    def skip_extension(pos: int) -> int:
-        """Skip one 0x21 extension block (label + sub-blocks), bounds-
-        checked so truncation raises the documented ValueError."""
-        pos += 2
-        while True:
-            if pos >= len(blob):
-                raise ValueError("decode_gif: truncated extension block")
-            ln = blob[pos]
-            if ln == 0:
-                return pos + 1
-            if pos + 1 + ln > len(blob):
-                raise ValueError("decode_gif: truncated extension block")
-            pos += 1 + ln
-
-    while True:
-        if pos >= len(blob):
-            raise ValueError("decode_gif: truncated before image data")
-        b0 = blob[pos]
-        if b0 == 0x21:  # extension: label + sub-blocks, skip per spec
-            pos = skip_extension(pos)
-        elif b0 == 0x2C:
-            break
-        elif b0 == 0x3B:
-            raise ValueError("decode_gif: no image block")
-        else:
-            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
-    _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+    left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
     pos += 10
-    interlaced = bool(iflags & 0x40)  # round 10: 4-pass interlace decodes
-    if iflags & 0x80:  # round 10: local color table overrides the global
+    interlaced = bool(iflags & 0x40)
+    pal = gct
+    if iflags & 0x80:  # local color table overrides the global
         lct_size = 2 << (iflags & 0x07)
         if pos + lct_size * 3 > len(blob):
             raise ValueError("decode_gif: truncated local color table")
@@ -1805,24 +1780,20 @@ def decode_gif(blob: bytes):
             raise ValueError("decode_gif: truncated image data")
         data += blob[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
-    # honest-subset guard: a SECOND image block anywhere in the remainder
-    # (real animations put graphics-control extensions between frames, so
-    # a blob[pos] == 0x2C check would miss them — code-review finding,
-    # round 8) must raise, not silently return frame 1
-    while pos < len(blob):
-        b0 = blob[pos]
-        if b0 == 0x2C:
-            raise NotImplementedError(
-                "decode_gif: multi-frame GIFs unsupported"
-            )
-        if b0 == 0x21:
-            pos = skip_extension(pos)
-        elif b0 == 0x3B:
-            break
-        else:
-            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
+    out = _gif_lzw_decode(bytes(data), min_code)
+    if len(out) != iw * ih:
+        raise ValueError("decode_gif: pixel count mismatch")
+    idx = np.frombuffer(out, np.uint8).reshape(ih, iw)
+    if interlaced:
+        disp = np.empty_like(idx)
+        disp[_gif_interlace_order(ih)] = idx
+        idx = disp
+    return left, top, idx, pal, pos
 
-    # --- LZW decompress ---
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """Variable-width LZW decompression: clear-code resets, deferred width
+    growth 9->12 bits, KwKwK corner, LSB-first bit order."""
     CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
     acc = 0
     nbits = 0
@@ -1868,14 +1839,69 @@ def decode_gif(blob: bytes):
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
-    if len(out) != iw * ih:
-        raise ValueError("decode_gif: pixel count mismatch")
-    idx = np.frombuffer(bytes(out), np.uint8).reshape(ih, iw)
-    if interlaced:
-        # storage row k is display row order[k]: scatter back
-        disp = np.empty_like(idx)
-        disp[_gif_interlace_order(ih)] = idx
-        idx = disp
+    return bytes(out)
+
+
+def decode_gif(blob: bytes):
+    """Decode a single-frame GIF87a/89a stream: screen/image descriptors,
+    global color table, extension-block skipping, and full variable-width
+    LZW decompression (clear-code resets, deferred width growth, LSB-first
+    bit order), including 4-pass interlaced images and per-image LOCAL
+    color tables overriding the global one (both round 10: rows scattered
+    back through the pass schedule; LCT read from the image descriptor).
+    Returns {width, height, indexed, palette, pixels} with pixels the
+    palette-mapped HxWx3 uint8 RGB array — `palette` is the table the
+    pixels were mapped through.  Multi-frame animations raise
+    NotImplementedError here; :func:`decode_gif_frames` (round 10)
+    decodes them with full disposal/transparency compositing."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF stream")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    pal = None  # a GIF may carry only a LOCAL table (round 10)
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        pal = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+        pos += gct_size * 3
+
+    skip_extension = lambda p: _gif_skip_extension(blob, p)  # noqa: E731
+
+    while True:
+        if pos >= len(blob):
+            raise ValueError("decode_gif: truncated before image data")
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks, skip per spec
+            pos = skip_extension(pos)
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("decode_gif: no image block")
+        else:
+            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
+    _left, _top, idx, pal, pos = _gif_read_image(blob, pos, pal)
+    ih, iw = idx.shape
+    # honest-subset guard: a SECOND image block anywhere in the remainder
+    # (real animations put graphics-control extensions between frames, so
+    # a blob[pos] == 0x2C check would miss them — code-review finding,
+    # round 8) must raise, not silently return frame 1 — the caller wants
+    # decode_gif_frames for those
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x2C:
+            raise NotImplementedError(
+                "decode_gif: multi-frame GIFs unsupported here — use "
+                "decode_gif_frames"
+            )
+        if b0 == 0x21:
+            pos = skip_extension(pos)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
     return {
         "width": iw,
         "height": ih,
@@ -1883,6 +1909,90 @@ def decode_gif(blob: bytes):
         "palette": pal,
         "pixels": pal[idx],
     }
+
+
+def decode_gif_frames(blob: bytes):
+    """Decode a GIF87a/89a ANIMATION (round 10; was the last declared GIF
+    seam) with full per-frame compositing per the 89a disposal model:
+
+    * graphic-control extensions (0x21 0xF9) supply each frame's delay,
+      TRANSPARENCY index (transparent pixels leave the underlying canvas
+      untouched), and disposal method;
+    * disposal 0/1 leave the composited frame in place, 2 restores the
+      frame's rect to the background color, 3 restores the pre-frame
+      canvas (the "restore to previous" method);
+    * frames may be sub-rects at any offset, interlaced, and carry local
+      color tables — all via the shared :func:`_gif_read_image`.
+
+    Returns {width, height, n_frames, frames} where each frame dict holds
+    {delay_cs, disposal, canvas} — ``canvas`` the FULL logical-screen
+    HxWx3 uint8 RGB snapshot a viewer shows during that frame's delay.
+    This is the real input shape for per-frame sampling ops (l26's
+    family): frame extraction at the container level, no video libs."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF stream")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+        pos += gct_size * 3
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+    frames = []
+    # pending graphic-control state for the NEXT image block
+    delay_cs, disposal, t_index = 0, 0, None
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:
+            if pos + 1 < len(blob) and blob[pos + 1] == 0xF9:  # GCE
+                if pos + 7 >= len(blob) or blob[pos + 2] != 4:
+                    raise ValueError("decode_gif: malformed graphic control")
+                packed = blob[pos + 3]
+                delay_cs = struct.unpack_from("<H", blob, pos + 4)[0]
+                t_index = blob[pos + 6] if packed & 0x01 else None
+                disposal = (packed >> 2) & 0x07
+            pos = _gif_skip_extension(blob, pos)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"decode_gif: unknown block 0x{b0:02X}")
+        left, top, idx, pal, pos = _gif_read_image(blob, pos, gct)
+        ih, iw = idx.shape
+        if left + iw > w or top + ih > h:
+            raise ValueError("decode_gif: frame rect outside logical screen")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("decode_gif: palette index out of range")
+        before = canvas[top : top + ih, left : left + iw].copy()
+        region = canvas[top : top + ih, left : left + iw]
+        if t_index is None:
+            region[:] = pal[idx]
+        else:
+            opaque = idx != t_index
+            region[opaque] = pal[idx][opaque]
+        frames.append(
+            {
+                "delay_cs": delay_cs,
+                "disposal": disposal,
+                "canvas": canvas.copy(),
+            }
+        )
+        if disposal == 2:  # restore rect to background color
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3:  # restore to previous canvas
+            canvas[top : top + ih, left : left + iw] = before
+        delay_cs, disposal, t_index = 0, 0, None
+    if not frames:
+        raise ValueError("decode_gif: no image block")
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
 
 
 # ------------------------------------------------------------- WAV/PCM ---

@@ -1236,11 +1236,59 @@ def test_multimodal_gif_roundtrip_known_answer():
 
     # REAL animations interleave a graphics-control extension between
     # frames — the multi-frame guard must catch that shape, not just
-    # back-to-back image blocks (round-8 code-review finding)
+    # back-to-back image blocks (round-8 code-review finding), and point
+    # at decode_gif_frames, which decodes them for real (round 10)
     frame = gif[img_at:-1]  # image descriptor + data, no trailer
     animated = gif[:-1] + ext + frame + b"\x3b"
     with pytest.raises(NotImplementedError, match="multi-frame"):
         M.decode_gif(animated)
+
+    # round 10: ANIMATION decoding with the 89a disposal model — frames
+    # as full-canvas snapshots; sub-rect frames, transparency (index
+    # leaves the underlying canvas), disposal 2 (restore rect to
+    # background) and 3 (restore to previous) all verified against a
+    # numpy reference composite
+    def _fb(im, left=0, top=0):
+        g = M.encode_gif(im, pal)
+        blk = bytearray(g[13 + 256 * 3 : -1])
+        struct.pack_into("<HH", blk, 1, left, top)
+        return bytes(blk)
+
+    def _gce(delay, disposal, tindex=None):
+        packed = (disposal << 2) | (1 if tindex is not None else 0)
+        return (
+            b"\x21\xf9\x04" + bytes((packed,)) + struct.pack("<H", delay)
+            + bytes((tindex or 0,)) + b"\x00"
+        )
+
+    base = rs.randint(0, 256, (12, 20)).astype(np.uint8)
+    sub = rs.randint(0, 256, (4, 6)).astype(np.uint8)
+    sub[1, 2] = 7  # transparent under tindex=7
+    hdr = M.encode_gif(base, pal)[: 13 + 256 * 3]
+    anim2 = (
+        hdr
+        + _gce(10, 1) + _fb(base)
+        + _gce(20, 1, 7) + _fb(sub, 5, 3)
+        + _gce(30, 2) + _fb(sub, 10, 6)
+        + _gce(40, 0) + _fb(base)
+        + b"\x3b"
+    )
+    da = M.decode_gif_frames(anim2)
+    assert (da["width"], da["height"], da["n_frames"]) == (20, 12, 4)
+    assert [f["delay_cs"] for f in da["frames"]] == [10, 20, 30, 40]
+    ref = pal[base].copy()
+    assert np.array_equal(da["frames"][0]["canvas"], ref)
+    m = sub != 7
+    ref2 = ref.copy()
+    ref2[3:7, 5:11][m] = pal[sub][m]
+    assert np.array_equal(da["frames"][1]["canvas"], ref2)
+    ref3 = ref2.copy()
+    ref3[6:10, 10:16] = pal[sub]
+    assert np.array_equal(da["frames"][2]["canvas"], ref3)
+    ref4 = ref3.copy()
+    ref4[6:10, 10:16] = pal[0]  # disposal-2 restored to background...
+    ref4[:] = pal[base]  # ...then fully overdrawn by frame 4
+    assert np.array_equal(da["frames"][3]["canvas"], ref4)
     # truncation INSIDE an extension block raises the documented error
     with pytest.raises(ValueError, match="truncated"):
         M.decode_gif(gif[:img_at] + b"\x21\xf9\x04\x00")
