@@ -1423,6 +1423,8 @@ def decode_jpeg(blob: bytes, return_coeffs: bool = False):
                     )
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
         elif marker == 0xDD:  # DRI (round 10: restart intervals decode)
+            if len(seg) < 2:
+                raise ValueError("decode_jpeg: truncated DRI segment")
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             # malformed-stream contract: every structural defect raises

@@ -644,7 +644,8 @@ def _pq_oracle() -> str:
                           unnest(CAST(embedding AS DOUBLE[])) AS x
                    FROM embeddings),
     cent AS (SELECT label, dim,
-                    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x) AS cx
+                    CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                    / COUNT(x) AS cx
              FROM cells GROUP BY label, dim),
     cvec AS (SELECT label, list(cx ORDER BY dim) AS centroid
              FROM cent GROUP BY label),
@@ -2030,8 +2031,8 @@ def _cluster_centroids(assigned):
 _KM_CELLS = """{src} AS (SELECT cl, unnest(range(0, 64)) AS dim, unnest(v) AS x
                 FROM {inp}),
     {cent} AS (SELECT cl, dim,
-                      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x)
-                        AS cx
+                      CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                      / COUNT(x) AS cx
                FROM {src} GROUP BY cl, dim),
     {cv} AS (SELECT cl, list(cx ORDER BY dim) AS c FROM {cent} GROUP BY cl),
     {sc} AS (SELECT e.vec_id, e.true_label, e.v, c.cl,

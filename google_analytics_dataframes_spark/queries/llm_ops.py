@@ -618,7 +618,8 @@ def l81_ann_ivf_stored(spark, sf_dir):
              unnest(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings)
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           round(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(x), 9) AS cx
+           round(CAST(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS STRING) AS DOUBLE)
+                 / COUNT(x), 9) AS cx
     FROM cells GROUP BY label, dim
     """,
 )

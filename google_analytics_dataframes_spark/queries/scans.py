@@ -217,12 +217,21 @@ def _s9_oracle(sf_dir: str) -> str:
     glob = sf_dir.rstrip("/") + "/*.parquet"
     import glob as _glob
 
-    if any(os.path.isdir(p) for p in _glob.glob(glob)):
-        glob += "/*.parquet"  # Spark-written table dirs (10x synth)
+    # Expand PER ENTRY (ADVICE r10): a Spark-written table DIR named
+    # *.parquet becomes dir/*.parquet (its part files — what binaryFile
+    # lists), a flat file stays as-is.  Appending /*.parquet to the whole
+    # glob would silently drop flat files in a mixed layout and produce a
+    # spurious diff instead of comparing what Spark actually listed.
+    patterns = []
+    for p in sorted(_glob.glob(glob)):
+        patterns.append(p.rstrip("/") + "/*.parquet" if os.path.isdir(p) else p)
+    if not patterns:
+        patterns = [glob]  # empty dir: keep a valid (0-row) read_blob arg
+    blob_list = ", ".join(f"'{p}'" for p in patterns)
     return f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
            CAST(octet_length(content) AS BIGINT) AS n_bytes
-    FROM read_blob('{glob}')
+    FROM read_blob([{blob_list}])
     """
 
 

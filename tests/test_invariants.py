@@ -421,6 +421,19 @@ def test_multimodal_jpeg_roundtrip_known_answer():
             except (ValueError, NotImplementedError):
                 pass  # the documented contract; silent success also ok
 
+    # (f2b) targeted DRI length corruption (ADVICE r10): the seeded
+    # battery above never lands on the DRI seglen byte, but an
+    # exhaustive 1-bit fuzz does — a DRI segment whose length field
+    # claims an empty payload must raise the documented ValueError,
+    # not struct.error from an unguarded unpack.
+    dri_blob = M.encode_jpeg(small, restart_interval=1)
+    dri_at = dri_blob.find(b"\xff\xdd")
+    assert dri_at > 0
+    empty_dri = bytearray(dri_blob)
+    empty_dri[dri_at + 2 : dri_at + 4] = (2).to_bytes(2, "big")  # 0-byte payload
+    with pytest.raises(ValueError, match="truncated DRI"):
+        M.decode_jpeg(bytes(empty_dri))
+
     # (f) decode_real dispatch: grayscale -> HxWx1, color -> HxWx3
     out = M.decode_real(jp)
     assert (out["width"], out["height"], out["channels"]) == (13, 11, 1)

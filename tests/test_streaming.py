@@ -1067,6 +1067,40 @@ def test_micro_units_vec_matches_decimal_contract():
     )
 
 
+def test_segment_sessions_micro_overflow_guard_fires():
+    """Planted-overflow red-green for st19's int64 domain guard (VERDICT
+    r10 item #5): a batch whose per-session micro-unit sum exceeds 2^63-1
+    must raise OverflowError LOUDLY — np.add.reduceat would otherwise
+    wrap silently and emit a garbage (negative) acc_micro under the
+    bigint output contract.  Reverting the guard makes this test fail in
+    the most damning way available: the helper returns a wrapped value
+    instead of raising."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.streaming.jobs import (
+        segment_sessions_micro,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    # One session (1-second spacing, far under the 30-min gap) of three
+    # events, each at the largest micro-unit magnitude micro_units_vec
+    # itself admits (~2^63 * 0.9 / 1): 3 * 0.4*2^63 > 2^63-1 overflows.
+    ts_us = np.arange(3, dtype=np.int64) * 1_000_000
+    big = int(0.4 * (2**63 - 1))
+    micro = np.full(3, big, dtype=np.int64)
+    with pytest.raises(OverflowError, match="acc_micro output schema is bigint"):
+        segment_sessions_micro(ts_us, micro, gap_us)
+    # Control: the same shape inside the int64 domain returns the exact
+    # Python-int sum (no wrap) and one session.
+    micro_ok = np.full(3, 10**15, dtype=np.int64)
+    starts, counts, accs = segment_sessions_micro(ts_us, micro_ok, gap_us)
+    assert starts == [0] and counts == [3] and accs == [3 * 10**15]
+    # Two sessions split on the gap; guard indifferent to the split.
+    ts_gap = np.array([0, 1_000_000, gap_us + 2_000_000], dtype=np.int64)
+    starts, counts, accs = segment_sessions_micro(ts_gap, micro_ok, gap_us)
+    assert counts == [2, 1] and accs == [2 * 10**15, 10**15]
+
+
 def test_sweep_dead_pid_dirs_reaps_only_dead(tmp_path):
     """ADVICE r8: the reaper removes spark_graft_*_pid<N> dirs whose
     process is gone, and must NOT touch the current process's dirs or
