@@ -42,52 +42,91 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # asserts each one matches a SWEEP_HEAD prefix.  "Green on latest check"
 # is thereby restored mechanically every round instead of by hand-audit.
 # Entries are underscore-terminated so "s4_" matches only s4 (not s40).
+# ROUND 11: the head is GENERATED, not hand-curated (VERDICT r10 item
+# #6) — `python tools/stale_evidence.py --emit-head 50 10` emits exactly
+# this list (stale/changed rows in registration order, then oldest-
+# driver-evidence back-fill to the 50-row budget), and
+# tests/test_invariants.py::test_sweep_head_is_changed_plus_oldest_evidence
+# re-derives it against the pinned round-10 evidence horizon so any
+# drift (a code change without a head regen, a hand edit) fails loudly.
+# Entries are FULL query names (exact match beats prefix in
+# registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
-    # ROUND 10 closes the evidence program (VERDICT r9 items #1/#4): no
-    # row anywhere carries a RED, so the head is "changed-this-round
-    # first, then oldest evidence", sized to the ~50-row budget:
-    #
-    # Tier 1 — rows whose code/oracle changed THIS round (stale-evidence
-    # tracker demands head placement): the de-pinned sf_dir-parameterized
-    # oracles (rb8 pivot winners, s9 read_blob glob), the four
-    # centroid-CTE oracles re-rendered through the DECIMAL->STRING->DOUBLE
-    # hop (l14 + verbatim twin l81, l38, l47), st19's int64 overflow
-    # guard, and the st14/st16 microbatch fixed-cost cuts.
-    "rb8_", "s9_", "l14_", "l81_", "l38_", "l47_", "st19_",
-    "st14_", "st16_", "l10_",
-    # ...plus the three NEW slice-audit twins that let the 10x
-    # differential cover the pair-compare family (VERDICT r9 item #5),
-    # and the two JPEG rows whose codec gained restart intervals +
-    # 4:2:2/4:1:1 for real this round (r9 evidence, byte-identical
-    # default path, but the tracker rightly demands re-proof).
-    "l60b_", "l69b_", "l75b_", "l67_", "l74_", "l72_", "l68_",
-    # Tier 2 — the r03-evidence rotation (VERDICT r9 item #1): every row
-    # whose latest driver check is still round 3.  With tier 1's s9/rb8/
-    # l10/l14 these cover all 32 listed in the verdict.
-    "s11_",
-    "l1_", "l3_", "l5_", "l6_", "l8_", "l9_", "l15_", "l16_", "l17_",
-    "l18_", "l19_", "l20_", "l21_", "l22_", "l23_", "l25_", "l26_",
-    "l28_", "l31_", "l32_", "l35_", "l37_",
-    "rb5_", "rb6_", "rb9_", "rb10_", "rb11_",
-    # 10 + 28 = 38.  Tier 3 — rows the stale tracker flags for round-8/9
-    # code changes that postdate their last driver sweep (r06-r07
-    # evidence, local differential green at HEAD): the four append
-    # streams' sink switch, the packed-mask Jaccard family, codec
-    # adjacency.  Freshest evidence last (l63/l64 hold r07) so the
-    # budget cut, if it lands here, bumps the least-stale rows.
-    "st9_", "st10_", "st11_", "st12_",
-    "l60_", "l7_", "l12_", "l29_", "l33_", "l44_", "l55_",
-    "l13_", "l27_", "l63_", "l64_",
-    # 38 + 15 = 53: within one row of the observed 50-52 budget; any cut
-    # lands on r07-evidence codec rows that re-queue next round.
+    # generated: tools/stale_evidence.py --emit-head 50 10
+    # 17 stale/changed rows lead; oldest-evidence back-fill to 50
+    "s9_binaryfile_source",
+    "st19_stream_timer_sessions",
+    "l12_ngram_jaccard",
+    "l74_thumbnail_pipeline",
+    "l13_embed_neardup",
+    "l10_embed_agg",
+    "l7_string_simjoin",
+    "l63_bmp_roundtrip",
+    "l64_png_roundtrip",
+    "l67_jpeg_roundtrip",
+    "l27_sequence_pack",
+    "l29_dedup_clusters",
+    "l33_dedup_apply",
+    "l44_clean_corpus",
+    "l55_pair_token_f1",
+    "l58_pq_codes",
+    "l79_kmeans_lloyd",
+    "s3_json_props",
+    "p2_computed_col",
+    "f8_null_handling",
+    "a9_pivot",
+    "a15_collect_list",
+    "j11_asof",
+    "j14_skew_salted",
+    "o3_offset_page",
+    "u1_union_all",
+    "u6_except_distinct",
+    "u7_intersect_all",
+    "sf1_date_parse",
+    "l41_pii_redact",
+    "l39_batch_knn",
+    "l43_random_projection",
+    "l45_corpus_shuffle",
+    "l46_dsir_weights",
+    "l49_importance_resample",
+    "l50_bloom_dedup",
+    "l51_bpe_pair_counts",
+    "l52_temperature_mixture",
+    "l54_seqlen_histogram",
+    "l56_bigram_logprob",
+    "l57_token_fertility",
+    "rb12_report_totals",
+    "rb13_new_vs_returning",
+    "rb14_keep_empty_rows",
+    "rb15_histogram_buckets",
+    "rb16_report_minmax",
+    "rb17_filter_expression",
+    "rb21_active_users",
+    "rb22_ecommerce_overview",
+    "s4_sink_parquet",
 ]
 
-# Staleness rotation: oldest driver evidence first once the head clears.
-# After the round-10 head lands, the oldest remaining evidence is the
-# r04 tier (s3, p2, f8, a9, a15, j11, o3, u1, sf1).
+#: Evidence horizon SWEEP_HEAD was generated from (the newest
+#: CORRECTNESS round on disk at generation time) — the invariant test
+#: re-derives the head at THIS horizon so a mid-verdict r11 sweep file
+#: doesn't invalidate it.
+SWEEP_HEAD_HORIZON = 10
+
+# Staleness rotation: oldest driver evidence first once the head clears
+# (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;
+# only reached if the driver budget exceeds 50).
 SWEEP_ROTATION: list[str] = [
-    "dg",
-    "s3_", "p2_", "f8_", "a9_", "a15_", "j11_", "o3_", "u1_", "sf1_",
+    "s5_csv_json_io", "s7_orc_roundtrip", "s8_clustered_write",
+    "f3_range_date", "a6_grouping_sets", "a10_ratio_metric",
+    "a13_histogram", "a14_percentiles", "a17_approx_percentile",
+    "a18_freq_topk", "j12_interval", "w4_running_sum", "w6_range_frame",
+    "w11_rolling_hll", "o4_topk_per_group", "u3_intersect",
+    "sf5_regex_fn", "sf12_json_path", "sf14b_xxhash", "st3_sessionize",
+    "l4_knn_join", "l40_compression_ratio", "l24_stratified_sample",
+    "l30_decontaminate", "l34_unigram_logprob", "l48_ppl_buckets",
+    "l53_decontam_multi_n", "l59_embed_norm_outliers",
+    "rb4_cohort_retention", "rb7_funnel", "rb18_session_metrics",
+    "rb19_landing_exit", "rb20_engagement_rate",
 ]
 
 # Deterministic tail: whatever budget remains walks the families.

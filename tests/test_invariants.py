@@ -1121,6 +1121,43 @@ def test_stale_evidence_queries_lead_the_sweep():
     )
 
 
+def test_sweep_head_is_changed_plus_oldest_evidence():
+    """VERDICT r10 item #6: the SWEEP_HEAD tail used to be hand-curated;
+    now the whole head is GENERATED (tools/stale_evidence.py --emit-head)
+    and this test re-derives it mechanically — the first-50 cut of
+    sweep_registry() must equal {every stale/changed row} + {oldest-
+    driver-evidence back-fill} at the pinned evidence horizon
+    (queries.SWEEP_HEAD_HORIZON = the newest CORRECTNESS round on disk
+    when the head was generated; pinning keeps the test stable when the
+    NEXT round's sweep file lands mid-verdict).  A code change without a
+    head regen, or a hand edit to the list, fails here with the exact
+    regen command."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import stale_evidence as SE
+
+    from google_analytics_dataframes_spark.queries import SWEEP_HEAD_HORIZON
+    from google_analytics_dataframes_spark.registry import sweep_registry
+
+    budget = 50
+    expected = SE.expected_sweep_head(budget, SWEEP_HEAD_HORIZON)
+    got = list(sweep_registry())[:budget]
+    missing = sorted(set(expected) - set(got))
+    extra = sorted(set(got) - set(expected))
+    assert not missing and not extra, (
+        f"sweep head drifted from the mechanical derivation at horizon "
+        f"r{SWEEP_HEAD_HORIZON}: missing={missing} extra={extra} — "
+        f"regenerate with `python tools/stale_evidence.py --emit-head "
+        f"{budget} {SWEEP_HEAD_HORIZON}` and paste into "
+        f"queries/__init__.py SWEEP_HEAD"
+    )
+    # stale rows must LEAD the cut (they are the rows whose evidence no
+    # longer describes the code): nothing stale may sit past the budget.
+    stale = set(SE.stale_report(SWEEP_HEAD_HORIZON))
+    assert stale <= set(got), sorted(stale - set(got))
+
+
 def test_readme_query_count_matches_registry():
     """VERDICT r7 item #6: README's stated query count drifted from the
     registry two rounds running (202 vs 204 at the r7 snapshot) because it

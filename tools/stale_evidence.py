@@ -71,13 +71,19 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def sweep_rounds() -> dict[str, int]:
-    """query -> latest round whose CORRECTNESS file recorded it."""
+def sweep_rounds(max_round: int | None = None) -> dict[str, int]:
+    """query -> latest round whose CORRECTNESS file recorded it.
+
+    ``max_round`` pins the evidence horizon: rounds above it are ignored,
+    so a head generated from round-N evidence stays verifiable after the
+    round-N+1 driver sweep lands its CORRECTNESS file mid-verdict."""
     out: dict[str, int] = {}
     for fname in sorted(os.listdir(REPO)):
         if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
             continue
         rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(os.path.join(REPO, fname)) as f:
                 data = json.load(f)
@@ -310,13 +316,13 @@ class _Empty:
 _EMPTY = _Empty()
 
 
-def stale_report() -> dict[str, dict]:
+def stale_report(max_round: int | None = None) -> dict[str, dict]:
     """query -> {reason, last_round, sweep_ct, change_ct} for every
     registered query whose evidence is stale (or absent)."""
     sys.path.insert(0, REPO)
     from google_analytics_dataframes_spark.registry import registry
 
-    rounds = sweep_rounds()
+    rounds = sweep_rounds(max_round)
     stimes = sweep_times()
     ctimes = compute_change_times()
     out: dict[str, dict] = {}
@@ -343,7 +349,45 @@ def stale_report() -> dict[str, dict]:
     return out
 
 
+def expected_sweep_head(budget: int = 50, max_round: int | None = None) -> list[str]:
+    """The mechanically-derived sweep head (VERDICT r10 item #6): every
+    stale row (changed after its last sweep, or never swept) in canonical
+    registration order, then back-fill to ``budget`` with the
+    oldest-driver-evidence rows (ties broken by registration order).
+
+    queries/__init__.py's static SWEEP_HEAD must expand to exactly this
+    list's first-``budget`` cut — test-enforced by
+    tests/test_invariants.py::test_sweep_head_is_changed_plus_oldest_evidence
+    against the pinned evidence horizon the head was generated from, so
+    the hand-curated tier comments of rounds 6-10 are replaced by
+    ``python tools/stale_evidence.py --emit-head [budget] [horizon]``."""
+    sys.path.insert(0, REPO)
+    from google_analytics_dataframes_spark.registry import registry
+
+    stale = set(stale_report(max_round))
+    rounds = sweep_rounds(max_round)
+    reg_order = list(registry())
+    idx = {q: i for i, q in enumerate(reg_order)}
+    head = [q for q in reg_order if q in stale][:budget]
+    backfill = sorted(
+        (q for q in reg_order if q not in stale),
+        key=lambda q: (rounds.get(q, 0), idx[q]),
+    )
+    return head + backfill[: max(0, budget - len(head))]
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit-head":
+        budget = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        horizon = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        names = expected_sweep_head(budget, horizon)
+        n_stale = len(stale_report(horizon))
+        print(f"# generated: tools/stale_evidence.py --emit-head {budget}"
+              f" {horizon if horizon is not None else ''}".rstrip())
+        print(f"# {n_stale} stale/changed rows lead; oldest-evidence back-fill to {budget}")
+        for n in names:
+            print(f'    "{n}",')
+        return 0
     rep = stale_report()
     if not rep:
         print("all registered queries: driver evidence postdates last code change")
