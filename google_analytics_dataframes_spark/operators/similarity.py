@@ -152,28 +152,34 @@ def knn_join_blocked(emb: DataFrame, k: int = 3) -> DataFrame:
     the LSH/IVF prefilter replaces `label` as the blocking key at scale."""
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Fully-vectorized block kernel (round 11, VERDICT r10 item #3):
+        # the previous form ran a PYTHON loop with one np.lexsort PER ROW
+        # — O(n) interpreter-side sorts per block, which scaled with
+        # block size and drove l4's 11.9 s outlier at the 10x point.
+        # Sorting the block by vec_id first makes column order ==
+        # ascending neighbor_id, so ONE stable argsort on -sims per block
+        # reproduces the (-cos, neighbor_id) tie-break exactly.
+        pdf = pdf.sort_values("vec_id")
         m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
         norms = np.sqrt((m * m).sum(axis=1))
         sims = (m @ m.T) / np.outer(norms, norms)
         np.fill_diagonal(sims, -np.inf)
-        out = []
-        kk = min(k, len(ids) - 1)
-        for i in range(len(ids)):
-            # stable top-k: sort by (-cos, neighbor_id)
-            order = np.lexsort((ids, -sims[i]))[:kk]
-            for rank, j in enumerate(order, start=1):
-                out.append(
-                    (
-                        int(pdf["label"].iloc[0]),
-                        int(ids[i]),
-                        int(ids[j]),
-                        round(float(sims[i, j]), 4),
-                        rank,
-                    )
-                )
+        kk = min(k, n - 1)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        cos_flat = sims[np.arange(n)[:, None], order].ravel()
         return pd.DataFrame(
-            out, columns=["label", "vec_id", "neighbor_id", "cos", "rank"]
+            {
+                "label": np.full(n * kk, int(pdf["label"].iloc[0]), dtype="int64"),
+                "vec_id": np.repeat(ids, kk),
+                "neighbor_id": ids[order].ravel(),
+                # emitted-value parity with the scalar kernel: Python
+                # round (same correctly-rounded path the old per-pair
+                # loop used), applied only to the 3N selected pairs
+                "cos": [round(float(c), 4) for c in cos_flat],
+                "rank": np.tile(np.arange(1, kk + 1), n),
+            }
         )
 
     return emb.groupBy("label").applyInPandas(

@@ -254,7 +254,9 @@ def _stage_stream_dir_with_replays(spark, sf_dir: str) -> str:
     return d
 
 
-def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> str:
+def _stage_stream_dir_with_flush(
+    spark, sf_dir: str, n_sentinels: int = 1, sentinel_hours: tuple = None
+) -> str:
     """Ordered staging (see `_stage_stream_dir`) plus ``n_sentinels`` final
     SENTINEL files, each holding one event 2h/4h/... past max(ts) for
     pseudo-user -1.  Append-mode stateful queries only emit what the
@@ -280,11 +282,21 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> st
 
     from google_analytics_dataframes_spark.io import load_table, scratch_dir
 
-    key, cached = _stage_cached(spark, sf_dir, f"stream_flush{n_sentinels}")
+    # default spacing 2h/4h/...: exactly `lateness` past max(ts), the
+    # historical layout; callers that apply the sentinel watermark in a
+    # batch where it must already CLEAR max(ts) (st16's single-data-batch
+    # layout) pass explicit hours with margin above lateness.
+    if sentinel_hours is None:
+        sentinel_hours = tuple(2 * (s + 1) for s in range(n_sentinels))
+    assert len(sentinel_hours) == n_sentinels
+    hrs_tag = "_".join(str(h) for h in sentinel_hours)
+    key, cached = _stage_cached(
+        spark, sf_dir, f"stream_flush{n_sentinels}h{hrs_tag}"
+    )
     if cached is not None:
         return cached
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    d = scratch_dir(f"stream_flush{n_sentinels}_{sf_tag}")
+    d = scratch_dir(f"stream_flush{n_sentinels}h{hrs_tag}_{sf_tag}")
     base = _stage_stream_dir(spark, sf_dir, ordered=True)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -313,7 +325,7 @@ def _stage_stream_dir_with_flush(spark, sf_dir: str, n_sentinels: int = 1) -> st
         # flushed).  Sentinel rows all carry negative user ids; every
         # consumer filters them (or, for joins, they can never match a
         # real row).
-        sent_ts = max_ns + (s + 1) * 2 * 3600 * 1_000_000_000
+        sent_ts = max_ns + int(sentinel_hours[s] * 3600) * 1_000_000_000
         table = pa.table(
             {
                 "event_id": pa.array([-1 - 2 * s, -2 - 2 * s], pa.int64()),
@@ -610,20 +622,27 @@ def st16_stream_outer_join(spark, sf_dir):
 
     from google_analytics_dataframes_spark.streaming import jobs
 
-    # THREE sentinels: outer-join null rows emit on state eviction under
-    # the APPLIED watermark, which lags one batch behind the data (see
-    # _stage_stream_dir_with_flush) — one sentinel leaves the final
-    # lateness-window's unmatched purchases unflushed (measured: 7 rows
-    # short at sf0.01), and two sentinels sharing the last batch never
-    # get their advanced watermark applied, so a third forces the extra
-    # batch.  3 files/trigger lays the 7 files as [f0 f1 f2][f3 s0 s1]
-    # [s2] — st19's exact proven layout, one fewer batch than fpt=2's
-    # four (st19's microbatch-count lesson, VERDICT r9 item #3;
-    # same-window A/B at sf0.1: 9.02 -> 7.94 s median, identical rows,
-    # tools/stream_probe_r10.py) — while the final batch still applies
-    # the watermark batch 2's sentinels advanced.
-    src = _stage_stream_dir_with_flush(spark, sf_dir, n_sentinels=3)
-    stream = jobs.read_event_stream(spark, src, files_per_trigger=3)
+    # ONE sentinel with MARGIN, single data batch (round 11, VERDICT r10
+    # item #2).  History: r8 measured "one sentinel leaves the final
+    # lateness-window's unmatched purchases unflushed" and shipped three;
+    # re-probed in r11, that shortfall does NOT reproduce — it predated
+    # the two-rows-per-event-type sentinel fix (a view-only sentinel
+    # stalls the purchase-side watermark, and the MIN across watermark
+    # operators with it), which was the actual cause.  On this engine the
+    # no-data batch DOES evict outer-join state: [f0..f3 s0] as one
+    # fpt=5 batch, then the terminal no-data batch applies the
+    # sentinel-advanced watermark and emits every remaining null verdict
+    # (row parity vs the batch LEFT JOIN asserted at sf0.01/sf0.1/10x,
+    # tools/stream_probe_r11.py).  The sentinel sits at max(ts)+3h — one
+    # hour of margin past `lateness` — so the applied watermark strictly
+    # clears max(ts) and the boundary purchase can't straddle the
+    # eviction predicate.  2 microbatches total (was 3), 5 staged files
+    # (was 7): same-window A/B medians 4.85 -> 2.65 s at sf0.1,
+    # 4.93 -> 2.68 s at 10x, identical emitted rows (20084 / 200840).
+    src = _stage_stream_dir_with_flush(
+        spark, sf_dir, n_sentinels=1, sentinel_hours=(3,)
+    )
+    stream = jobs.read_event_stream(spark, src, files_per_trigger=5)
     with _few_state_partitions(spark):
         out = jobs.run_available_now_parquet(
             jobs.st16_attribution_left_join(stream),
