@@ -5,7 +5,9 @@ typed metadata struct; decode / feature-extraction runs as Arrow-batched
 `mapInPandas` so each Python worker sees bounded batches, never a whole
 partition.  `decode_real` REALLY decodes the formats a stdlib+numpy codec
 can honestly cover — 24-bit BMP, binary PPM (round 6), 8-bit truecolor
-PNG with zlib inflate + full scanline un-filtering (round 7), and baseline
+PNG with zlib inflate + full scanline un-filtering (round 7; all 8-bit
+color types round 10; 16-bit depth + Adam7 interlace round 11 — sub-byte
+depths remain the declared PNG seam), and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
 and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1,
 restart intervals, and PROGRESSIVE (SOF2) streams (round 10) — and
@@ -139,44 +141,44 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: channel count -> PNG color type for 8-bit images
 _PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, spec
+#: order.  Each pass is an independently-filtered sub-image; passes that
+#: are empty for a given (w, h) contribute no bytes at all (not even
+#: filter bytes).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def encode_png(img, filter_mode: str = "mixed") -> bytes:
-    """Encode an 8-bit image as a REAL PNG (zlib/DEFLATE IDAT, CRC-checked
-    chunks) with stdlib ``zlib`` + numpy only — no codec libs.  Channel
-    count picks the color type (round 10 generalization): HxW or HxWx1
-    grayscale (0), HxWx2 gray+alpha (4), HxWx3 truecolor (2), HxWx4
-    RGBA (6).
 
-    ``filter_mode="mixed"`` applies scanline filter ``y % 5`` (None, Sub,
-    Up, Average, Paeth in rotation) so a round-trip exercises every
-    un-filter path in :func:`decode_png`, not just the trivial one;
-    ``"none"`` writes filter 0 rows.  Filters operate on the bytes the
-    decoder will have reconstructed — for the encoder that IS the raw
-    image, so predictors read the raw array directly (bpp = channels
-    bytes = one pixel shift at 8 bits)."""
-    import struct
-    import zlib
-
+def _png_filter_pass(rows, filter_mode: str) -> bytearray:
+    """Filter one (sub-)image of reconstructed BYTES: ``rows`` is
+    (h, w_eff, bpp) int16 where bpp is the byte distance between
+    corresponding bytes of adjacent pixels (channels at 8-bit, 2x at
+    16-bit, 1 for palette indices).  PNG filters are byte-wise at every
+    depth, so this one helper serves 8-bit, 16-bit, palette, and every
+    Adam7 pass (each pass filters independently — ``prev`` starts at
+    zero here, per spec).  ``"mixed"`` rotates filter y % 5 so decode
+    round-trips exercise every un-filter path."""
     import numpy as np
 
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    if c not in _PNG_CTYPE:
-        raise ValueError("encode_png: expected 1/2/3/4 channels")
-    raw = img.astype(np.int16)
+    h, w, bpp = rows.shape
     scan = bytearray()
-    prev = np.zeros((w, c), np.int16)
+    prev = np.zeros((w, bpp), np.int16)
     for y in range(h):
-        row = raw[y]
+        row = rows[y]
         ft = y % 5 if filter_mode == "mixed" else 0
-        left = np.zeros((w, c), np.int16)
+        left = np.zeros((w, bpp), np.int16)
         left[1:] = row[:-1]
-        ul = np.zeros((w, c), np.int16)
+        ul = np.zeros((w, bpp), np.int16)
         ul[1:] = prev[:-1]
         if ft == 0:
-            pred = np.zeros((w, c), np.int16)
+            pred = np.zeros((w, bpp), np.int16)
         elif ft == 1:
             pred = left
         elif ft == 2:
@@ -192,6 +194,64 @@ def encode_png(img, filter_mode: str = "mixed") -> bytes:
         scan.append(ft)
         scan += ((row - pred) % 256).astype(np.uint8).tobytes()
         prev = row
+    return scan
+
+
+def _png_byte_rows(img):
+    """(h, w, c) uint8/uint16 image -> (h, w, c*sample_bytes) int16 byte
+    matrix (16-bit samples serialize big-endian, network order per spec)."""
+    import numpy as np
+
+    if img.dtype == np.uint16:
+        h, w, c = img.shape
+        return (
+            img.astype(">u2").view(np.uint8).reshape(h, w, 2 * c).astype(np.int16)
+        )
+    return img.astype(np.int16)
+
+
+def encode_png(img, filter_mode: str = "mixed", interlace: bool = False) -> bytes:
+    """Encode an 8- or 16-bit image as a REAL PNG (zlib/DEFLATE IDAT,
+    CRC-checked chunks) with stdlib ``zlib`` + numpy only — no codec
+    libs.  Channel count picks the color type: HxW or HxWx1 grayscale
+    (0), HxWx2 gray+alpha (4), HxWx3 truecolor (2), HxWx4 RGBA (6).
+    A uint16 input writes bit depth 16 (big-endian samples, round 11);
+    anything else is encoded as 8-bit.
+
+    ``filter_mode="mixed"`` applies scanline filter ``y % 5`` (None, Sub,
+    Up, Average, Paeth in rotation) so a round-trip exercises every
+    un-filter path in :func:`decode_png`, not just the trivial one;
+    ``"none"`` writes filter 0 rows.  Filters operate on the bytes the
+    decoder will have reconstructed — for the encoder that IS the raw
+    image, so predictors read the raw array directly (byte distance =
+    channels x sample bytes).
+
+    ``interlace=True`` writes Adam7 (round 11): the IDAT payload is the
+    concatenation of the 7 passes, each an independently-filtered
+    sub-image on the spec's (x0, y0, xstep, ystep) grid; empty passes
+    contribute no bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if depth == 16 else np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in _PNG_CTYPE:
+        raise ValueError("encode_png: expected 1/2/3/4 channels")
+    rows = _png_byte_rows(img)
+    if interlace:
+        scan = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = rows[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                scan += _png_filter_pass(sub, filter_mode)
+    else:
+        scan = _png_filter_pass(rows, filter_mode)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -201,7 +261,9 @@ def encode_png(img, filter_mode: str = "mixed") -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[c], 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _PNG_CTYPE[c], 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -210,7 +272,9 @@ def encode_png(img, filter_mode: str = "mixed") -> bytes:
     )
 
 
-def encode_png_palette(indexed, palette, filter_mode: str = "mixed") -> bytes:
+def encode_png_palette(
+    indexed, palette, filter_mode: str = "mixed", interlace: bool = False
+) -> bytes:
     """Encode an HxW uint8 INDEX array + an Nx3 palette as a REAL
     palettized PNG (8-bit color type 3, PLTE chunk, zlib IDAT) — round
     10\'s companion to the truecolor encoder.  Filtering follows the same
@@ -231,32 +295,14 @@ def encode_png_palette(indexed, palette, filter_mode: str = "mixed") -> bytes:
         raise ValueError("encode_png_palette: index out of palette range")
     h, w = idx.shape
     raw = idx.astype(np.int16)[:, :, None]
-    scan = bytearray()
-    prev = np.zeros((w, 1), np.int16)
-    for y in range(h):
-        row = raw[y]
-        ft = y % 5 if filter_mode == "mixed" else 0
-        left = np.zeros((w, 1), np.int16)
-        left[1:] = row[:-1]
-        ul = np.zeros((w, 1), np.int16)
-        ul[1:] = prev[:-1]
-        if ft == 0:
-            pred = np.zeros((w, 1), np.int16)
-        elif ft == 1:
-            pred = left
-        elif ft == 2:
-            pred = prev
-        elif ft == 3:
-            pred = (left + prev) // 2
-        else:  # Paeth, vectorized over the row
-            p = left + prev - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
-            )
-        scan.append(ft)
-        scan += ((row - pred) % 256).astype(np.uint8).tobytes()
-        prev = row
+    if interlace:
+        scan = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = raw[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                scan += _png_filter_pass(sub, filter_mode)
+    else:
+        scan = _png_filter_pass(raw, filter_mode)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -266,7 +312,7 @@ def encode_png_palette(indexed, palette, filter_mode: str = "mixed") -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -278,8 +324,11 @@ def encode_png_palette(indexed, palette, filter_mode: str = "mixed") -> bytes:
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
     """Reconstruct scanlines from filtered PNG payload: filter byte +
-    None/Sub/Up/Average/Paeth per row, pixel distance = ``ch`` bytes
-    (3 for truecolor, 1 for palette indices).  Returns (h, w, ch) uint8."""
+    None/Sub/Up/Average/Paeth per row, pixel byte distance = ``ch``
+    (channels x sample bytes at depth 8/16; 1 for palette indices; PNG
+    filters are byte-wise at every depth, so 16-bit rows are just wider
+    byte rows here).  Returns (h, w, ch) uint8 of reconstructed BYTES —
+    the caller reassembles 16-bit samples."""
     import numpy as np
 
     stride = ch * w
@@ -333,14 +382,17 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
 
 
 def decode_png(blob: bytes):
-    """Decode any 8-bit non-interlaced PNG — grayscale (0), truecolor
-    (2), palette (3), gray+alpha (4), RGBA (6); types beyond truecolor
-    are round 10 — into an HxWxC uint8 array (C = 1/3/2/4; palette
+    """Decode any 8- or 16-bit PNG, interlaced or not — grayscale (0),
+    truecolor (2), palette (3), gray+alpha (4), RGBA (6) — into an HxWxC
+    array (uint8 at depth 8, uint16 at depth 16; C = 1/3/2/4; palette
     resolves through PLTE to HxWx3): chunk walk with CRC verification,
     zlib inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth,
-    pixel distance = channel count).  16-bit / sub-byte depths / Adam7
-    interlace raise explicitly — the honest subset a stdlib-only codec
-    covers."""
+    pixel byte distance = channels x sample bytes).  Depth 16 (round 11)
+    reassembles big-endian byte pairs after the byte-wise un-filter;
+    Adam7 (round 11) walks the 7 passes as independently-filtered
+    sub-images on the spec grid and scatters each into place (empty
+    passes contribute no bytes).  Sub-byte depths (1/2/4) raise
+    explicitly — the remaining honest seam of this stdlib-only codec."""
     import struct
     import zlib
 
@@ -349,6 +401,7 @@ def decode_png(blob: bytes):
     if blob[:8] != _PNG_SIG:
         raise ValueError("decode_png: not a PNG stream")
     pos, idat, w, h, ctype, plte = 8, bytearray(), None, None, None, None
+    depth, inter = 8, 0
     while pos + 8 <= len(blob):
         (ln,) = struct.unpack_from(">I", blob, pos)
         # bound the declared length against the remaining stream BEFORE
@@ -367,14 +420,22 @@ def decode_png(blob: bytes):
                 ">IIBBBBB", data
             )
             # round 10: every 8-bit color type decodes — gray (0),
-            # truecolor (2), palette (3), gray+alpha (4), RGBA (6)
-            if (depth, comp, filt, inter) != (8, 0, 0, 0) or ctype not in (
-                0, 2, 3, 4, 6,
+            # truecolor (2), palette (3), gray+alpha (4), RGBA (6);
+            # round 11: depth 16 (non-palette, per spec) and Adam7
+            # interlace at both depths.  Sub-byte depths (1/2/4) are the
+            # remaining declared seam.
+            ok_depth = depth == 8 or (depth == 16 and ctype != 3)
+            if (
+                comp != 0
+                or filt != 0
+                or inter not in (0, 1)
+                or not ok_depth
+                or ctype not in (0, 2, 3, 4, 6)
             ):
                 raise NotImplementedError(
-                    "decode_png: only 8-bit non-interlaced images "
-                    f"supported (depth={depth}, color={ctype}, "
-                    f"interlace={inter})"
+                    "decode_png: unsupported parameters "
+                    f"(depth={depth}, color={ctype}, interlace={inter}) — "
+                    "sub-byte depths are the declared seam"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 256 * 3:
@@ -388,16 +449,41 @@ def decode_png(blob: bytes):
     if w is None:
         raise ValueError("decode_png: missing IHDR")
     raw = zlib.decompress(bytes(idat))
+    # byte distance between corresponding bytes of adjacent pixels:
+    # channels (gray 1, truecolor 3, gray+alpha 2, RGBA 4, palette
+    # indices 1) x sample bytes (1 at depth 8, 2 at depth 16)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = nch * (depth // 8)
+    if inter == 0:
+        rec = _png_unfilter(raw, w, h, bpp)
+    else:
+        rec = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+            ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass: zero bytes, not even filter bytes
+            n = ph * (1 + pw * bpp)
+            if off + n > len(raw):
+                raise ValueError("decode_png: scanline payload size mismatch")
+            rec[y0::ys, x0::xs] = _png_unfilter(raw[off : off + n], pw, ph, bpp)
+            off += n
+        if off != len(raw):
+            raise ValueError("decode_png: scanline payload size mismatch")
+    if depth == 16:
+        # reassemble big-endian sample pairs from the un-filtered bytes
+        rec = (
+            rec.reshape(h, w, nch, 2).astype(np.uint16)[..., 0] << 8
+        ) | rec.reshape(h, w, nch, 2)[..., 1]
     if ctype == 3:
         if plte is None:
             raise ValueError("decode_png: palette image without PLTE chunk")
-        idx = _png_unfilter(raw, w, h, 1)[:, :, 0]
+        idx = rec[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("decode_png: palette index out of range")
         return plte[idx]
-    # channel count per color type: gray 1, truecolor 3, gray+alpha 2,
-    # RGBA 4 — the un-filter pixel distance is the channel count at 8-bit
-    return _png_unfilter(raw, w, h, {0: 1, 2: 3, 4: 2, 6: 4}[ctype])
+    return rec
 
 
 def resize_nearest(img, width: int, height: int):

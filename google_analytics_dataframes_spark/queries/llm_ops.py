@@ -1339,6 +1339,21 @@ def l64_png_roundtrip(spark, sf_dir):
                     raise ValueError(
                         f"PNG round-trip mismatch for doc {d}"
                     )
+                # round 11: the Adam7 and 16-bit paths execute IN-TASK on
+                # the same per-doc image (alternating interlace by doc
+                # parity); any regression kills the row and with it the
+                # driver's row-count check — the emitted columns and the
+                # oracle are unchanged.
+                if not np.array_equal(
+                    M.decode_png(M.encode_png(img, interlace=True)), img
+                ):
+                    raise ValueError(f"Adam7 round-trip mismatch for doc {d}")
+                img16 = (img.astype(np.uint16) << 8) | (d % 256)
+                if not np.array_equal(
+                    M.decode_png(M.encode_png(img16, interlace=d % 2 == 0)),
+                    img16,
+                ):
+                    raise ValueError(f"PNG16 round-trip mismatch for doc {d}")
                 n_filters = len({yy % 5 for yy in range(h)})
                 rows.append(
                     (d, w, h, w * h * 3, n_filters, int(img.sum()))

@@ -197,16 +197,56 @@ def test_multimodal_png_roundtrip_known_answer():
         outc = M.decode_png(M.encode_png(imc))
         assert outc.shape == (11, 6, ch) and np.array_equal(outc, imc), ch
 
-    # 16-bit depth stays outside the honest subset
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    # round 11: 16-BIT depth round-trips (big-endian sample pairs over
+    # the same byte-wise filters) for every non-palette color type, and
+    # ADAM7 INTERLACE round-trips at both depths — including dimensions
+    # where several passes are empty (1xN, Nx1, under-8 sizes), which
+    # per spec contribute zero bytes.  uint16 in -> uint16 out.
+    for ch in (1, 2, 3, 4):
+        im16 = rs.randint(0, 65536, (13, 11, ch)).astype(np.uint16)
+        o16 = M.decode_png(M.encode_png(im16))
+        assert o16.dtype == np.uint16 and np.array_equal(o16, im16), ch
+    for hh, ww in ((13, 11), (8, 8), (1, 9), (5, 1), (3, 3)):
+        i8 = rs.randint(0, 256, (hh, ww, 3)).astype(np.uint8)
+        i16 = rs.randint(0, 65536, (hh, ww, 3)).astype(np.uint16)
+        assert np.array_equal(M.decode_png(M.encode_png(i8, interlace=True)), i8)
+        assert np.array_equal(
+            M.decode_png(M.encode_png(i16, interlace=True)), i16
+        ), (hh, ww)
+    # interlaced palette PNG resolves through PLTE identically
+    assert np.array_equal(
+        M.decode_png(M.encode_png_palette(idx8, pal8, interlace=True)),
+        pal8[idx8],
     )
-    with pytest.raises(NotImplementedError):
-        M.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+    # a truncated interlaced payload fails as the documented ValueError
+    il_png = M.encode_png(big, interlace=True)
+    raw_full = zlib.decompress(
+        il_png[il_png.find(b"IDAT") + 4 : il_png.rfind(b"IEND") - 8]
+    )
+    short = zlib.compress(raw_full[:-3])
+
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    hacked = (
+        il_png[: il_png.find(b"IDAT") - 4]
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="payload size mismatch"):
+        M.decode_png(hacked)
+
+    # sub-byte depths and 16-bit PALETTE (invalid per spec) remain the
+    # declared seams
+    for depth, ct in ((4, 0), (2, 0), (1, 0), (16, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
+        with pytest.raises(NotImplementedError):
+            M.decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr))
 
 
 def test_multimodal_jpeg_roundtrip_known_answer():

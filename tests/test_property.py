@@ -290,6 +290,15 @@ def test_lossless_codecs_roundtrip_arbitrary_images(img):
     assert np.array_equal(M.decode_bmp(M.encode_bmp(rgb)), rgb)
     assert np.array_equal(M.decode_ppm(M.encode_ppm(rgb)), rgb)
     assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
+    # round 11: Adam7 interlace and 16-bit depth are lossless on the
+    # same arbitrary input space (pass geometry exercises every empty/
+    # partial pass as dimensions shrink toward 1)
+    assert np.array_equal(M.decode_png(M.encode_png(rgb, interlace=True)), rgb)
+    rgb16 = (rgb.astype(np.uint16) << 8) | rgb[:, :, ::-1].astype(np.uint16)
+    assert np.array_equal(M.decode_png(M.encode_png(rgb16)), rgb16)
+    assert np.array_equal(
+        M.decode_png(M.encode_png(rgb16, interlace=True)), rgb16
+    )
     i = np.arange(256, dtype=np.int64)
     pal = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1)
     idx = rgb[:, :, 0]  # arbitrary byte plane as the indexed image
