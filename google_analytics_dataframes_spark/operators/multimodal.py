@@ -6,8 +6,9 @@ typed metadata struct; decode / feature-extraction runs as Arrow-batched
 partition.  `decode_real` REALLY decodes the formats a stdlib+numpy codec
 can honestly cover — 24-bit BMP, binary PPM (round 6), 8-bit truecolor
 PNG with zlib inflate + full scanline un-filtering (round 7; all 8-bit
-color types round 10; 16-bit depth + Adam7 interlace round 11 — sub-byte
-depths remain the declared PNG seam), and baseline
+color types round 10; 16-bit depth, Adam7 interlace AND sub-byte 1/2/4-bit
+depths round 11 — the FULL spec depth/color matrix, no PNG seam remains),
+and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
 and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1,
 restart intervals, and PROGRESSIVE (SOF2) streams (round 10) — and
@@ -210,7 +211,32 @@ def _png_byte_rows(img):
     return img.astype(np.int16)
 
 
-def encode_png(img, filter_mode: str = "mixed", interlace: bool = False) -> bytes:
+#: sub-byte gray depth -> 8-bit scale factor (255/(2^d - 1), exact)
+_PNG_SUBBYTE_SCALE = {1: 255, 2: 85, 4: 17}
+
+
+def _png_pack_bits(samples, depth: int):
+    """Pack a (h, w) sample grid (values < 2^depth) into PNG's MSB-first
+    sub-byte scanline bytes: (h, row_bytes, 1) int16, each row
+    zero-padded to a whole byte per spec.  Serves both the gray 1/2/4-bit
+    and palette 1/2/4-bit encoders, full image or any Adam7 pass."""
+    import numpy as np
+
+    h, w = samples.shape
+    bitplane = (
+        (samples[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1))
+        & 1
+    ).astype(np.uint8)
+    packed = np.packbits(bitplane.reshape(h, w * depth), axis=1)
+    return packed[:, :, None].astype(np.int16)
+
+
+def encode_png(
+    img,
+    filter_mode: str = "mixed",
+    interlace: bool = False,
+    depth: int = None,
+) -> bytes:
     """Encode an 8- or 16-bit image as a REAL PNG (zlib/DEFLATE IDAT,
     CRC-checked chunks) with stdlib ``zlib`` + numpy only — no codec
     libs.  Channel count picks the color type: HxW or HxWx1 grayscale
@@ -229,29 +255,63 @@ def encode_png(img, filter_mode: str = "mixed", interlace: bool = False) -> byte
     ``interlace=True`` writes Adam7 (round 11): the IDAT payload is the
     concatenation of the 7 passes, each an independently-filtered
     sub-image on the spec's (x0, y0, xstep, ystep) grid; empty passes
-    contribute no bytes."""
+    contribute no bytes.
+
+    ``depth=1/2/4`` (round 11) writes SUB-BYTE grayscale: the input must
+    be single-channel uint8 whose values sit on the spec's scaled grid
+    (multiples of 255/(2^d - 1): 255, 85, 17), which is exactly what
+    :func:`decode_png` emits for such streams — samples pack MSB-first
+    with each scanline zero-padded to a whole byte, and the filter byte
+    distance is 1."""
     import struct
     import zlib
 
     import numpy as np
 
     img = np.asarray(img)
-    depth = 16 if img.dtype == np.uint16 else 8
-    img = img.astype(np.uint16 if depth == 16 else np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    if c not in _PNG_CTYPE:
-        raise ValueError("encode_png: expected 1/2/3/4 channels")
-    rows = _png_byte_rows(img)
-    if interlace:
-        scan = bytearray()
-        for x0, y0, xs, ys in _ADAM7:
-            sub = rows[y0::ys, x0::xs]
-            if sub.shape[0] and sub.shape[1]:
-                scan += _png_filter_pass(sub, filter_mode)
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
+    if depth in (1, 2, 4):
+        img = img.astype(np.uint8)
+        if img.ndim == 3:
+            if img.shape[2] != 1:
+                raise ValueError("encode_png: sub-byte depth is grayscale-only")
+            img = img[:, :, 0]
+        scale = _PNG_SUBBYTE_SCALE[depth]
+        if (img % scale).any():
+            raise ValueError(
+                f"encode_png: depth-{depth} gray samples must be multiples "
+                f"of {scale} (the 8-bit image of a {depth}-bit stream)"
+            )
+        samples, c, h, w = img // scale, 1, *img.shape
+        if interlace:
+            scan = bytearray()
+            for x0, y0, xs, ys in _ADAM7:
+                sub = samples[y0::ys, x0::xs]
+                if sub.shape[0] and sub.shape[1]:
+                    scan += _png_filter_pass(
+                        _png_pack_bits(sub, depth), filter_mode
+                    )
+        else:
+            scan = _png_filter_pass(_png_pack_bits(samples, depth), filter_mode)
+    elif depth in (8, 16):
+        img = img.astype(np.uint16 if depth == 16 else np.uint8)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        if c not in _PNG_CTYPE:
+            raise ValueError("encode_png: expected 1/2/3/4 channels")
+        rows = _png_byte_rows(img)
+        if interlace:
+            scan = bytearray()
+            for x0, y0, xs, ys in _ADAM7:
+                sub = rows[y0::ys, x0::xs]
+                if sub.shape[0] and sub.shape[1]:
+                    scan += _png_filter_pass(sub, filter_mode)
+        else:
+            scan = _png_filter_pass(rows, filter_mode)
     else:
-        scan = _png_filter_pass(rows, filter_mode)
+        raise ValueError(f"encode_png: invalid bit depth {depth}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -262,7 +322,14 @@ def encode_png(img, filter_mode: str = "mixed", interlace: bool = False) -> byte
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, depth, _PNG_CTYPE[c], 0, 0, 1 if interlace else 0
+        ">IIBBBBB",
+        w,
+        h,
+        depth,
+        0 if depth in (1, 2, 4) else _PNG_CTYPE[c],
+        0,
+        0,
+        1 if interlace else 0,
     )
     return (
         _PNG_SIG
@@ -273,7 +340,11 @@ def encode_png(img, filter_mode: str = "mixed", interlace: bool = False) -> byte
 
 
 def encode_png_palette(
-    indexed, palette, filter_mode: str = "mixed", interlace: bool = False
+    indexed,
+    palette,
+    filter_mode: str = "mixed",
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Encode an HxW uint8 INDEX array + an Nx3 palette as a REAL
     palettized PNG (8-bit color type 3, PLTE chunk, zlib IDAT) — round
@@ -293,16 +364,28 @@ def encode_png_palette(
         raise ValueError("encode_png_palette: palette must be Nx3, N<=256")
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("encode_png_palette: index out of palette range")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"encode_png_palette: invalid palette depth {depth}")
+    if depth < 8 and int(idx.max(initial=0)) >= (1 << depth):
+        raise ValueError(
+            f"encode_png_palette: index out of depth-{depth} range"
+        )
     h, w = idx.shape
-    raw = idx.astype(np.int16)[:, :, None]
+
+    def pass_rows(sub):
+        # depth 8: one index byte per pixel; 1/2/4: MSB-first packed
+        if depth == 8:
+            return sub.astype(np.int16)[:, :, None]
+        return _png_pack_bits(sub, depth)
+
     if interlace:
         scan = bytearray()
         for x0, y0, xs, ys in _ADAM7:
-            sub = raw[y0::ys, x0::xs]
+            sub = idx[y0::ys, x0::xs]
             if sub.shape[0] and sub.shape[1]:
-                scan += _png_filter_pass(sub, filter_mode)
+                scan += _png_filter_pass(pass_rows(sub), filter_mode)
     else:
-        scan = _png_filter_pass(raw, filter_mode)
+        scan = _png_filter_pass(pass_rows(idx), filter_mode)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -312,7 +395,7 @@ def encode_png_palette(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -382,17 +465,20 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
 
 
 def decode_png(blob: bytes):
-    """Decode any 8- or 16-bit PNG, interlaced or not — grayscale (0),
-    truecolor (2), palette (3), gray+alpha (4), RGBA (6) — into an HxWxC
-    array (uint8 at depth 8, uint16 at depth 16; C = 1/3/2/4; palette
-    resolves through PLTE to HxWx3): chunk walk with CRC verification,
-    zlib inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth,
-    pixel byte distance = channels x sample bytes).  Depth 16 (round 11)
-    reassembles big-endian byte pairs after the byte-wise un-filter;
-    Adam7 (round 11) walks the 7 passes as independently-filtered
-    sub-images on the spec grid and scatters each into place (empty
-    passes contribute no bytes).  Sub-byte depths (1/2/4) raise
-    explicitly — the remaining honest seam of this stdlib-only codec."""
+    """Decode ANY spec-valid PNG — every depth/color combination the
+    standard defines (gray 1/2/4/8/16, palette 1/2/4/8, truecolor /
+    gray+alpha / RGBA 8/16), interlaced or not — into an HxWxC array
+    (uint16 at depth 16, else uint8; C = 1/3/2/4; palette resolves
+    through PLTE to HxWx3; sub-byte gray scales to 8-bit by the spec's
+    exact 255/(2^d - 1) factor): chunk walk with CRC verification, zlib
+    inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth, byte
+    distance = ceil(bits-per-pixel/8)).  Depth 16 (round 11) reassembles
+    big-endian byte pairs after the byte-wise un-filter; Adam7 (round
+    11) walks the 7 passes as independently-filtered sub-images on the
+    spec grid and scatters each into place (empty passes contribute no
+    bytes); sub-byte rows (round 11) unpack MSB-first from
+    byte-padded scanlines.  Spec-invalid combinations raise ValueError —
+    no NotImplementedError seam remains in this codec."""
     import struct
     import zlib
 
@@ -421,21 +507,27 @@ def decode_png(blob: bytes):
             )
             # round 10: every 8-bit color type decodes — gray (0),
             # truecolor (2), palette (3), gray+alpha (4), RGBA (6);
-            # round 11: depth 16 (non-palette, per spec) and Adam7
-            # interlace at both depths.  Sub-byte depths (1/2/4) are the
-            # remaining declared seam.
-            ok_depth = depth == 8 or (depth == 16 and ctype != 3)
+            # round 11: depth 16, Adam7 interlace, AND sub-byte depths
+            # (1/2/4 gray + palette) — the FULL spec depth/color matrix,
+            # so any rejected combination is spec-invalid (ValueError),
+            # not unimplemented.
+            ok_depth = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
             if (
                 comp != 0
                 or filt != 0
                 or inter not in (0, 1)
-                or not ok_depth
-                or ctype not in (0, 2, 3, 4, 6)
+                or ctype not in ok_depth
+                or depth not in ok_depth[ctype]
             ):
-                raise NotImplementedError(
-                    "decode_png: unsupported parameters "
-                    f"(depth={depth}, color={ctype}, interlace={inter}) — "
-                    "sub-byte depths are the declared seam"
+                raise ValueError(
+                    "decode_png: invalid IHDR parameters "
+                    f"(depth={depth}, color={ctype}, interlace={inter})"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 256 * 3:
@@ -449,25 +541,45 @@ def decode_png(blob: bytes):
     if w is None:
         raise ValueError("decode_png: missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    # byte distance between corresponding bytes of adjacent pixels:
-    # channels (gray 1, truecolor 3, gray+alpha 2, RGBA 4, palette
-    # indices 1) x sample bytes (1 at depth 8, 2 at depth 16)
+    # bits per pixel = channels (gray 1, truecolor 3, gray+alpha 2, RGBA
+    # 4, palette indices 1) x depth; the filter byte distance is
+    # ceil(bits/8) floored at 1 (spec: sub-byte pixels filter at
+    # distance 1 over the PACKED bytes, each scanline zero-padded to a
+    # whole byte)
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bpp = nch * (depth // 8)
+    bits = nch * depth
+    fbpp = max(1, bits // 8)
+
+    def unfilter_block(seg, pw, ph):
+        """One (sub-)image -> (ph, pw, k) where k = bytes per pixel at
+        depth>=8, else 1 unpacked sub-byte sample per pixel."""
+        row_bytes = (pw * bits + 7) // 8
+        rec = _png_unfilter(seg, row_bytes // fbpp, ph, fbpp).reshape(
+            ph, row_bytes
+        )
+        if depth >= 8:
+            return rec.reshape(ph, pw, bits // 8)
+        plane = np.unpackbits(rec, axis=1)[:, : pw * depth].reshape(
+            ph, pw, depth
+        )
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (plane * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+    k = bits // 8 if depth >= 8 else 1
     if inter == 0:
-        rec = _png_unfilter(raw, w, h, bpp)
+        rec = unfilter_block(raw, w, h)
     else:
-        rec = np.zeros((h, w, bpp), np.uint8)
+        rec = np.zeros((h, w, k), np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs if w > x0 else 0
             ph = (h - y0 + ys - 1) // ys if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass: zero bytes, not even filter bytes
-            n = ph * (1 + pw * bpp)
+            n = ph * (1 + (pw * bits + 7) // 8)
             if off + n > len(raw):
                 raise ValueError("decode_png: scanline payload size mismatch")
-            rec[y0::ys, x0::xs] = _png_unfilter(raw[off : off + n], pw, ph, bpp)
+            rec[y0::ys, x0::xs] = unfilter_block(raw[off : off + n], pw, ph)
             off += n
         if off != len(raw):
             raise ValueError("decode_png: scanline payload size mismatch")
@@ -483,6 +595,9 @@ def decode_png(blob: bytes):
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("decode_png: palette index out of range")
         return plte[idx]
+    if depth < 8:
+        # spec sample scaling to 8-bit: 255/(2^d - 1) is exact for 1/2/4
+        rec = rec * np.uint8(_PNG_SUBBYTE_SCALE[depth])
     return rec
 
 

@@ -241,11 +241,41 @@ def test_multimodal_png_roundtrip_known_answer():
     with pytest.raises(ValueError, match="payload size mismatch"):
         M.decode_png(hacked)
 
-    # sub-byte depths and 16-bit PALETTE (invalid per spec) remain the
-    # declared seams
-    for depth, ct in ((4, 0), (2, 0), (1, 0), (16, 3)):
+    # round 11b: SUB-BYTE depths close the last PNG seam — gray 1/2/4
+    # (values on the exact 255/(2^d-1) grid round-trip through MSB-first
+    # packed scanlines) and palette 1/2/4 (indices < 2^d), interlaced
+    # and not.  Widths straddle byte boundaries so row padding executes.
+    for d in (1, 2, 4):
+        sc = {1: 255, 2: 85, 4: 17}[d]
+        g = (rs.randint(0, 1 << d, (7, 13)) * sc).astype(np.uint8)
+        for il in (False, True):
+            o = M.decode_png(M.encode_png(g, interlace=il, depth=d))
+            assert o.shape == (7, 13, 1) and np.array_equal(o[:, :, 0], g), (
+                d, il,
+            )
+        pal_d = rs.randint(0, 256, (1 << d, 3)).astype(np.uint8)
+        idx_d = rs.randint(0, 1 << d, (9, 11)).astype(np.uint8)
+        for il in (False, True):
+            assert np.array_equal(
+                M.decode_png(
+                    M.encode_png_palette(idx_d, pal_d, interlace=il, depth=d)
+                ),
+                pal_d[idx_d],
+            ), (d, il)
+    # off-grid sub-byte samples and over-depth palette indices are
+    # encode-time errors
+    with pytest.raises(ValueError, match="multiples"):
+        M.encode_png(np.full((2, 2), 3, np.uint8), depth=2)
+    with pytest.raises(ValueError, match="out of depth"):
+        M.encode_png_palette(np.full((2, 2), 4, np.uint8), pal8, depth=2)
+
+    # the full spec depth/color matrix decodes, so any rejected combo is
+    # SPEC-INVALID -> ValueError (16-bit palette, depth 3, sub-byte
+    # truecolor/RGBA, unknown color type); no NotImplementedError
+    # remains in the PNG codec
+    for depth, ct in ((16, 3), (3, 0), (4, 2), (2, 6), (8, 1)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="invalid IHDR"):
             M.decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr))
 
 
