@@ -2248,6 +2248,136 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     )
 
 
+#: IMA/DVI ADPCM tables (public spec: IMA Digital Audio Pack, also the
+#: values in Microsoft's WAVE format 0x0011 documentation)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(predictor: int, index: int, nibble: int):
+    """One IMA ADPCM state transition (shared by encoder and decoder so
+    both sides run the IDENTICAL integer arithmetic): reconstruct the
+    difference from the 4-bit code at the current step size, update and
+    clamp the predictor, then adapt the step index."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return predictor, index
+
+
+def encode_wav_adpcm(samples, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM — (n,) mono or (n, ch) — as a RIFF/WAVE IMA ADPCM
+    stream (wFormatTag 0x0011, round 11; was the declared audio seam):
+    4-bit codes at ~4:1 compression, block_align = 256*ch so every block
+    carries 505 samples per channel (4-byte per-channel block header =
+    predictor int16 + step index + reserved, then channel-interleaved
+    4-byte nibble words, LOW nibble first).  A `fact` chunk records the
+    true sample count so the decoder trims final-block padding exactly.
+    ADPCM is lossy by design — the companion test asserts tracking error
+    bounds, not identity."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples).astype(np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("encode_wav_adpcm: empty input")
+    block_align = 256 * ch
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block: 505
+    data = bytearray()
+    for b0 in range(0, n, spb):
+        blk = s[b0 : b0 + spb]
+        if blk.shape[0] < spb:  # pad the final block with its last frame
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - blk.shape[0], 0)])
+        preds = [int(blk[0, c]) for c in range(ch)]
+        # the header re-seeds predictor+index per block, so any index
+        # choice is spec-valid; 0 keeps the stream deterministic and
+        # self-contained (no cross-block encoder state)
+        idxs = [0] * ch
+        for c in range(ch):
+            data += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles = [[] for _ in range(ch)]
+        for i in range(1, spb):
+            for c in range(ch):
+                sample = int(blk[i, c])
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = sample - preds[c]
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], code)
+                nibbles[c].append(code)
+        # (spb - 1) = 504 nibbles per channel = 63 4-byte words; channel
+        # words interleave per spec: ch0 word, ch1 word, ...
+        words = [
+            [
+                bytes(
+                    (nibs[w * 8 + 2 * j] | (nibs[w * 8 + 2 * j + 1] << 4))
+                    for j in range(4)
+                )
+                for w in range(len(nibs) // 8)
+            ]
+            for nibs in nibbles
+        ]
+        for w in range(len(words[0])):
+            for c in range(ch):
+                data += words[c][w]
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        ch,
+        sample_rate,
+        sample_rate * block_align // spb,  # avg bytes/sec (approximate)
+        block_align,
+        4,  # bits per (coded) sample
+        2,  # cbSize
+        spb,  # wSamplesPerBlock
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + bytes(data)
+    )
+
+
 def decode_wav(blob: bytes) -> dict:
     """Decode a RIFF/WAVE stream: chunk walk (unknown chunks like LIST are
     skipped per the RIFF spec, including odd-length padding); 8/16/24/32-
@@ -2263,7 +2393,7 @@ def decode_wav(blob: bytes) -> dict:
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE stream")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_raw, fact_n = 12, None, None, b"", None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", blob, pos + 4)
@@ -2271,6 +2401,9 @@ def decode_wav(blob: bytes) -> dict:
             raise ValueError("decode_wav: truncated chunk")
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+            fmt_raw = blob[pos + 8 : pos + 8 + ln]
+        elif cid == b"fact" and ln >= 4:
+            (fact_n,) = struct.unpack_from("<I", blob, pos + 8)
         elif cid == b"data":
             data = blob[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # RIFF pads odd chunks to even offsets
@@ -2304,10 +2437,49 @@ def decode_wav(blob: bytes) -> dict:
             raise NotImplementedError(
                 f"decode_wav: unsupported float width ({bits}-bit)"
             )
+    elif audio_fmt == 0x11:  # IMA/DVI ADPCM (round 11; was the seam)
+        if bits != 4:
+            raise ValueError(f"decode_wav: IMA ADPCM must be 4-bit, got {bits}")
+        if len(fmt_raw) < 20:
+            raise ValueError("decode_wav: IMA ADPCM fmt missing wSamplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt_raw, 18)
+        block_align = _balign
+        if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+            raise ValueError("decode_wav: bad IMA ADPCM block align")
+        if spb != (block_align - 4 * ch) * 2 // ch + 1:
+            raise ValueError("decode_wav: IMA ADPCM samples/block mismatch")
+        if len(data) % block_align:
+            raise ValueError("decode_wav: IMA ADPCM data not block-aligned")
+        out_rows = []
+        for boff in range(0, len(data), block_align):
+            preds, idxs = [], []
+            for c in range(ch):
+                p, ix, _r = struct.unpack_from("<hBB", data, boff + 4 * c)
+                if ix > 88:
+                    raise ValueError("decode_wav: IMA ADPCM step index > 88")
+                preds.append(p)
+                idxs.append(ix)
+            # header predictor IS sample 0 of the block
+            block = [[preds[c]] for c in range(ch)]
+            body = data[boff + 4 * ch : boff + block_align]
+            # channel-interleaved 4-byte words, LOW nibble first
+            n_words = len(body) // (4 * ch)
+            for w in range(n_words):
+                for c in range(ch):
+                    word = body[(w * ch + c) * 4 : (w * ch + c) * 4 + 4]
+                    for byte in word:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                            block[c].append(preds[c])
+            for i in range(spb):
+                out_rows.append([block[c][i] for c in range(ch)])
+        s = np.asarray(out_rows, np.int16).reshape(-1)
+        if fact_n is not None:
+            s = s.reshape(-1, ch)[:fact_n].reshape(-1)
     else:
         raise NotImplementedError(
-            f"decode_wav: only integer (1) and IEEE-float (3) PCM "
-            f"supported (format {audio_fmt}, {bits}-bit)"
+            f"decode_wav: only integer (1), IEEE-float (3) and IMA ADPCM "
+            f"(0x11) supported (format {audio_fmt}, {bits}-bit)"
         )
     if ch > 1:
         s = s.reshape(-1, ch)

@@ -1527,9 +1527,10 @@ def l68_wav_roundtrip(spark, sf_dir):
     sample moves a feature off its closed form and hash-fails the row.
 
     Scale shape: identical to l63/l64/l67 — per-row Arrow-batched compute
-    on the scan, no shuffle.  Float WAV / ADPCM / other bit depths raise
-    the honest NotImplementedError seam (decode_wav); video remains the
-    one fully-stubbed modality."""
+    on the scan, no shuffle.  The IMA ADPCM leg (round 11) runs the lossy
+    4-bit codec in-task under a tracking bound; MS ADPCM (format 2) and
+    odd bit widths raise the honest NotImplementedError seam (decode_wav);
+    video remains the one fully-stubbed modality."""
     import numpy as np
 
     def per_batch(batches):
@@ -1550,6 +1551,26 @@ def l68_wav_roundtrip(spark, sf_dir):
                 ):
                     raise ValueError(
                         f"WAV round-trip mismatch for doc {d}"
+                    )
+                # round 11: the IMA ADPCM path executes IN-TASK on the
+                # same per-doc signal (lossy codec -> tracking-bound
+                # assertion + exact length/rate; any structural
+                # regression kills the row and the driver's row count).
+                # The emitted columns and the oracle are unchanged.
+                da = M.decode_wav(M.encode_wav_adpcm(s, rate))
+                if (
+                    da["sample_rate"] != rate
+                    or da["n_samples"] != n
+                    or int(
+                        np.abs(
+                            da["samples"][:, 0].astype(np.int32)
+                            - s.astype(np.int32)
+                        ).max()
+                    )
+                    > 2100
+                ):
+                    raise ValueError(
+                        f"ADPCM round-trip out of bounds for doc {d}"
                     )
                 v = dec["samples"][:, 0].astype(np.int64)
                 rows.append(

@@ -578,7 +578,7 @@ def test_multimodal_wav_roundtrip_known_answer():
     assert out8["samples"].dtype == np.uint8
     assert list(out8["samples"][:, 0]) == [0, 255, 128, 7]
 
-    # honest seams: ADPCM (format 2), 16-bit float, 12-bit int raise
+    # honest seams: MS ADPCM (format 2), 16-bit float, 12-bit int raise
     with pytest.raises(NotImplementedError, match="PCM"):
         M.decode_wav(raw_wav(2, 4, b"\x00\x00"))
     with pytest.raises(NotImplementedError, match="float width"):
@@ -587,6 +587,37 @@ def test_multimodal_wav_roundtrip_known_answer():
         M.decode_wav(raw_wav(1, 12, b"\x00\x00"))
     with pytest.raises(ValueError):
         M.decode_wav(wav[:30])
+
+    # round 11: IMA/DVI ADPCM (format 0x11) decodes for real — was the
+    # declared audio seam.  (a) a constant signal reconstructs EXACTLY
+    # (block header seeds the predictor at sample 0, all-zero nibbles
+    # hold it); (b) a moderate sine tracks within the quantizer's
+    # adaptation bound, mono and stereo, across block boundaries;
+    # (c) the fact chunk trims final-block padding to the exact input
+    # length for lengths straddling the 505-sample block; (d) malformed
+    # streams (step index > 88, misaligned data) raise ValueError.
+    const = np.full(1200, -1234, np.int16)
+    dc = M.decode_wav(M.encode_wav_adpcm(const, 8000))
+    assert dc["sample_rate"] == 8000 and dc["n_samples"] == 1200
+    assert np.array_equal(dc["samples"][:, 0], const)
+    tt = np.arange(3000)
+    sine = (8000 * np.sin(2 * np.pi * tt / 200)).astype(np.int16)
+    for sig in (sine, np.stack([sine, (sine // 2).astype(np.int16)], 1)):
+        ds = M.decode_wav(M.encode_wav_adpcm(sig, 22050))
+        ref = sig[:, None] if sig.ndim == 1 else sig
+        assert ds["n_samples"] == 3000
+        err = np.abs(
+            ds["samples"].astype(np.int32) - ref.astype(np.int32)
+        ).max()
+        assert err < 2000, err
+    for n in (1, 504, 505, 506, 1011):
+        xs = (1000 * np.sin(np.arange(n) / 10)).astype(np.int16)
+        assert M.decode_wav(M.encode_wav_adpcm(xs))["n_samples"] == n
+    ab = bytearray(M.encode_wav_adpcm(sine))
+    data_at = bytes(ab).find(b"data")
+    ab[data_at + 8 + 2] = 99  # block-0 step index 99 > 88
+    with pytest.raises(ValueError, match="step index"):
+        M.decode_wav(bytes(ab))
 
 
 def test_multimodal_resize_nearest_known_answer():
