@@ -167,7 +167,16 @@ def knn_join_blocked(emb: DataFrame, k: int = 3) -> DataFrame:
         sims = (m @ m.T) / np.outer(norms, norms)
         np.fill_diagonal(sims, -np.inf)
         kk = min(k, n - 1)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        # Rank at EMITTED precision (round 11): ordering on the raw
+        # float64 cosine let a 1-ulp summation-order skew between
+        # numpy's pairwise matmul and DuckDB's sequential fold flip
+        # near-tied neighbors at the 10x synth (6/60 000 cells).  The
+        # rank key is the 4dp-rounded cosine — the value the row
+        # emits — with the neighbor_id tie-break, so rank is a pure
+        # function of emitted values and both engines agree at any
+        # scale.  l3/l14/l39 already order on their rounded cos; this
+        # aligns l4 with the family contract.
+        order = np.argsort(-np.round(sims, 4), axis=1, kind="stable")[:, :kk]
         cos_flat = sims[np.arange(n)[:, None], order].ravel()
         return pd.DataFrame(
             {

@@ -482,7 +482,8 @@ def l3_topk_cosine(spark, sf_dir):
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
     r AS (SELECT label, vec_id, neighbor_id, c,
                  row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY c DESC, neighbor_id) AS rank
+                                    ORDER BY round(c, 4) DESC, neighbor_id)
+                   AS rank
           FROM p)
     SELECT CAST(label AS INTEGER) AS label, vec_id, neighbor_id,
            round(c, 4) AS cos, CAST(rank AS INTEGER) AS rank
@@ -493,13 +494,16 @@ def l4_knn_join(spark, sf_dir):
     """Blocked k-NN self-join (float64 numpy matmul per label block via
     applyInPandas), with a full SQL twin (upgraded from rows-only in round
     5): the oracle recomputes every within-label pair's cosine and ranks
-    by (cos DESC, neighbor_id).  Cross-engine rank stability holds because
-    the only exact cosine ties in the corpus come from planted duplicate
-    vectors — identical inputs give identical per-engine dot products, so
-    BOTH engines fall through to the neighbor_id tiebreak — while distinct
-    vectors' cosines differ by far more than the ~1e-15 summation-order
-    skew between numpy's pairwise matmul and DuckDB's sequential
-    list_dot_product fold; emitted cos is rounded to 4dp (the l14
+    by (round(cos, 4) DESC, neighbor_id) — rank at EMITTED precision
+    (round 11), so rank is a pure function of the values the row carries
+    and the 1-ulp summation-order skew between numpy's pairwise matmul
+    and DuckDB's sequential fold can no longer flip near-tied neighbors
+    (it did at the 10x synth: 6/60 000 cells under the raw-cos order;
+    l3/l14/l39 already ranked on their rounded cos).  Residual
+    cross-engine risk is only a cosine sitting exactly on a 0.00005
+    rounding boundary — the same class the emitted-value contract already
+    carries.  Exact and rounded ties fall through to the neighbor_id
+    tiebreak on both engines; emitted cos is rounded to 4dp (the l14
     contract).  Invariants additionally tested in
     tests/test_dedup_similarity.py test_knn_join_neighbors_within_label."""
     return S.knn_join_blocked(T(spark, sf_dir, "embeddings"), k=3)

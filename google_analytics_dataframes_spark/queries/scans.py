@@ -245,9 +245,16 @@ def s9_binaryfile_source(spark, sf_dir):
     via DuckDB's read_blob; the oracle is a CALLABLE that formats the
     glob from the sf_dir under check, so cross-sf sweeps compare it
     instead of skipping (previously the literal path pinned sf0.01)."""
+    # recursiveFileLookup (round 11): a Spark-WRITTEN dataset is a
+    # directory of part files per table — without it the non-recursive
+    # listing returns 0 rows on such layouts (the 10x synth), silently
+    # diverging from the oracle's per-entry dir expansion.  On flat
+    # layouts (the sf* test dirs) recursive and plain listings are
+    # identical, and pathGlobFilter keeps _SUCCESS markers out.
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .load(sf_dir)
     )
     return files.select(
