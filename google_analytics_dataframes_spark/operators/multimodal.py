@@ -11,11 +11,14 @@ depths round 11 — the FULL spec depth/color matrix, no PNG seam remains),
 and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
 and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1,
-restart intervals, and PROGRESSIVE (SOF2) streams (round 10) — and
-raises NotImplementedError for audio/video formats, which need libs this
-container does not ship; `fake_decode_features` keeps a deterministic
-stand-in for those.  The Spark-side plumbing — schema, batch shape,
-partition flow — is real and oracle-testable either way.
+restart intervals, and PROGRESSIVE (SOF2) streams (round 10).  Audio
+decodes for real via decode_wav (integer/float PCM + IMA ADPCM, round 11)
+and video via decode_avi (uncompressed-DIB AVI container, round 11);
+the remaining declared seams are arithmetic-coded/12-bit JPEG, MS ADPCM
+(format 2), and codec'd (entropy-coded) video streams, which need libs
+this container does not ship; `fake_decode_features` keeps a
+deterministic stand-in for those.  The Spark-side plumbing — schema,
+batch shape, partition flow — is real and oracle-testable either way.
 """
 
 from __future__ import annotations
@@ -2493,14 +2496,165 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a REAL AVI container
+    (round 11; video was the one fully-stubbed modality): RIFF 'AVI '
+    with the canonical hdrl (avih + one 'vids' strl whose handler is
+    'DIB ' = uncompressed device-independent bitmaps), a movi LIST of
+    '00db' chunks — each frame a bottom-up BGR DIB with 4-byte-padded
+    rows, exactly BMP's pixel array — and the idx1 index.  Container
+    framing is the honest stdlib+numpy subset of video: real players
+    open these files; CODEC'd streams (MJPEG/H.264/...) remain the
+    declared seam in :func:`decode_avi`."""
+    import struct
+
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] == 0:
+        raise ValueError("encode_avi: expected (n, h, w, 3) uint8 frames")
+    n, h, w, _ = fr.shape
+    stride = ((3 * w + 3) // 4) * 4
+    pad = stride - 3 * w
+    frame_bytes = stride * h
+
+    def dib(img):
+        bgr = img[::-1, :, ::-1]  # bottom-up, BGR
+        rows = bgr.reshape(h, 3 * w)
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((h, pad), np.uint8)], axis=1
+            )
+        return rows.tobytes()
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(kind, payload):
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + kind + payload
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        frame_bytes * fps,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_bytes,  # total frames, initial, streams, buf size
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    idx = b""
+    for i in range(n):
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00db" + struct.pack("<III", 0x10, 4 + len(movi_payload), frame_bytes)
+        movi_payload += chunk(b"00db", dib(fr[i]))
+    movi = lst(b"movi", movi_payload)
+    body = hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def decode_avi(blob: bytes) -> dict:
+    """Decode an uncompressed-DIB AVI (the :func:`encode_avi` subset, and
+    any player-produced BI_RGB 24-bit file): RIFF walk into hdrl (avih +
+    first 'vids' stream's strh/strf) and movi ('00db'/'00dc' chunks,
+    nested 'rec ' LISTs included); each frame un-packs from the
+    bottom-up padded BGR DIB to HxWx3 RGB.  Compressed streams — a
+    non-'DIB' handler or biCompression != BI_RGB — raise the honest
+    NotImplementedError (entropy-coded video needs codec libs this
+    container does not ship); structural damage raises ValueError.
+    Returns {width, height, n_frames, fps, frames} with frames
+    (n, h, w, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("decode_avi: not a RIFF/AVI stream")
+    w = h = None
+    fps = None
+    compression = handler = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int, ctx: bytes) -> None:
+        nonlocal w, h, fps, compression, handler
+        pos = lo
+        while pos + 8 <= hi:
+            cid = blob[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", blob, pos + 4)
+            if pos + 8 + ln > hi:
+                raise ValueError("decode_avi: truncated chunk")
+            if cid == b"LIST":
+                kind = blob[pos + 8 : pos + 12]
+                walk(pos + 12, pos + 8 + ln, kind)
+            elif cid == b"avih" and ln >= 40:
+                usec, _mb, _pg, _fl, _tf, _if, _ns, _bs, aw, ah = (
+                    struct.unpack_from("<IIIIIIIIII", blob, pos + 8)
+                )
+                w, h = aw, ah
+                if usec:
+                    fps = round(1_000_000 / usec)
+            elif cid == b"strh" and ln >= 48 and blob[pos + 8 : pos + 12] == b"vids":
+                if handler is None:
+                    handler = blob[pos + 12 : pos + 16]
+            elif cid == b"strf" and ctx == b"strl" and ln >= 40 and compression is None:
+                _sz, bw, bh, _pl, bits, comp = struct.unpack_from(
+                    "<IiiHHI", blob, pos + 8
+                )
+                compression = comp
+                if bits != 24:
+                    raise NotImplementedError(
+                        f"decode_avi: only 24-bit DIB frames ({bits}-bit)"
+                    )
+            elif cid in (b"00db", b"00dc") and ctx in (b"movi", b"rec "):
+                frames_raw.append(blob[pos + 8 : pos + 8 + ln])
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, len(blob), b"AVI ")
+    if w is None or h is None:
+        raise ValueError("decode_avi: missing avih header")
+    if handler not in (None, b"DIB ", b"\x00\x00\x00\x00") or (
+        compression not in (None, 0)
+    ):
+        raise NotImplementedError(
+            f"decode_avi: compressed video stream (handler={handler!r}, "
+            f"biCompression={compression}) — codec'd video needs libs "
+            "this container does not ship"
+        )
+    stride = ((3 * w + 3) // 4) * 4
+    out = []
+    for raw in frames_raw:
+        if len(raw) != stride * h:
+            raise ValueError("decode_avi: frame size mismatch")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride)[:, : 3 * w]
+        out.append(rows.reshape(h, w, 3)[::-1, :, ::-1])  # top-down, RGB
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(out),
+        "fps": fps,
+        "frames": np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8),
+    }
+
+
 def decode_real(blob: bytes) -> dict:
-    """Real decode for the formats a pure-python/numpy codec can honestly
-    implement — 24-bit BMP, binary PPM, 8-bit truecolor PNG (stdlib zlib
-    inflate + full scanline un-filtering), and baseline sequential JPEG
-    (Huffman decode, dequant, 8x8 IDCT, YCbCr->RGB; round 8) — dispatched
-    on magic bytes.  Progressive/arithmetic JPEG and
-    audio/video stay explicit NotImplementedError seams — those need libs
-    this container does not ship.  Returns {width, height, channels,
+    """Real decode for the STILL-IMAGE formats a pure-python/numpy codec
+    can honestly implement — 24-bit BMP, binary PPM, any spec-valid PNG,
+    baseline/progressive JPEG, GIF — dispatched on magic bytes.  Audio
+    routes through :func:`decode_wav` (PCM int/float + IMA ADPCM) and
+    video through :func:`decode_avi` (uncompressed-DIB container);
+    arithmetic-coded JPEG, MS ADPCM and codec'd video streams are the
+    remaining declared seams.  Returns {width, height, channels,
     pixels}; pixels is HxWx3 uint8 RGB (HxWx1 for grayscale JPEG)."""
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
@@ -2516,10 +2670,11 @@ def decode_real(blob: bytes) -> dict:
         px = decode_gif(blob)["pixels"]
     else:
         raise NotImplementedError(
-            "real image decode implemented only for BMP (24-bit BI_RGB), "
-            "PPM (P6), PNG (8-bit truecolor), baseline JPEG, and "
-            "single-frame GIF in this container; audio has its own seam "
-            "(decode_wav, 16-bit PCM only) and video remains stubbed"
+            "real image decode implemented for BMP (24-bit BI_RGB), "
+            "PPM (P6), PNG (all spec depths/interlace), JPEG "
+            "(baseline/progressive Huffman), and GIF in this container; "
+            "audio decodes via decode_wav (PCM + IMA ADPCM) and video "
+            "via decode_avi (uncompressed-DIB AVI)"
         )
     return {
         "width": px.shape[1],

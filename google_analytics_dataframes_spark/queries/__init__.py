@@ -53,7 +53,7 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 10
-    # 21 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 22 stale/changed rows lead; oldest-evidence back-fill to 50
     "s9_binaryfile_source",
     "st16_stream_outer_join",
     "st19_stream_timer_sessions",
@@ -64,6 +64,7 @@ SWEEP_HEAD: list[str] = [
     "l4_knn_join",
     "l10_embed_agg",
     "l7_string_simjoin",
+    "l26_multimodal_frames",
     "l63_bmp_roundtrip",
     "l64_png_roundtrip",
     "l67_jpeg_roundtrip",
@@ -103,7 +104,6 @@ SWEEP_HEAD: list[str] = [
     "rb13_new_vs_returning",
     "rb14_keep_empty_rows",
     "rb15_histogram_buckets",
-    "rb16_report_minmax",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
@@ -116,10 +116,10 @@ SWEEP_HEAD_HORIZON = 10
 # (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;
 # only reached if the driver budget exceeds 50).
 SWEEP_ROTATION: list[str] = [
-    # the 4 r4-evidence rows the 50-cut displaced when st14/st16/l4/l68
-    # turned stale in r11 — they lead the r12 back-fill mechanically,
+    # the 5 r4-evidence rows the 50-cut displaced when st14/st16/l4/l68/
+    # l26 turned stale in r11 — they lead the r12 back-fill mechanically,
     # and a >50 driver budget still reaches them here first
-    "rb17_filter_expression", "rb21_active_users",
+    "rb16_report_minmax", "rb17_filter_expression", "rb21_active_users",
     "rb22_ecommerce_overview", "s4_sink_parquet",
     "s5_csv_json_io", "s7_orc_roundtrip", "s8_clustered_write",
     "f3_range_date", "a6_grouping_sets", "a10_ratio_metric",

@@ -1208,10 +1208,38 @@ def l26_multimodal_frames(spark, sf_dir):
     one row per frame (the fan-out shape of a real ffmpeg sampler).
     O-tier: per-doc sampled-frame count has a closed form over the ASCII
     byte length — ceil((len//16)/4) for docs with at least one frame — so
-    the fan-out cardinality is driver-verified per doc."""
+    the fan-out cardinality is driver-verified per doc.
+
+    Round 11: a REAL video container leg runs in-task alongside the
+    plumbing — per doc, (3 + id % 5) deterministic 4x3 RGB frames are
+    encoded as an uncompressed-DIB AVI (operators/multimodal.encode_avi),
+    decoded back, and every-2nd-frame sampling is asserted bitwise; any
+    container regression kills the row and the driver's row count.  The
+    emitted columns and the oracle are unchanged (codec'd video streams
+    remain the declared seam)."""
+    import numpy as np
+
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
     frames = M.fake_frame_sample(blobs)
-    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    counts = frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+
+    def avi_leg(batches):
+        for pdf in batches:
+            for doc_id, nf in zip(pdf["doc_id"], pdf["n_frames"]):
+                d = int(doc_id)
+                k = 3 + d % 5
+                f, y, x, c = np.indices((k, 3, 4, 3), dtype=np.int64)
+                vid = ((d * 17 + f * 29 + y * 7 + x * 3 + c * 11) % 256).astype(
+                    np.uint8
+                )
+                dec = M.decode_avi(M.encode_avi(vid, fps=10))
+                if dec["n_frames"] != k or not np.array_equal(
+                    dec["frames"][::2], vid[::2]
+                ):
+                    raise ValueError(f"AVI round-trip mismatch for doc {d}")
+            yield pdf
+
+    return counts.mapInPandas(avi_leg, "doc_id long, n_frames long")
 
 
 @register(
@@ -1533,8 +1561,9 @@ def l68_wav_roundtrip(spark, sf_dir):
     Scale shape: identical to l63/l64/l67 — per-row Arrow-batched compute
     on the scan, no shuffle.  The IMA ADPCM leg (round 11) runs the lossy
     4-bit codec in-task under a tracking bound; MS ADPCM (format 2) and
-    odd bit widths raise the honest NotImplementedError seam (decode_wav);
-    video remains the one fully-stubbed modality."""
+    odd bit widths raise the honest NotImplementedError seam (decode_wav).
+    Video's container level decodes for real too (encode_avi/decode_avi,
+    exercised in-task by l26); codec'd video streams remain the seam."""
     import numpy as np
 
     def per_batch(batches):

@@ -620,6 +620,45 @@ def test_multimodal_wav_roundtrip_known_answer():
         M.decode_wav(bytes(ab))
 
 
+def test_multimodal_avi_roundtrip_known_answer():
+    """Round 11: VIDEO gets a real container — uncompressed-DIB AVI
+    (RIFF 'AVI ', hdrl avih + 'vids'/'DIB ' strl, movi of '00db'
+    bottom-up padded-BGR frames, idx1).  Checks: (a) encode->decode is
+    the identity on arbitrary frames across paddings and frame counts;
+    (b) header geometry/fps survive; (c) the RIFF length field is
+    exact; (d) truncation raises ValueError; (e) a codec'd stream
+    (MJPG handler) raises the honest NotImplementedError — entropy-
+    coded video stays the declared seam; (f) frame sampling (every
+    k-th) over decoded frames is exact — the l26 shape."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    rs = np.random.RandomState(31)
+    for n, h, w in [(1, 1, 1), (3, 4, 6), (5, 7, 5), (4, 3, 13)]:
+        fr = rs.randint(0, 256, (n, h, w, 3)).astype(np.uint8)
+        out = M.decode_avi(M.encode_avi(fr, 24))
+        assert (out["width"], out["height"], out["n_frames"], out["fps"]) == (
+            w, h, n, 24,
+        )
+        assert np.array_equal(out["frames"], fr)
+    fr = rs.randint(0, 256, (9, 5, 7, 3)).astype(np.uint8)
+    avi = M.encode_avi(fr, 12)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    (riff_len,) = struct.unpack_from("<I", avi, 4)
+    assert riff_len + 8 == len(avi)
+    sampled = M.decode_avi(avi)["frames"][::4]
+    assert np.array_equal(sampled, fr[::4]) and sampled.shape[0] == 3
+    with pytest.raises(ValueError):
+        M.decode_avi(avi[: len(avi) // 2])
+    hacked = bytearray(avi)
+    at = bytes(hacked).find(b"DIB ")
+    hacked[at : at + 4] = b"MJPG"
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_avi(bytes(hacked))
+
+
 def test_multimodal_resize_nearest_known_answer():
     """resize_nearest is a real nearest-neighbor kernel: downscaling a
     2x-upsampled image recovers the original exactly, and the index map
