@@ -12,13 +12,13 @@ and baseline
 sequential JPEG with canonical-Huffman entropy coding, dequant, 8x8 IDCT
 and YCbCr->RGB (round 8), 4:2:0 chroma subsampling (round 9), 4:2:2/4:1:1,
 restart intervals, and PROGRESSIVE (SOF2) streams (round 10).  Audio
-decodes for real via decode_wav (integer/float PCM + IMA ADPCM, round 11)
-and video via decode_avi (uncompressed-DIB AVI container, round 11);
-the remaining declared seams are arithmetic-coded/12-bit JPEG, MS ADPCM
-(format 2), and codec'd (entropy-coded) video streams, which need libs
-this container does not ship; `fake_decode_features` keeps a
-deterministic stand-in for those.  The Spark-side plumbing — schema,
-batch shape, partition flow — is real and oracle-testable either way.
+decodes for real via decode_wav (integer/float PCM + IMA and MS ADPCM,
+round 11) and video via decode_avi (uncompressed-DIB AVI container,
+round 11); the remaining declared seams are arithmetic-coded/12-bit
+JPEG and codec'd (entropy-coded) video streams, which need libs this
+container does not ship; `fake_decode_features` keeps a deterministic
+stand-in for those.  The Spark-side plumbing — schema, batch shape,
+partition flow — is real and oracle-testable either way.
 """
 
 from __future__ import annotations
@@ -2479,10 +2479,61 @@ def decode_wav(blob: bytes) -> dict:
         s = np.asarray(out_rows, np.int16).reshape(-1)
         if fact_n is not None:
             s = s.reshape(-1, ch)[:fact_n].reshape(-1)
+    elif audio_fmt == 0x02:  # MS ADPCM (round 11; the last audio seam)
+        if bits != 4:
+            raise ValueError(f"decode_wav: MS ADPCM must be 4-bit, got {bits}")
+        if len(fmt_raw) < 22:
+            raise ValueError("decode_wav: MS ADPCM fmt missing extension")
+        (spb, ncoef) = struct.unpack_from("<HH", fmt_raw, 18)
+        if len(fmt_raw) < 22 + 4 * ncoef or ncoef < 1:
+            raise ValueError("decode_wav: MS ADPCM fmt missing coefficients")
+        coefs = [
+            struct.unpack_from("<hh", fmt_raw, 22 + 4 * i) for i in range(ncoef)
+        ]
+        block_align = _balign
+        if block_align < 7 * ch or spb != (block_align - 7 * ch) * 2 // ch + 2:
+            raise ValueError("decode_wav: MS ADPCM samples/block mismatch")
+        if len(data) % block_align:
+            raise ValueError("decode_wav: MS ADPCM data not block-aligned")
+        out_rows = []
+        for boff in range(0, len(data), block_align):
+            preds = [data[boff + c] for c in range(ch)]
+            if any(p >= ncoef for p in preds):
+                raise ValueError("decode_wav: MS ADPCM predictor out of range")
+            base = boff + ch
+            deltas = [
+                struct.unpack_from("<h", data, base + 2 * c)[0] for c in range(ch)
+            ]
+            s1 = [
+                struct.unpack_from("<h", data, base + 2 * ch + 2 * c)[0]
+                for c in range(ch)
+            ]
+            s2 = [
+                struct.unpack_from("<h", data, base + 4 * ch + 2 * c)[0]
+                for c in range(ch)
+            ]
+            block = [[s2[c], s1[c]] for c in range(ch)]
+            nib_bytes = data[boff + 7 * ch : boff + block_align]
+            cidx = 0
+            for byte in nib_bytes:
+                for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                    c = cidx % ch
+                    c1, c2 = coefs[preds[c]]
+                    new_s1, deltas[c] = _ms_step(
+                        s1[c], s2[c], c1, c2, deltas[c], nib
+                    )
+                    s2[c], s1[c] = s1[c], new_s1
+                    block[c].append(new_s1)
+                    cidx += 1
+            for i in range(spb):
+                out_rows.append([block[c][i] for c in range(ch)])
+        s = np.asarray(out_rows, np.int16).reshape(-1)
+        if fact_n is not None:
+            s = s.reshape(-1, ch)[:fact_n].reshape(-1)
     else:
         raise NotImplementedError(
-            f"decode_wav: only integer (1), IEEE-float (3) and IMA ADPCM "
-            f"(0x11) supported (format {audio_fmt}, {bits}-bit)"
+            f"decode_wav: only integer (1), IEEE-float (3), MS ADPCM (2) "
+            f"and IMA ADPCM (0x11) supported (format {audio_fmt}, {bits}-bit)"
         )
     if ch > 1:
         s = s.reshape(-1, ch)
@@ -2494,6 +2545,120 @@ def decode_wav(blob: bytes) -> dict:
         "n_samples": s.shape[0],
         "samples": s,
     }
+
+
+#: MS ADPCM (WAVE format 2) tables — public WAVE format documentation
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_step(s1: int, s2: int, c1: int, c2: int, delta: int, nibble: int):
+    """One MS ADPCM state transition (shared by encoder and decoder):
+    linear prediction from the two prior samples, signed-nibble error
+    term scaled by the adaptive delta, then delta adaptation (floored at
+    16 per spec)."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, (_MS_ADAPT[nibble] * delta) >> 8)
+    return pred, delta
+
+
+def encode_wav_ms_adpcm(samples, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM — (n,) mono or (n, ch) — as a RIFF/WAVE MS ADPCM
+    stream (wFormatTag 0x0002, round 11; the last declared audio seam):
+    per block and channel a 7-byte header (coefficient-pair index,
+    initial delta, the two seed samples) then 4-bit codes, HIGH nibble
+    first, channels interleaved per nibble pair in stereo.  Coefficient
+    pair 0 (256, 0) — plain previous-sample prediction — keeps the
+    encoder deterministic; the fmt chunk carries the full spec extension
+    (wSamplesPerBlock + wNumCoef + the 7 canonical coefficient pairs)
+    and a `fact` chunk records the true sample count for final-block
+    trimming.  Lossy by design; tests assert tracking bounds."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples).astype(np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("encode_wav_ms_adpcm: empty input")
+    block_align = 256 * ch
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    data = bytearray()
+    for b0 in range(0, n, spb):
+        blk = s[b0 : b0 + spb]
+        if blk.shape[0] < spb:
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - blk.shape[0], 0)])
+        c1, c2 = _MS_COEF1[0], _MS_COEF2[0]
+        s2 = [int(blk[0, c]) for c in range(ch)]
+        s1 = [int(blk[1, c]) for c in range(ch)]
+        deltas = []
+        for c in range(ch):
+            # seed delta from the early-block error scale, floored at 16
+            diffs = np.abs(np.diff(blk[: min(len(blk), 16), c].astype(np.int32)))
+            deltas.append(max(16, int(diffs.mean() // 4) if len(diffs) else 16))
+        for c in range(ch):
+            data += struct.pack("<B", 0)  # bPredictor: pair 0
+        for c in range(ch):
+            data += struct.pack("<h", deltas[c])
+        for c in range(ch):
+            data += struct.pack("<h", s1[c])
+        for c in range(ch):
+            data += struct.pack("<h", s2[c])
+        nibs = []
+        for i in range(2, spb):
+            for c in range(ch):
+                sample = int(blk[i, c])
+                pred_base = (s1[c] * c1 + s2[c] * c2) >> 8
+                err = sample - pred_base
+                code = int(round(err / deltas[c]))
+                code = max(-8, min(7, code))
+                nib = code + 16 if code < 0 else code
+                new_s1, new_delta = _ms_step(s1[c], s2[c], c1, c2, deltas[c], nib)
+                s2[c], s1[c], deltas[c] = s1[c], new_s1, new_delta
+                nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            data.append((nibs[j] << 4) | nibs[j + 1])  # HIGH nibble first
+    coefs = b"".join(
+        struct.pack("<hh", a, b) for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt = (
+        struct.pack(
+            "<HHIIHHHHH",
+            0x02,
+            ch,
+            sample_rate,
+            sample_rate * block_align // spb,
+            block_align,
+            4,
+            4 + len(coefs),  # cbSize
+            spb,
+            7,  # wNumCoef
+        )
+        + coefs
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + bytes(data)
+    )
 
 
 def encode_avi(frames, fps: int = 10) -> bytes:

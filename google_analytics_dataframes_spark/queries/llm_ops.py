@@ -1560,10 +1560,12 @@ def l68_wav_roundtrip(spark, sf_dir):
 
     Scale shape: identical to l63/l64/l67 — per-row Arrow-batched compute
     on the scan, no shuffle.  The IMA ADPCM leg (round 11) runs the lossy
-    4-bit codec in-task under a tracking bound; MS ADPCM (format 2) and
-    odd bit widths raise the honest NotImplementedError seam (decode_wav).
-    Video's container level decodes for real too (encode_avi/decode_avi,
-    exercised in-task by l26); codec'd video streams remain the seam."""
+    4-bit IMA codec AND the 2-tap-predictor MS ADPCM codec (format 2 —
+    closed in round 11, the last audio seam) in-task under a tracking
+    bound; non-PCM formats beyond the two ADPCMs raise the honest
+    NotImplementedError (decode_wav).  Video's container level decodes
+    for real too (encode_avi/decode_avi, exercised in-task by l26);
+    codec'd video streams remain the seam."""
     import numpy as np
 
     def per_batch(batches):
@@ -1590,21 +1592,25 @@ def l68_wav_roundtrip(spark, sf_dir):
                 # assertion + exact length/rate; any structural
                 # regression kills the row and the driver's row count).
                 # The emitted columns and the oracle are unchanged.
-                da = M.decode_wav(M.encode_wav_adpcm(s, rate))
-                if (
-                    da["sample_rate"] != rate
-                    or da["n_samples"] != n
-                    or int(
-                        np.abs(
-                            da["samples"][:, 0].astype(np.int32)
-                            - s.astype(np.int32)
-                        ).max()
-                    )
-                    > 2100
+                for enc, tag in (
+                    (M.encode_wav_adpcm, "IMA"),
+                    (M.encode_wav_ms_adpcm, "MS"),
                 ):
-                    raise ValueError(
-                        f"ADPCM round-trip out of bounds for doc {d}"
-                    )
+                    da = M.decode_wav(enc(s, rate))
+                    if (
+                        da["sample_rate"] != rate
+                        or da["n_samples"] != n
+                        or int(
+                            np.abs(
+                                da["samples"][:, 0].astype(np.int32)
+                                - s.astype(np.int32)
+                            ).max()
+                        )
+                        > 2100
+                    ):
+                        raise ValueError(
+                            f"{tag} ADPCM round-trip out of bounds for doc {d}"
+                        )
                 v = dec["samples"][:, 0].astype(np.int64)
                 rows.append(
                     (

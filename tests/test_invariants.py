@@ -578,8 +578,12 @@ def test_multimodal_wav_roundtrip_known_answer():
     assert out8["samples"].dtype == np.uint8
     assert list(out8["samples"][:, 0]) == [0, 255, 128, 7]
 
-    # honest seams: MS ADPCM (format 2), 16-bit float, 12-bit int raise
+    # honest seams: compressed formats beyond the two ADPCMs (e.g. MP3,
+    # format 85), 16-bit float, 12-bit int raise; a format-2 stream
+    # without its required fmt extension is MALFORMED -> ValueError
     with pytest.raises(NotImplementedError, match="PCM"):
+        M.decode_wav(raw_wav(85, 0, b"\x00\x00"))
+    with pytest.raises(ValueError, match="missing extension"):
         M.decode_wav(raw_wav(2, 4, b"\x00\x00"))
     with pytest.raises(NotImplementedError, match="float width"):
         M.decode_wav(raw_wav(3, 16, b"\x00\x00"))
@@ -618,6 +622,29 @@ def test_multimodal_wav_roundtrip_known_answer():
     ab[data_at + 8 + 2] = 99  # block-0 step index 99 > 88
     with pytest.raises(ValueError, match="step index"):
         M.decode_wav(bytes(ab))
+
+    # round 11b: MS ADPCM (format 2) — the LAST audio seam — decodes for
+    # real: 2-tap linear prediction + adaptive delta tracks the sine far
+    # tighter than IMA (seed samples + seeded delta), constants are
+    # exact, the fact chunk trims across the 500-sample block boundary,
+    # and an out-of-range per-block predictor index raises ValueError.
+    dm = M.decode_wav(M.encode_wav_ms_adpcm(const, 8000))
+    assert dm["n_samples"] == 1200 and np.array_equal(dm["samples"][:, 0], const)
+    for sig in (sine, np.stack([sine, (sine // 2).astype(np.int16)], 1)):
+        dms = M.decode_wav(M.encode_wav_ms_adpcm(sig, 22050))
+        ref = sig[:, None] if sig.ndim == 1 else sig
+        err = np.abs(
+            dms["samples"].astype(np.int32) - ref.astype(np.int32)
+        ).max()
+        assert err < 200, err
+    for n in (1, 499, 500, 501, 1001):
+        xs = (1500 * np.sin(np.arange(n) / 15)).astype(np.int16)
+        assert M.decode_wav(M.encode_wav_ms_adpcm(xs))["n_samples"] == n
+    mb = bytearray(M.encode_wav_ms_adpcm(sine))
+    mat = bytes(mb).find(b"data")
+    mb[mat + 8] = 9  # bPredictor 9 >= wNumCoef 7
+    with pytest.raises(ValueError, match="predictor out of range"):
+        M.decode_wav(bytes(mb))
 
 
 def test_multimodal_avi_roundtrip_known_answer():
