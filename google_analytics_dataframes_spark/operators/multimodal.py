@@ -2386,10 +2386,13 @@ def decode_wav(blob: bytes) -> dict:
     skipped per the RIFF spec, including odd-length padding); 8/16/24/32-
     bit integer PCM and 32/64-bit IEEE-float PCM (round 10 — 24-bit is
     unpacked from 3-byte frames with sign extension; 8-bit stays unsigned
-    per the spec).  ADPCM/extensible formats raise the honest
+    per the spec); IMA/DVI ADPCM (0x11), MS ADPCM (2) and G.711
+    mu-law/A-law (7/6) all decode for real (round 11).  Formats beyond
+    those (MP3-in-WAV, extensible sub-formats, ...) raise the honest
     NotImplementedError seam.  Returns {sample_rate, n_channels,
     n_samples, samples} with samples an (n, ch) array in the natural
-    dtype (uint8 / int16 / int32 / float32 / float64)."""
+    dtype (uint8 / int16 / int32 / float32 / float64; companded and
+    ADPCM formats expand to int16)."""
     import struct
 
     import numpy as np
@@ -2530,10 +2533,20 @@ def decode_wav(blob: bytes) -> dict:
         s = np.asarray(out_rows, np.int16).reshape(-1)
         if fact_n is not None:
             s = s.reshape(-1, ch)[:fact_n].reshape(-1)
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law (round 11)
+        if bits != 8:
+            raise ValueError(
+                f"decode_wav: G.711 must be 8-bit, got {bits}"
+            )
+        codes = np.frombuffer(data, np.uint8)
+        s = _alaw_expand(codes) if audio_fmt == 6 else _ulaw_expand(codes)
+        if fact_n is not None:
+            s = s.reshape(-1, ch)[:fact_n].reshape(-1)
     else:
         raise NotImplementedError(
-            f"decode_wav: only integer (1), IEEE-float (3), MS ADPCM (2) "
-            f"and IMA ADPCM (0x11) supported (format {audio_fmt}, {bits}-bit)"
+            f"decode_wav: only integer (1), IEEE-float (3), MS ADPCM (2), "
+            f"IMA ADPCM (0x11), A-law (6) and mu-law (7) supported "
+            f"(format {audio_fmt}, {bits}-bit)"
         )
     if ch > 1:
         s = s.reshape(-1, ch)
@@ -2661,16 +2674,146 @@ def encode_wav_ms_adpcm(samples, sample_rate: int = 16000) -> bytes:
     )
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
+#: G.711 (round 11): 8-bit logarithmic companding, the telephony codec
+#: WAVE carries as format tags 6 (A-law) and 7 (mu-law).  Both kernels
+#: are the classic public-domain CCITT reference recurrences (Sun
+#: g711.c lineage), vectorized: mu-law biases by 0x84 and encodes
+#: sign/3-bit exponent/4-bit mantissa ones-complemented; A-law works in
+#: the 13-bit domain with the 0x55 toggle.  Each decoded value is its
+#: quantization cell's reconstruction point, so compress(expand(code))
+#: == code for every code except mu-law 0x7F (negative zero: 0x7F and
+#: 0xFF both decode to 0, which re-encodes to +0 = 0xFF — inherent to
+#: the format, same in the CCITT reference) — the exhaustive test pins
+#: that plus the full-int16-domain error ceilings (mu 644 at the clip,
+#: A 512).
+
+_G711_BIAS = 0x84
+
+
+def _ulaw_compress(x) -> "np.ndarray":
+    """int16 linear -> mu-law codes (uint8), vectorized."""
+    import numpy as np
+
+    x = np.asarray(x, np.int32)
+    sign = (x < 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + _G711_BIAS
+    # mag in [132, 32767]: frexp exponent is exact for ints in float64
+    exp = np.frexp(mag.astype(np.float64))[1].astype(np.int32) - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~((sign << 7) | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_expand(codes) -> "np.ndarray":
+    """mu-law codes (uint8) -> int16 linear, vectorized."""
+    import numpy as np
+
+    u = ~np.asarray(codes, np.uint8).astype(np.int32) & 0xFF
+    mag = ((((u & 0x0F) << 3) + _G711_BIAS) << ((u >> 4) & 7)) - _G711_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_compress(x) -> "np.ndarray":
+    """int16 linear -> A-law codes (uint8), vectorized."""
+    import numpy as np
+
+    x = np.asarray(x, np.int32)
+    pcm = x >> 3  # 13-bit domain (arithmetic shift keeps the sign)
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    pcm = np.minimum(pcm, 0x0FFF)
+    # segment = how many of [0x1F,0x3F,...,0x7FF] the value exceeds
+    exp = np.frexp(np.maximum(pcm, 0x1F).astype(np.float64))[1].astype(
+        np.int32
+    ) - 5  # 0 for <=0x1F .. 7 for <=0xFFF
+    mant = np.where(exp < 2, (pcm >> 1) & 0x0F, (pcm >> exp) & 0x0F)
+    return (((exp << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def _alaw_expand(codes) -> "np.ndarray":
+    """A-law codes (uint8) -> int16 linear, vectorized."""
+    import numpy as np
+
+    a = np.asarray(codes, np.uint8).astype(np.int32) ^ 0x55
+    mant = (a & 0x0F) << 4
+    exp = (a >> 4) & 7
+    t = np.where(
+        exp == 0,
+        mant + 8,
+        (mant + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _encode_wav_g711(samples, sample_rate: int, law: str) -> bytes:
+    """Shared G.711 WAV writer: compand int16 frames (mono (n,) or
+    (n, ch)) to 8-bit codes and frame them as RIFF/WAVE with the spec's
+    non-PCM fact chunk (wFormatTag 6 = A-law, 7 = mu-law, 8 bits,
+    block align = n_channels, cbSize = 0 extension present as real
+    telephony writers emit)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[0] == 0:
+        raise ValueError("encode_wav_g711: expected (n,) or (n, ch) int16")
+    n, ch = s.shape
+    tag, kern = (6, _alaw_compress) if law == "alaw" else (7, _ulaw_compress)
+    codes = kern(s.reshape(-1)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", tag, ch, sample_rate, sample_rate * ch, ch, 8, 0
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(codes))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(codes))
+        + codes
+    )
+
+
+def encode_wav_ulaw(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM as a G.711 mu-law RIFF/WAVE stream (format 7)."""
+    return _encode_wav_g711(samples, sample_rate, "ulaw")
+
+
+def encode_wav_alaw(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM as a G.711 A-law RIFF/WAVE stream (format 6)."""
+    return _encode_wav_g711(samples, sample_rate, "alaw")
+
+
+#: 'MJPG' as the little-endian fourcc biCompression carries.
+_MJPG_FOURCC = 0x47504A4D
+
+
+def encode_avi(frames, fps: int = 10, codec: str = "DIB") -> bytes:
     """Encode (n, h, w, 3) uint8 RGB frames as a REAL AVI container
     (round 11; video was the one fully-stubbed modality): RIFF 'AVI '
-    with the canonical hdrl (avih + one 'vids' strl whose handler is
-    'DIB ' = uncompressed device-independent bitmaps), a movi LIST of
-    '00db' chunks — each frame a bottom-up BGR DIB with 4-byte-padded
-    rows, exactly BMP's pixel array — and the idx1 index.  Container
-    framing is the honest stdlib+numpy subset of video: real players
-    open these files; CODEC'd streams (MJPEG/H.264/...) remain the
-    declared seam in :func:`decode_avi`."""
+    with the canonical hdrl (avih + one 'vids' strl), a movi LIST of
+    frame chunks, and the idx1 index.  Two codecs:
+
+    - ``codec="DIB"`` (default): handler 'DIB ' = uncompressed
+      device-independent bitmaps — each '00db' chunk a bottom-up BGR
+      DIB with 4-byte-padded rows, exactly BMP's pixel array.
+    - ``codec="MJPG"`` (round 11): Motion-JPEG — each '00dc' chunk is
+      a COMPLETE baseline JPEG from this container's own encoder
+      (:func:`encode_jpeg`, 4:4:4 with tables in-stream, so any spec
+      player decodes it), biCompression = 'MJPG'.  This closes the
+      codec'd-video seam for the one codec whose per-frame entropy
+      layer the container genuinely owns; inter-frame codecs
+      (H.264/VP9/...) remain the declared seam in :func:`decode_avi`.
+
+    Real players open both layouts."""
     import struct
 
     import numpy as np
@@ -2678,10 +2821,11 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     fr = np.asarray(frames, dtype=np.uint8)
     if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] == 0:
         raise ValueError("encode_avi: expected (n, h, w, 3) uint8 frames")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"encode_avi: unsupported codec {codec!r}")
     n, h, w, _ = fr.shape
     stride = ((3 * w + 3) // 4) * 4
     pad = stride - 3 * w
-    frame_bytes = stride * h
 
     def dib(img):
         bgr = img[::-1, :, ::-1]  # bottom-up, BGR
@@ -2691,6 +2835,14 @@ def encode_avi(frames, fps: int = 10) -> bytes:
                 [rows, np.zeros((h, pad), np.uint8)], axis=1
             )
         return rows.tobytes()
+
+    if codec == "DIB":
+        cid_frame, handler, compression = b"00db", b"DIB ", 0
+        payloads = [dib(fr[i]) for i in range(n)]
+    else:
+        cid_frame, handler, compression = b"00dc", b"MJPG", _MJPG_FOURCC
+        payloads = [encode_jpeg(fr[i]) for i in range(n)]
+    frame_bytes = max(len(p) for p in payloads)
 
     def chunk(cid, data):
         return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
@@ -2709,37 +2861,42 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     )
     strh = (
         b"vids"
-        + b"DIB "
+        + handler
         + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0xFFFFFFFF, 0)
         + struct.pack("<hhhh", 0, 0, w, h)  # rcFrame
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi_payload = b""
     idx = b""
-    for i in range(n):
+    for p in payloads:
         # idx1 offsets are relative to the 'movi' fourcc position
-        idx += b"00db" + struct.pack("<III", 0x10, 4 + len(movi_payload), frame_bytes)
-        movi_payload += chunk(b"00db", dib(fr[i]))
+        idx += cid_frame + struct.pack("<III", 0x10, 4 + len(movi_payload), len(p))
+        movi_payload += chunk(cid_frame, p)
     movi = lst(b"movi", movi_payload)
     body = hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
 
 def decode_avi(blob: bytes) -> dict:
-    """Decode an uncompressed-DIB AVI (the :func:`encode_avi` subset, and
-    any player-produced BI_RGB 24-bit file): RIFF walk into hdrl (avih +
-    first 'vids' stream's strh/strf) and movi ('00db'/'00dc' chunks,
-    nested 'rec ' LISTs included); each frame un-packs from the
-    bottom-up padded BGR DIB to HxWx3 RGB.  Compressed streams — a
-    non-'DIB' handler or biCompression != BI_RGB — raise the honest
-    NotImplementedError (entropy-coded video needs codec libs this
-    container does not ship); structural damage raises ValueError.
-    Returns {width, height, n_frames, fps, frames} with frames
-    (n, h, w, 3) uint8."""
+    """Decode an uncompressed-DIB or Motion-JPEG AVI (the
+    :func:`encode_avi` subsets, and any player-produced BI_RGB 24-bit
+    or MJPG file whose frames carry their own tables): RIFF walk into
+    hdrl (avih + first 'vids' stream's strh/strf) and movi
+    ('00db'/'00dc' chunks, nested 'rec ' LISTs included).  DIB frames
+    un-pack from the bottom-up padded BGR rows; MJPG frames (round 11)
+    route through this container's own :func:`decode_jpeg` (grayscale
+    scans replicate to 3 channels; every frame must match the avih
+    geometry).  Other compressed streams — an unknown handler or
+    biCompression — raise the honest NotImplementedError (inter-frame
+    codecs need libs this container does not ship); structural damage
+    raises ValueError.  Returns {width, height, n_frames, fps, frames}
+    with frames (n, h, w, 3) uint8."""
     import struct
 
     import numpy as np
@@ -2777,7 +2934,7 @@ def decode_avi(blob: bytes) -> dict:
                     "<IiiHHI", blob, pos + 8
                 )
                 compression = comp
-                if bits != 24:
+                if comp == 0 and bits != 24:
                     raise NotImplementedError(
                         f"decode_avi: only 24-bit DIB frames ({bits}-bit)"
                     )
@@ -2788,13 +2945,32 @@ def decode_avi(blob: bytes) -> dict:
     walk(12, len(blob), b"AVI ")
     if w is None or h is None:
         raise ValueError("decode_avi: missing avih header")
+    if handler == b"MJPG" or compression == _MJPG_FOURCC:
+        out = []
+        for raw in frames_raw:
+            px = decode_jpeg(bytes(raw))
+            if px.ndim == 2:
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            if px.shape[:2] != (h, w):
+                raise ValueError(
+                    f"decode_avi: MJPG frame geometry {px.shape[:2]} != "
+                    f"avih ({h}, {w})"
+                )
+            out.append(px)
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": len(out),
+            "fps": fps,
+            "frames": np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8),
+        }
     if handler not in (None, b"DIB ", b"\x00\x00\x00\x00") or (
         compression not in (None, 0)
     ):
         raise NotImplementedError(
             f"decode_avi: compressed video stream (handler={handler!r}, "
-            f"biCompression={compression}) — codec'd video needs libs "
-            "this container does not ship"
+            f"biCompression={compression}) — inter-frame codec'd video "
+            "needs libs this container does not ship"
         )
     stride = ((3 * w + 3) // 4) * 4
     out = []
@@ -2816,11 +2992,12 @@ def decode_real(blob: bytes) -> dict:
     """Real decode for the STILL-IMAGE formats a pure-python/numpy codec
     can honestly implement — 24-bit BMP, binary PPM, any spec-valid PNG,
     baseline/progressive JPEG, GIF — dispatched on magic bytes.  Audio
-    routes through :func:`decode_wav` (PCM int/float + IMA ADPCM) and
-    video through :func:`decode_avi` (uncompressed-DIB container);
-    arithmetic-coded JPEG, MS ADPCM and codec'd video streams are the
-    remaining declared seams.  Returns {width, height, channels,
-    pixels}; pixels is HxWx3 uint8 RGB (HxWx1 for grayscale JPEG)."""
+    routes through :func:`decode_wav` (PCM int/float, IMA + MS ADPCM,
+    G.711 mu-law/A-law) and video through :func:`decode_avi`
+    (uncompressed-DIB and Motion-JPEG containers); arithmetic-coded
+    JPEG and inter-frame video codecs are the remaining declared
+    seams.  Returns {width, height, channels, pixels}; pixels is
+    HxWx3 uint8 RGB (HxWx1 for grayscale JPEG)."""
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
@@ -2838,8 +3015,9 @@ def decode_real(blob: bytes) -> dict:
             "real image decode implemented for BMP (24-bit BI_RGB), "
             "PPM (P6), PNG (all spec depths/interlace), JPEG "
             "(baseline/progressive Huffman), and GIF in this container; "
-            "audio decodes via decode_wav (PCM + IMA ADPCM) and video "
-            "via decode_avi (uncompressed-DIB AVI)"
+            "audio decodes via decode_wav (PCM int/float, IMA/MS ADPCM, "
+            "G.711) and video via decode_avi (uncompressed-DIB and "
+            "Motion-JPEG AVI)"
         )
     return {
         "width": px.shape[1],

@@ -1210,13 +1210,16 @@ def l26_multimodal_frames(spark, sf_dir):
     byte length — ceil((len//16)/4) for docs with at least one frame — so
     the fan-out cardinality is driver-verified per doc.
 
-    Round 11: a REAL video container leg runs in-task alongside the
-    plumbing — per doc, (3 + id % 5) deterministic 4x3 RGB frames are
-    encoded as an uncompressed-DIB AVI (operators/multimodal.encode_avi),
-    decoded back, and every-2nd-frame sampling is asserted bitwise; any
-    container regression kills the row and the driver's row count.  The
-    emitted columns and the oracle are unchanged (codec'd video streams
-    remain the declared seam)."""
+    Round 11: REAL video legs run in-task alongside the plumbing — per
+    doc, (3 + id % 5) deterministic 4x3 RGB frames are encoded as an
+    uncompressed-DIB AVI (operators/multimodal.encode_avi), decoded
+    back, and every-2nd-frame sampling is asserted bitwise; a second
+    Motion-JPEG leg round-trips constant-gray frames through the
+    container's own JPEG codec EXACTLY (DC-only blocks survive
+    quantization, the l67 channel).  Any container or codec regression
+    kills the row and the driver's row count.  The emitted columns and
+    the oracle are unchanged (inter-frame video codecs remain the
+    declared seam)."""
     import numpy as np
 
     blobs = M.to_multimodal(T(spark, sf_dir, "documents"))
@@ -1237,6 +1240,18 @@ def l26_multimodal_frames(spark, sf_dir):
                     dec["frames"][::2], vid[::2]
                 ):
                     raise ValueError(f"AVI round-trip mismatch for doc {d}")
+                # Motion-JPEG leg (round 11): constant-gray frames are
+                # DC-only and R=G=B (Cb=Cr=128), so the lossy codec is
+                # bit-exact here — any MJPG regression kills the row.
+                gv = ((d * 37 + np.arange(k) * 11) % 256).astype(np.uint8)
+                mj = np.broadcast_to(
+                    gv[:, None, None, None], (k, 3, 4, 3)
+                ).copy()
+                mdec = M.decode_avi(M.encode_avi(mj, fps=10, codec="MJPG"))
+                if mdec["n_frames"] != k or not np.array_equal(
+                    mdec["frames"], mj
+                ):
+                    raise ValueError(f"MJPG round-trip mismatch for doc {d}")
             yield pdf
 
     return counts.mapInPandas(avi_leg, "doc_id long, n_frames long")
@@ -1559,13 +1574,13 @@ def l68_wav_roundtrip(spark, sf_dir):
     sample moves a feature off its closed form and hash-fails the row.
 
     Scale shape: identical to l63/l64/l67 — per-row Arrow-batched compute
-    on the scan, no shuffle.  The IMA ADPCM leg (round 11) runs the lossy
-    4-bit IMA codec AND the 2-tap-predictor MS ADPCM codec (format 2 —
-    closed in round 11, the last audio seam) in-task under a tracking
-    bound; non-PCM formats beyond the two ADPCMs raise the honest
-    NotImplementedError (decode_wav).  Video's container level decodes
-    for real too (encode_avi/decode_avi, exercised in-task by l26);
-    codec'd video streams remain the seam."""
+    on the scan, no shuffle.  Four lossy codec legs (round 11) run
+    in-task on the same per-doc signal under tracking bounds: IMA ADPCM
+    (0x11), MS ADPCM (2), and G.711 mu-law/A-law (7/6, bounds = the
+    exhaustive-domain ceilings 644/512); non-PCM formats beyond those
+    raise the honest NotImplementedError (decode_wav).  Video decodes
+    for real too (encode_avi/decode_avi DIB + Motion-JPEG, exercised
+    in-task by l26); inter-frame video codecs remain the seam."""
     import numpy as np
 
     def per_batch(batches):
@@ -1592,9 +1607,13 @@ def l68_wav_roundtrip(spark, sf_dir):
                 # assertion + exact length/rate; any structural
                 # regression kills the row and the driver's row count).
                 # The emitted columns and the oracle are unchanged.
-                for enc, tag in (
-                    (M.encode_wav_adpcm, "IMA"),
-                    (M.encode_wav_ms_adpcm, "MS"),
+                for enc, tag, bound in (
+                    (M.encode_wav_adpcm, "IMA ADPCM", 2100),
+                    (M.encode_wav_ms_adpcm, "MS ADPCM", 2100),
+                    # G.711 (round 11): the exhaustive-domain ceilings
+                    # from tests/test_invariants.py — mu 644, A 512
+                    (M.encode_wav_ulaw, "G.711 mu-law", 644),
+                    (M.encode_wav_alaw, "G.711 A-law", 512),
                 ):
                     da = M.decode_wav(enc(s, rate))
                     if (
@@ -1606,10 +1625,10 @@ def l68_wav_roundtrip(spark, sf_dir):
                                 - s.astype(np.int32)
                             ).max()
                         )
-                        > 2100
+                        > bound
                     ):
                         raise ValueError(
-                            f"{tag} ADPCM round-trip out of bounds for doc {d}"
+                            f"{tag} round-trip out of bounds for doc {d}"
                         )
                 v = dec["samples"][:, 0].astype(np.int64)
                 rows.append(

@@ -646,6 +646,45 @@ def test_multimodal_wav_roundtrip_known_answer():
     with pytest.raises(ValueError, match="predictor out of range"):
         M.decode_wav(bytes(mb))
 
+    # round 11c: G.711 mu-law/A-law (formats 7/6) decode for real.
+    # (a) EXHAUSTIVE companding domain: every int16 value round-trips
+    # within the format's exact quantization ceiling (mu 644 at the
+    # clip, A 512), and every 8-bit code is a fixed point of
+    # expand->compress EXCEPT mu-law 0x7F (negative zero re-encodes to
+    # +0 = 0xFF — inherent, same in the CCITT reference); (b) spec
+    # known answers: mu(0)=0xFF, mu(-1)=0x7F, A(0)=0xD5; (c) the WAV
+    # layer frames codes with the non-PCM fact chunk, mono and stereo;
+    # (d) a 16-bit G.711 stream is malformed -> ValueError.
+    full = np.arange(-32768, 32768, dtype=np.int16)
+    for comp, expand, ceil, skip in (
+        (M._ulaw_compress, M._ulaw_expand, 644, (0x7F,)),
+        (M._alaw_compress, M._alaw_expand, 512, ()),
+    ):
+        dec = expand(comp(full))
+        assert np.abs(dec.astype(np.int32) - full.astype(np.int32)).max() == ceil
+        codes = np.arange(256, dtype=np.uint8)
+        rt = comp(expand(codes))
+        assert set(codes[rt != codes].tolist()) == set(skip)
+    assert M._ulaw_compress(np.array([0]))[0] == 0xFF
+    assert M._ulaw_compress(np.array([-1]))[0] == 0x7F
+    assert M._alaw_compress(np.array([0]))[0] == 0xD5
+    g = rs.randint(-32768, 32768, 300).astype(np.int16)
+    for enc, ceil in ((M.encode_wav_ulaw, 644), (M.encode_wav_alaw, 512)):
+        og = M.decode_wav(enc(g, 8000))
+        assert (og["sample_rate"], og["n_samples"]) == (8000, 300)
+        assert og["samples"].dtype == np.int16
+        assert np.abs(
+            og["samples"][:, 0].astype(np.int32) - g.astype(np.int32)
+        ).max() <= ceil
+    gs = rs.randint(-32768, 32768, (41, 2)).astype(np.int16)
+    ogs = M.decode_wav(M.encode_wav_ulaw(gs, 16000))
+    assert ogs["n_channels"] == 2 and ogs["n_samples"] == 41
+    assert np.abs(
+        ogs["samples"].astype(np.int32) - gs.astype(np.int32)
+    ).max() <= 644
+    with pytest.raises(ValueError, match="8-bit"):
+        M.decode_wav(raw_wav(7, 16, b"\x00\x00"))
+
 
 def test_multimodal_avi_roundtrip_known_answer():
     """Round 11: VIDEO gets a real container — uncompressed-DIB AVI
@@ -653,10 +692,15 @@ def test_multimodal_avi_roundtrip_known_answer():
     bottom-up padded-BGR frames, idx1).  Checks: (a) encode->decode is
     the identity on arbitrary frames across paddings and frame counts;
     (b) header geometry/fps survive; (c) the RIFF length field is
-    exact; (d) truncation raises ValueError; (e) a codec'd stream
-    (MJPG handler) raises the honest NotImplementedError — entropy-
-    coded video stays the declared seam; (f) frame sampling (every
-    k-th) over decoded frames is exact — the l26 shape."""
+    exact; (d) truncation raises ValueError; (e) an inter-frame
+    codec'd stream (H264 handler) raises the honest
+    NotImplementedError — that seam remains; (f) frame sampling (every
+    k-th) over decoded frames is exact — the l26 shape; (g) round 11:
+    Motion-JPEG encodes/decodes for real through the container's own
+    JPEG codec — gray-valued 8x8-flat-block frames round-trip EXACTLY
+    (DC-only blocks, the l67 exactness channel), arbitrary frames
+    track within JPEG's quantization, grayscale scans replicate to 3
+    channels, and a geometry-mismatched frame raises ValueError."""
     import struct
 
     import numpy as np
@@ -681,9 +725,69 @@ def test_multimodal_avi_roundtrip_known_answer():
         M.decode_avi(avi[: len(avi) // 2])
     hacked = bytearray(avi)
     at = bytes(hacked).find(b"DIB ")
-    hacked[at : at + 4] = b"MJPG"
+    hacked[at : at + 4] = b"H264"
     with pytest.raises(NotImplementedError, match="codec"):
         M.decode_avi(bytes(hacked))
+
+    # (g) Motion-JPEG: flat-block gray-valued RGB frames are exact
+    # (Cb=Cr=128 and DC-only Y survive quantization bit-for-bit);
+    # arbitrary frames stay within JPEG's error envelope.
+    import struct as _st
+
+    k, fh, fw = 4, 16, 24
+    fi, fy, fx = np.indices((k, fh, fw), dtype=np.int64)
+    flat = ((fi * 29 + (fy // 8) * 7 + (fx // 8) * 13) % 256).astype(np.uint8)
+    mfr = np.repeat(flat[:, :, :, None], 3, axis=3)
+    mavi = M.encode_avi(mfr, 15, codec="MJPG")
+    mdec = M.decode_avi(mavi)
+    assert (mdec["width"], mdec["height"], mdec["n_frames"], mdec["fps"]) == (
+        fw, fh, k, 15,
+    )
+    assert np.array_equal(mdec["frames"], mfr)
+    lossy = rs.randint(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+    ml = M.decode_avi(M.encode_avi(lossy, 10, codec="MJPG"))["frames"]
+    assert np.abs(ml.astype(np.int32) - lossy.astype(np.int32)).max() < 128
+
+    def mini_mjpg_avi(w_, h_, payloads):
+        """Minimal MJPG AVI around arbitrary frame payloads (tests the
+        decoder against external-writer layouts encode_avi never emits,
+        e.g. grayscale scans)."""
+
+        def chunk(cid, data):
+            return (
+                cid + _st.pack("<I", len(data)) + data
+                + (b"\x00" * (len(data) & 1))
+            )
+
+        def lst(kind, payload):
+            return b"LIST" + _st.pack("<I", 4 + len(payload)) + kind + payload
+
+        avih_ = _st.pack(
+            "<IIIIIIIIIIIIII", 100000, 0, 0, 0, len(payloads), 0, 1, 0,
+            w_, h_, 0, 0, 0, 0,
+        )
+        strh_ = b"vids" + b"MJPG" + _st.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, len(payloads), 0, 0,
+            0xFFFFFFFF, 0,
+        ) + _st.pack("<hhhh", 0, 0, w_, h_)
+        strf_ = _st.pack(
+            "<IiiHHIIiiII", 40, w_, h_, 1, 24, M._MJPG_FOURCC, 0, 0, 0, 0, 0
+        )
+        hdrl_ = lst(
+            b"hdrl",
+            chunk(b"avih", avih_)
+            + lst(b"strl", chunk(b"strh", strh_) + chunk(b"strf", strf_)),
+        )
+        movi_ = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+        body_ = hdrl_ + movi_
+        return b"RIFF" + _st.pack("<I", 4 + len(body_)) + b"AVI " + body_
+
+    gray = ((np.indices((8, 16))[1] // 8) * 100 + 20).astype(np.uint8)
+    gdec = M.decode_avi(mini_mjpg_avi(16, 8, [M.encode_jpeg(gray)] * 2))
+    assert gdec["frames"].shape == (2, 8, 16, 3)
+    assert np.array_equal(gdec["frames"], np.repeat(gray[None, :, :, None], 3, 3).repeat(2, 0).reshape(2, 8, 16, 3))
+    with pytest.raises(ValueError, match="geometry"):
+        M.decode_avi(mini_mjpg_avi(17, 8, [M.encode_jpeg(gray)]))
 
 
 def test_multimodal_resize_nearest_known_answer():
