@@ -2416,6 +2416,8 @@ def decode_wav(blob: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("decode_wav: missing fmt or data chunk")
     audio_fmt, ch, rate, _brate, _balign, bits = fmt
+    if ch == 0:  # fuzz finding (round 11): 0 channels would divide by
+        raise ValueError("decode_wav: zero channels")  # zero downstream
     if audio_fmt == 1:  # integer PCM; round 10 widens 16 -> 8/16/24/32
         if bits == 16:
             s = np.frombuffer(data, "<i2")

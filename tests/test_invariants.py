@@ -684,6 +684,16 @@ def test_multimodal_wav_roundtrip_known_answer():
     ).max() <= 644
     with pytest.raises(ValueError, match="8-bit"):
         M.decode_wav(raw_wav(7, 16, b"\x00\x00"))
+    # round-11 fuzz finding: a fmt chunk with nChannels=0 must raise
+    # ValueError, not ZeroDivisionError in the ADPCM block math
+    zch = struct.pack("<HHIIHH", 0x11, 0, 16000, 2000, 0, 4)
+    zwav = (
+        b"RIFF" + struct.pack("<I", 38) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(zch)) + zch
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with pytest.raises(ValueError, match="zero channels"):
+        M.decode_wav(zwav)
 
 
 def test_multimodal_avi_roundtrip_known_answer():
