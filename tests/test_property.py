@@ -359,6 +359,94 @@ def test_wav_roundtrips_arbitrary_pcm(samples, rate):
     assert np.array_equal(out["samples"][:, 0], s)
 
 
+_frames = st.integers(1, 4).flatmap(
+    lambda n: st.integers(1, 12).flatmap(
+        lambda h: st.integers(1, 12).flatmap(
+            lambda w: st.binary(
+                min_size=n * h * w * 3, max_size=n * h * w * 3
+            ).map(lambda b: (n, h, w, b))
+        )
+    )
+)
+
+
+@given(fr=_frames)
+@settings(max_examples=30, deadline=None)
+def test_avi_dib_roundtrips_arbitrary_frames(fr):
+    """PROPERTY: the uncompressed-DIB AVI container is the identity on
+    ARBITRARY frame content and geometry (row padding 0-3 bytes, any
+    frame count) — the container analogue of the lossless-image
+    property above."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.operators import multimodal as M
+
+    n, h, w, raw = fr
+    frames = np.frombuffer(raw, np.uint8).reshape(n, h, w, 3)
+    out = M.decode_avi(M.encode_avi(frames, 25))
+    assert (out["n_frames"], out["height"], out["width"]) == (n, h, w)
+    assert np.array_equal(out["frames"], frames)
+
+
+def test_g711_kernels_match_scalar_reference_exhaustively():
+    """The vectorized G.711 kernels (frexp-based exponent extraction)
+    must agree code-for-code and value-for-value with independent
+    scalar implementations written directly from the segment tables —
+    over the ENTIRE int16 domain and all 256 codes.  This pins the
+    exact mapping, which the round-trip-bound tests alone cannot (a
+    consistent bug in both directions would pass those)."""
+    import numpy as np
+
+    from google_analytics_dataframes_spark.operators import multimodal as M
+
+    def ulaw_ref(x):
+        sign = 0x80 if x < 0 else 0
+        m = min(abs(x), 32635) + 132
+        exp = next(e for e in range(8) if m < (256 << e))
+        return ~(sign | (exp << 4) | ((m >> (exp + 3)) & 0xF)) & 0xFF
+
+    def ulaw_dec_ref(c):
+        u = ~c & 0xFF
+        m = ((((u & 0xF) << 3) + 132) << ((u >> 4) & 7)) - 132
+        return -m if u & 0x80 else m
+
+    _SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def alaw_ref(x):
+        p = x >> 3
+        mask = 0xD5 if p >= 0 else 0x55
+        p = min(p if p >= 0 else -p - 1, 0xFFF)
+        seg = next(i for i, e in enumerate(_SEG_END) if p <= e)
+        mant = (p >> 1) & 0xF if seg < 2 else (p >> seg) & 0xF
+        return ((seg << 4) | mant) ^ mask
+
+    def alaw_dec_ref(c):
+        a = c ^ 0x55
+        t = (a & 0xF) << 4
+        seg = (a >> 4) & 7
+        t = t + 8 if seg == 0 else (t + 0x108) << max(seg - 1, 0)
+        return t if a & 0x80 else -t
+
+    full = np.arange(-32768, 32768, dtype=np.int16)
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        M._ulaw_compress(full),
+        np.array([ulaw_ref(int(v)) for v in full], np.uint8),
+    )
+    assert np.array_equal(
+        M._alaw_compress(full),
+        np.array([alaw_ref(int(v)) for v in full], np.uint8),
+    )
+    assert np.array_equal(
+        M._ulaw_expand(codes),
+        np.array([ulaw_dec_ref(int(c)) for c in codes], np.int16),
+    )
+    assert np.array_equal(
+        M._alaw_expand(codes),
+        np.array([alaw_dec_ref(int(c)) for c in codes], np.int16),
+    )
+
+
 _scd2_events = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),  # user_id
