@@ -74,46 +74,83 @@ def encode_bmp(img) -> bytes:
 
 
 def decode_bmp(blob: bytes):
-    """Decode a 24-bit uncompressed BMP into an HxWx3 uint8 RGB array.
-    Handles bottom-up and top-down rows and 4-byte row padding; rejects
-    palettized/compressed variants explicitly."""
+    """Decode an uncompressed BMP into an HxWx3 uint8 RGB array: 24-bit
+    BI_RGB (the :func:`encode_bmp` form), 32-bit BI_RGB (BGRX — the
+    padding byte real writers leave is dropped; round 11), and 8-bit
+    palettized (BGRX palette after the info header, biClrUsed 0 =
+    full 256; round 11).  Handles bottom-up and top-down rows and
+    4-byte row padding; RLE/bitfield compression and other depths
+    raise the honest NotImplementedError."""
     import struct
 
     import numpy as np
 
-    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
-    if magic != b"BM":
+    if blob[:2] != b"BM":
         raise ValueError("decode_bmp: not a BMP stream")
-    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
-    if bpp != 24 or comp != 0:
+    if len(blob) < 54:  # fuzz finding (round 11): file + info header
+        raise ValueError("decode_bmp: truncated header")
+    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if w <= 0 or h == 0:
+        raise ValueError("decode_bmp: bad dimensions")
+    if hdr_sz < 40:  # BITMAPCOREHEADER's 16-bit fields don't fit this parse
         raise NotImplementedError(
-            f"decode_bmp: only 24-bit BI_RGB supported (got bpp={bpp}, "
+            f"decode_bmp: only BITMAPINFOHEADER-family headers "
+            f"(size {hdr_sz})"
+        )
+    if bpp not in (8, 24, 32) or comp != 0:
+        raise NotImplementedError(
+            f"decode_bmp: only 8/24/32-bit BI_RGB supported (got bpp={bpp}, "
             f"compression={comp})"
         )
     top_down = h < 0
     h = abs(h)
-    row_size = (3 * w + 3) // 4 * 4
+    bypp = bpp // 8
+    row_size = (bypp * w + 3) // 4 * 4
+    if off + row_size * h > len(blob):
+        raise ValueError("decode_bmp: truncated pixel array")
     rows = np.frombuffer(blob, np.uint8, row_size * h, off).reshape(h, row_size)
-    px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bpp == 8:
+        (used,) = struct.unpack_from("<I", blob, 14 + 32)
+        n_pal = used or 256
+        pal_off = 14 + hdr_sz
+        if pal_off + 4 * n_pal > len(blob):
+            raise ValueError("decode_bmp: truncated palette")
+        pal = (
+            np.frombuffer(blob, np.uint8, 4 * n_pal, pal_off)
+            .reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        )
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("decode_bmp: palette index out of range")
+        px = pal[idx]
+    else:
+        px = rows[:, : bypp * w].reshape(h, w, bypp)[:, :, 2::-1]  # BGR(X)->RGB
     if not top_down:
         px = px[::-1]
     return np.ascontiguousarray(px)
 
 
 def encode_ppm(img) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as binary PPM (P6, maxval 255)."""
+    """Encode an HxWx3 RGB array as binary PPM: uint8 -> P6 maxval 255;
+    uint16 -> P6 maxval 65535 with 2-byte BIG-endian samples (round 11,
+    per the netpbm spec's 'most significant byte first')."""
     import numpy as np
 
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
     h, w, c = img.shape
     if c != 3:
         raise ValueError("encode_ppm: expected HxWx3 RGB")
-    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if img.dtype == np.uint16:
+        return b"P6\n%d %d\n65535\n" % (w, h) + img.astype(">u2").tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
 def decode_ppm(blob: bytes):
-    """Decode a binary PPM (P6) into an HxWx3 uint8 RGB array, honoring
-    '#' comments and arbitrary whitespace in the header per the spec."""
+    """Decode a binary PPM (P6) into an HxWx3 RGB array — uint8 for
+    maxval <= 255, uint16 (from 2-byte big-endian samples) for maxval
+    256..65535 (round 11) — honoring '#' comments and arbitrary
+    whitespace in the header per the spec."""
     import numpy as np
 
     if blob[:2] != b"P6":
@@ -132,11 +169,25 @@ def decode_ppm(blob: bytes):
         fields.append(int(blob[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError("decode_ppm: only maxval 255 supported")
-    return (
-        np.frombuffer(blob, np.uint8, w * h * 3, pos).reshape(h, w, 3).copy()
-    )
+    if maxval == 255:
+        return (
+            np.frombuffer(blob, np.uint8, w * h * 3, pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    if 256 <= maxval <= 65535:  # 2-byte big-endian samples (round 11)
+        return (
+            np.frombuffer(blob, ">u2", w * h * 3, pos)
+            .reshape(h, w, 3)
+            .astype(np.uint16)
+        )
+    if 1 <= maxval < 255:  # 1-byte samples at any sub-255 maxval
+        return (
+            np.frombuffer(blob, np.uint8, w * h * 3, pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    raise ValueError(f"decode_ppm: maxval {maxval} outside the P6 spec")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

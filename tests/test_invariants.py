@@ -127,7 +127,58 @@ def test_multimodal_bmp_roundtrip_known_answer():
     with pytest.raises(NotImplementedError):
         M.decode_real(b"II*\x00tiff-is-not-decoded")  # TIFF stays stubbed
     with pytest.raises(NotImplementedError):
-        M.decode_bmp(M.encode_bmp(img)[:30] + b"\x08" + bmp[31:])  # 8bpp
+        M.decode_bmp(M.encode_bmp(img)[:30] + b"\x01" + bmp[31:])  # RLE8
+
+    # round 11: 32-bit BI_RGB (BGRX) and 8-bit palettized BMPs decode
+    # for real — the two uncompressed layouts real writers emit that
+    # encode_bmp doesn't.  Both are hand-built per spec so the decoder
+    # is tested against the format, not against itself.
+    w32 = bytearray(
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<IiiHHI", 40, 2, 2, 1, 32, 0) + b"\x00" * 20
+    )
+    # bottom-up BGRX rows: pixel values chosen so every byte differs
+    px32 = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        np.uint8,
+    )  # logical top-down RGB
+    body32 = b""
+    for y in (1, 0):  # bottom-up
+        for x in (0, 1):
+            r, g, b = px32[y, x]
+            body32 += bytes([b, g, r, 0xAA])  # BGRX, padding byte set
+    assert np.array_equal(M.decode_bmp(bytes(w32) + body32), px32)
+
+    pal_hdr = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54 + 4 * 4)
+        + struct.pack("<IiiHHI", 40, 3, 2, 1, 8, 0)
+        + struct.pack("<IIIII", 0, 0, 0, 4, 0)  # sz,xppm,yppm,ClrUsed=4,Imp
+    )
+    palette = bytes(
+        [0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0,  7, 13, 29, 0]
+    )  # BGRX entries: red, green, blue, (29,13,7)
+    rows8 = bytes([3, 1, 2, 0]) + bytes([0, 2, 1, 0])  # bottom row, top row
+    dec8 = M.decode_bmp(pal_hdr + palette + rows8)
+    want8 = np.array(
+        [[[255, 0, 0], [0, 0, 255], [0, 255, 0]],   # top row: idx 0,2,1
+         [[29, 13, 7], [0, 255, 0], [0, 0, 255]]],  # bottom: idx 3,1,2
+        np.uint8,
+    )
+    assert np.array_equal(dec8, want8)
+    with pytest.raises(ValueError, match="palette index"):
+        M.decode_bmp(pal_hdr + palette + bytes([9, 0, 0, 0, 0, 0, 0, 0]))
+
+    # round 11: PPM maxval 65535 (2-byte big-endian samples per spec)
+    img16 = ((np.arange(2 * 3 * 3).reshape(2, 3, 3) * 9973) % 65536).astype(
+        np.uint16
+    )
+    p16 = M.encode_ppm(img16)
+    assert p16.startswith(b"P6\n3 2\n65535\n")
+    assert p16[13:15] == bytes([img16[0, 0, 0] >> 8, img16[0, 0, 0] & 0xFF])
+    back16 = M.decode_ppm(p16)
+    assert back16.dtype == np.uint16 and np.array_equal(back16, img16)
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n1 1\n70000\n" + b"\x00" * 6)
 
 
 def test_multimodal_png_roundtrip_known_answer():

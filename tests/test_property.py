@@ -289,6 +289,11 @@ def test_lossless_codecs_roundtrip_arbitrary_images(img):
     rgb = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
     assert np.array_equal(M.decode_bmp(M.encode_bmp(rgb)), rgb)
     assert np.array_equal(M.decode_ppm(M.encode_ppm(rgb)), rgb)
+    # round 11: 16-bit PPM (maxval 65535, big-endian samples) is
+    # lossless on the same arbitrary space widened to uint16
+    rgb16p = (rgb.astype(np.uint16) << 8) | rgb[::-1, :, :].astype(np.uint16)
+    back16p = M.decode_ppm(M.encode_ppm(rgb16p))
+    assert back16p.dtype == np.uint16 and np.array_equal(back16p, rgb16p)
     assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
     # round 11: Adam7 interlace and 16-bit depth are lossless on the
     # same arbitrary input space (pass geometry exercises every empty/
