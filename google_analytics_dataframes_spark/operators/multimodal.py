@@ -141,16 +141,19 @@ def encode_ppm(img) -> bytes:
     h, w, c = img.shape
     if c != 3:
         raise ValueError("encode_ppm: expected HxWx3 RGB")
-    if img.dtype == np.uint16:
+    # dtype.type, not dtype ==: a big-endian '>u2' array must take the
+    # 16-bit path too (dtype equality is byte-order sensitive)
+    if img.dtype.type is np.uint16:
         return b"P6\n%d %d\n65535\n" % (w, h) + img.astype(">u2").tobytes()
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
 def decode_ppm(blob: bytes):
     """Decode a binary PPM (P6) into an HxWx3 RGB array — uint8 for
-    maxval <= 255, uint16 (from 2-byte big-endian samples) for maxval
+    maxval 255, uint16 (from 2-byte big-endian samples) for maxval
     256..65535 (round 11) — honoring '#' comments and arbitrary
-    whitespace in the header per the spec."""
+    whitespace in the header per the spec.  Sub-255 maxvals (whose
+    samples would need scaling) stay a declared seam."""
     import numpy as np
 
     if blob[:2] != b"P6":
@@ -181,11 +184,12 @@ def decode_ppm(blob: bytes):
             .reshape(h, w, 3)
             .astype(np.uint16)
         )
-    if 1 <= maxval < 255:  # 1-byte samples at any sub-255 maxval
-        return (
-            np.frombuffer(blob, np.uint8, w * h * 3, pos)
-            .reshape(h, w, 3)
-            .copy()
+    if 1 <= maxval < 255:
+        # spec-valid, but samples are PROPORTIONAL to maxval — emitting
+        # them unscaled would silently darken the image, so this stays
+        # an honest seam until a scaling contract is decided
+        raise NotImplementedError(
+            f"decode_ppm: sub-255 maxval ({maxval}) scaling not implemented"
         )
     raise ValueError(f"decode_ppm: maxval {maxval} outside the P6 spec")
 
@@ -2457,6 +2461,9 @@ def decode_wav(blob: bytes) -> dict:
         if pos + 8 + ln > len(blob):
             raise ValueError("decode_wav: truncated chunk")
         if cid == b"fmt ":
+            if ln < 16:  # review finding (round 11): a short fmt chunk
+                # would read the NEXT chunk's bytes as format fields
+                raise ValueError("decode_wav: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
             fmt_raw = blob[pos + 8 : pos + 8 + ln]
         elif cid == b"fact" and ln >= 4:
@@ -2815,13 +2822,20 @@ def _encode_wav_g711(samples, sample_rate: int, law: str) -> bytes:
     n, ch = s.shape
     tag, kern = (6, _alaw_compress) if law == "alaw" else (7, _ulaw_compress)
     codes = kern(s.reshape(-1)).tobytes()
+    # RIFF word alignment (review finding, round 11): an odd data chunk
+    # takes a pad byte NOT counted in its size field but counted in the
+    # RIFF size — 8-bit G.711 is the one WAV form here that can be odd
+    pad = b"\x00" if len(codes) & 1 else b""
     fmt = struct.pack(
         "<HHIIHHH", tag, ch, sample_rate, sample_rate * ch, ch, 8, 0
     )
     fact = struct.pack("<I", n)
     return (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(codes))
+        + struct.pack(
+            "<I",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(codes) + len(pad),
+        )
         + b"WAVE"
         + b"fmt "
         + struct.pack("<I", len(fmt))
@@ -2832,6 +2846,7 @@ def _encode_wav_g711(samples, sample_rate: int, law: str) -> bytes:
         + b"data"
         + struct.pack("<I", len(codes))
         + codes
+        + pad
     )
 
 
@@ -2876,6 +2891,8 @@ def encode_avi(frames, fps: int = 10, codec: str = "DIB") -> bytes:
         raise ValueError("encode_avi: expected (n, h, w, 3) uint8 frames")
     if codec not in ("DIB", "MJPG"):
         raise ValueError(f"encode_avi: unsupported codec {codec!r}")
+    if fps <= 0:
+        raise ValueError("encode_avi: fps must be positive")
     n, h, w, _ = fr.shape
     stride = ((3 * w + 3) // 4) * 4
     pad = stride - 3 * w
@@ -2961,8 +2978,14 @@ def decode_avi(blob: bytes) -> dict:
     compression = handler = None
     frames_raw: list[bytes] = []
 
+    # fccType of the most recent strh seen — a strl's strf belongs to
+    # THAT stream, so an 'auds' strl listed before the video one must
+    # not have its WAVEFORMAT blob parsed as a BITMAPINFOHEADER
+    # (review finding, round 11)
+    last_strh_type = None
+
     def walk(lo: int, hi: int, ctx: bytes) -> None:
-        nonlocal w, h, fps, compression, handler
+        nonlocal w, h, fps, compression, handler, last_strh_type
         pos = lo
         while pos + 8 <= hi:
             cid = blob[pos : pos + 4]
@@ -2979,10 +3002,17 @@ def decode_avi(blob: bytes) -> dict:
                 w, h = aw, ah
                 if usec:
                     fps = round(1_000_000 / usec)
-            elif cid == b"strh" and ln >= 48 and blob[pos + 8 : pos + 12] == b"vids":
-                if handler is None:
+            elif cid == b"strh" and ln >= 48:
+                last_strh_type = blob[pos + 8 : pos + 12]
+                if last_strh_type == b"vids" and handler is None:
                     handler = blob[pos + 12 : pos + 16]
-            elif cid == b"strf" and ctx == b"strl" and ln >= 40 and compression is None:
+            elif (
+                cid == b"strf"
+                and ctx == b"strl"
+                and last_strh_type == b"vids"
+                and ln >= 40
+                and compression is None
+            ):
                 _sz, bw, bh, _pl, bits, comp = struct.unpack_from(
                     "<IiiHHI", blob, pos + 8
                 )
@@ -3055,6 +3085,13 @@ def decode_real(blob: bytes) -> dict:
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
         px = decode_ppm(blob)
+        if px.dtype.itemsize != 1:
+            # decode_real's contract is uint8 pixels; 16-bit PPMs are
+            # decodable but exceed it — call decode_ppm directly
+            raise NotImplementedError(
+                "decode_real: 16-bit PPM exceeds the uint8 pixel "
+                "contract; call decode_ppm directly"
+            )
     elif blob[:8] == _PNG_SIG:
         px = decode_png(blob)
     elif blob[:2] == b"\xff\xd8":

@@ -179,6 +179,16 @@ def test_multimodal_bmp_roundtrip_known_answer():
     assert back16.dtype == np.uint16 and np.array_equal(back16, img16)
     with pytest.raises(ValueError, match="maxval"):
         M.decode_ppm(b"P6\n1 1\n70000\n" + b"\x00" * 6)
+    # review findings (round 11): a big-endian uint16 array must take
+    # the 16-bit path (dtype equality is byte-order sensitive); sub-255
+    # maxvals need scaling and stay a declared seam; decode_real keeps
+    # its uint8 contract by refusing 16-bit PPMs
+    pbe = M.encode_ppm(img16.astype(">u2"))
+    assert pbe == p16
+    with pytest.raises(NotImplementedError, match="sub-255 maxval"):
+        M.decode_ppm(b"P6\n1 1\n31\n" + b"\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="uint8 pixel"):
+        M.decode_real(p16)
 
 
 def test_multimodal_png_roundtrip_known_answer():
@@ -745,6 +755,30 @@ def test_multimodal_wav_roundtrip_known_answer():
     )
     with pytest.raises(ValueError, match="zero channels"):
         M.decode_wav(zwav)
+    # review findings (round 11): a fmt chunk shorter than 16 bytes must
+    # raise (not read the next chunk's bytes as format fields), and an
+    # odd-length G.711 data chunk carries the RIFF pad byte — the size
+    # field stays odd, the file length is even, and the decoder ignores
+    # the pad via the declared length
+    short = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="short fmt"):
+        M.decode_wav(short)
+    odd = M.encode_wav_ulaw(g[:65], 8000)
+    assert len(odd) % 2 == 0
+    (riff_sz,) = struct.unpack_from("<I", odd, 4)
+    assert riff_sz + 8 == len(odd)
+    dat = odd.find(b"data")
+    (dlen,) = struct.unpack_from("<I", odd, dat + 4)
+    assert dlen == 65  # size field excludes the pad byte per RIFF
+    oo = M.decode_wav(odd)
+    assert oo["n_samples"] == 65
+    assert np.abs(
+        oo["samples"][:, 0].astype(np.int32) - g[:65].astype(np.int32)
+    ).max() <= 644
 
 
 def test_multimodal_avi_roundtrip_known_answer():
@@ -849,6 +883,33 @@ def test_multimodal_avi_roundtrip_known_answer():
     assert np.array_equal(gdec["frames"], np.repeat(gray[None, :, :, None], 3, 3).repeat(2, 0).reshape(2, 8, 16, 3))
     with pytest.raises(ValueError, match="geometry"):
         M.decode_avi(mini_mjpg_avi(17, 8, [M.encode_jpeg(gray)]))
+
+    # review finding (round 11): an 'auds' strl listed BEFORE the video
+    # strl must not have its WAVEFORMAT strf parsed as a
+    # BITMAPINFOHEADER — splice one into a real DIB AVI's hdrl
+    def chunk_(cid, data):
+        return (
+            cid + _st.pack("<I", len(data)) + data
+            + (b"\x00" * (len(data) & 1))
+        )
+
+    def lst_(kind, payload):
+        return b"LIST" + _st.pack("<I", 4 + len(payload)) + kind + payload
+
+    astrh = b"auds" + b"\x00" * 52
+    astrf = _st.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16) + b"\x00" * 24
+    auds_strl = lst_(b"strl", chunk_(b"strh", astrh) + chunk_(b"strf", astrf))
+    base = M.encode_avi(fr, 12)  # fr from the sampling block above
+    hat = base.find(b"hdrl")  # hdrl LIST: kind at hat, payload follows
+    (hlen,) = _st.unpack_from("<I", base, hat - 4)
+    # insert the auds strl right after avih inside hdrl (before the
+    # vids strl), growing the hdrl and RIFF lengths accordingly
+    avih_end = base.find(b"avih") + 8 + 56
+    patched = bytearray(base[:avih_end] + auds_strl + base[avih_end:])
+    _st.pack_into("<I", patched, hat - 4, hlen + len(auds_strl))
+    _st.pack_into("<I", patched, 4, len(patched) - 8)
+    pdec = M.decode_avi(bytes(patched))
+    assert np.array_equal(pdec["frames"], fr)
 
 
 def test_multimodal_resize_nearest_known_answer():
