@@ -3071,16 +3071,182 @@ def decode_avi(blob: bytes) -> dict:
     }
 
 
+def encode_tiff(img) -> bytes:
+    """Encode an HxWx3 uint8 RGB (or HxW grayscale) array as a REAL
+    baseline TIFF 6.0 (round 11): little-endian header, one IFD with the
+    ten baseline tags a reader needs (ImageWidth/Length, BitsPerSample,
+    Compression=1 none, Photometric, StripOffsets, SamplesPerPixel,
+    RowsPerStrip, StripByteCounts, PlanarConfig=1 chunky), pixel data in
+    a single strip.  Real viewers open these files; :func:`decode_tiff`
+    reads this subset plus big-endian, multi-strip, and WhiteIsZero
+    layouts it never emits."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_tiff: expected HxW gray or HxWx3 RGB")
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    data = img.tobytes()
+    n_tags = 10
+    ifd_off = 8
+    # BitsPerSample for RGB needs 3 SHORTs = 6 bytes -> stored off-IFD
+    bps_off = ifd_off + 2 + 12 * n_tags + 4
+    strip_off = bps_off + (6 if spp == 3 else 0)
+
+    def tag(t, typ, cnt, val):
+        return struct.pack("<HHI4s", t, typ, cnt, val)
+
+    def short_v(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_v(v):
+        return struct.pack("<I", v)
+
+    tags = b"".join(
+        [
+            tag(256, 4, 1, long_v(w)),
+            tag(257, 4, 1, long_v(h)),
+            (
+                tag(258, 3, 3, long_v(bps_off))
+                if spp == 3
+                else tag(258, 3, 1, short_v(8))
+            ),
+            tag(259, 3, 1, short_v(1)),  # no compression
+            tag(262, 3, 1, short_v(2 if spp == 3 else 1)),  # RGB / BlackIsZero
+            tag(273, 4, 1, long_v(strip_off)),
+            tag(277, 3, 1, short_v(spp)),
+            tag(278, 4, 1, long_v(h)),  # one strip holds every row
+            tag(279, 4, 1, long_v(len(data))),
+            tag(284, 3, 1, short_v(1)),  # chunky
+        ]
+    )
+    out = (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + struct.pack("<H", n_tags) + tags + struct.pack("<I", 0)
+    )
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return out + data
+
+
+def decode_tiff(blob: bytes):
+    """Decode a baseline uncompressed TIFF 6.0 into an HxWx3 uint8 RGB
+    array (round 11): both byte orders (II/MM), any strip layout
+    (RowsPerStrip + StripOffsets/ByteCounts), 8-bit grayscale in either
+    photometric polarity (WhiteIsZero inverts per spec) and 8-bit chunky
+    RGB; grayscale replicates to 3 channels for the uniform pixel
+    contract.  Compression (LZW/PackBits/CCITT/JPEG-in-TIFF), planar
+    configuration 2, tiles, and non-8-bit depths raise the honest
+    NotImplementedError; structural damage raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] == b"II*\x00":
+        en = "<"
+    elif blob[:4] == b"MM\x00*":
+        en = ">"
+    else:
+        raise ValueError("decode_tiff: not a TIFF stream")
+    if len(blob) < 8:
+        raise ValueError("decode_tiff: truncated header")
+    (ifd,) = struct.unpack_from(en + "I", blob, 4)
+    if ifd + 2 > len(blob):
+        raise ValueError("decode_tiff: truncated IFD")
+    (n_tags,) = struct.unpack_from(en + "H", blob, ifd)
+    if ifd + 2 + 12 * n_tags + 4 > len(blob):
+        raise ValueError("decode_tiff: truncated IFD entries")
+
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def read_values(typ, cnt, raw_off):
+        if typ not in type_size:
+            raise NotImplementedError(f"decode_tiff: field type {typ}")
+        if cnt == 0:  # fuzz finding: a zero-count field has no values
+            raise ValueError("decode_tiff: empty field")
+        total = type_size[typ] * cnt
+        off = raw_off if total <= 4 else struct.unpack_from(
+            en + "I", blob, raw_off
+        )[0]
+        if off + total > len(blob):
+            raise ValueError("decode_tiff: field data out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(en + str(cnt) + fmt, blob, off))
+
+    fields = {}
+    for i in range(n_tags):
+        eoff = ifd + 2 + 12 * i
+        t, typ, cnt = struct.unpack_from(en + "HHI", blob, eoff)
+        fields[t] = (typ, cnt, eoff + 8)
+
+    def get(t, default=None):
+        if t not in fields:
+            if default is not None:
+                return default
+            raise ValueError(f"decode_tiff: missing required tag {t}")
+        typ, cnt, raw = fields[t]
+        return read_values(typ, cnt, raw)
+
+    w = get(256)[0]
+    h = get(257)[0]
+    comp = get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"decode_tiff: only uncompressed (1) supported, got {comp}"
+        )
+    photo = get(262)[0]
+    spp = get(277, [1])[0]
+    planar = get(284, [1])[0]
+    if planar != 1:
+        raise NotImplementedError("decode_tiff: planar configuration 2")
+    bps = get(258, [8])
+    if any(b != 8 for b in bps) or len(bps) not in (1, spp):
+        raise NotImplementedError(
+            f"decode_tiff: only 8-bit samples supported ({bps})"
+        )
+    if (photo in (0, 1) and spp != 1) or (photo == 2 and spp != 3):
+        raise ValueError(
+            f"decode_tiff: photometric {photo} with {spp} samples"
+        )
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"decode_tiff: photometric {photo}")
+    if w <= 0 or h <= 0:
+        raise ValueError("decode_tiff: bad dimensions")
+    offs = get(273)
+    counts = get(279)
+    if len(offs) != len(counts):
+        raise ValueError("decode_tiff: strip offset/count mismatch")
+    chunks = []
+    for o, c in zip(offs, counts):
+        if o + c > len(blob):
+            raise ValueError("decode_tiff: strip out of bounds")
+        chunks.append(blob[o : o + c])
+    data = b"".join(chunks)
+    if len(data) != w * h * spp:
+        raise ValueError("decode_tiff: pixel data size mismatch")
+    px = np.frombuffer(data, np.uint8).reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero: invert per spec
+        px = (255 - px.astype(np.int32)).astype(np.uint8)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
 def decode_real(blob: bytes) -> dict:
     """Real decode for the STILL-IMAGE formats a pure-python/numpy codec
     can honestly implement — 24-bit BMP, binary PPM, any spec-valid PNG,
-    baseline/progressive JPEG, GIF — dispatched on magic bytes.  Audio
-    routes through :func:`decode_wav` (PCM int/float, IMA + MS ADPCM,
-    G.711 mu-law/A-law) and video through :func:`decode_avi`
-    (uncompressed-DIB and Motion-JPEG containers); arithmetic-coded
-    JPEG and inter-frame video codecs are the remaining declared
-    seams.  Returns {width, height, channels, pixels}; pixels is
-    HxWx3 uint8 RGB (HxWx1 for grayscale JPEG)."""
+    baseline/progressive JPEG, GIF, uncompressed TIFF — dispatched on
+    magic bytes.  Audio routes through :func:`decode_wav` (PCM
+    int/float, IMA + MS ADPCM, G.711 mu-law/A-law) and video through
+    :func:`decode_avi` (uncompressed-DIB and Motion-JPEG containers);
+    arithmetic-coded JPEG, compressed TIFF, and inter-frame video
+    codecs are the remaining declared seams.  Returns {width, height,
+    channels, pixels}; pixels is HxWx3 uint8 RGB (HxWx1 for grayscale
+    JPEG)."""
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
@@ -3100,14 +3266,16 @@ def decode_real(blob: bytes) -> dict:
             px = px[:, :, None]
     elif blob[:6] in (b"GIF87a", b"GIF89a"):
         px = decode_gif(blob)["pixels"]
+    elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+        px = decode_tiff(blob)
     else:
         raise NotImplementedError(
             "real image decode implemented for BMP (24-bit BI_RGB), "
             "PPM (P6), PNG (all spec depths/interlace), JPEG "
-            "(baseline/progressive Huffman), and GIF in this container; "
-            "audio decodes via decode_wav (PCM int/float, IMA/MS ADPCM, "
-            "G.711) and video via decode_avi (uncompressed-DIB and "
-            "Motion-JPEG AVI)"
+            "(baseline/progressive Huffman), GIF, and uncompressed "
+            "TIFF in this container; audio decodes via decode_wav "
+            "(PCM int/float, IMA/MS ADPCM, G.711) and video via "
+            "decode_avi (uncompressed-DIB and Motion-JPEG AVI)"
         )
     return {
         "width": px.shape[1],

@@ -1306,9 +1306,14 @@ def l63_bmp_roundtrip(spark, sf_dir):
 
     Scale shape: pure per-row Arrow-batched compute on the scan — no
     shuffle, no driver involvement; the same shape a real thumbnailing /
-    feature-extraction pass has over a binary image column.  JPEG/PNG
-    stay honestly stubbed (multimodal.decode_real dispatches on magic
-    bytes and raises for formats needing codec libs)."""
+    feature-extraction pass has over a binary image column.  A second
+    leg (round 11) runs the SAME image through the baseline
+    uncompressed-TIFF codec (encode_tiff -> decode_real) and requires
+    bitwise equality — TIFF is the last common still-image container
+    and its IFD walk is structurally unlike BMP's fixed header, so the
+    two legs fail independently.  Emitted columns and the oracle are
+    unchanged.  (JPEG/PNG/GIF round-trip in their own queries l67/l64/
+    l72; compressed TIFF stays the declared seam.)"""
     import numpy as np
 
     def per_batch(batches):
@@ -1326,6 +1331,14 @@ def l63_bmp_roundtrip(spark, sf_dir):
                 if not np.array_equal(dec["pixels"], img):
                     raise ValueError(
                         f"BMP round-trip mismatch for doc {d}"
+                    )
+                # TIFF leg (round 11): same image through the baseline
+                # uncompressed-TIFF codec — any IFD/strip regression
+                # kills the row; columns and oracle unchanged
+                tdec = M.decode_real(M.encode_tiff(img))
+                if not np.array_equal(tdec["pixels"], img):
+                    raise ValueError(
+                        f"TIFF round-trip mismatch for doc {d}"
                     )
                 rows.append((d, w, h, len(bmp), int(img.sum())))
             yield pd.DataFrame(

@@ -125,9 +125,67 @@ def test_multimodal_bmp_roundtrip_known_answer():
 
     # the honest seam survives for formats still outside the codec set
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"II*\x00tiff-is-not-decoded")  # TIFF stays stubbed
+        M.decode_real(b"RIFF\x00\x00\x00\x00WEBP")  # WebP stays stubbed
     with pytest.raises(NotImplementedError):
         M.decode_bmp(M.encode_bmp(img)[:30] + b"\x01" + bmp[31:])  # RLE8
+
+    # round 11: uncompressed TIFF decodes for real (round-trip via
+    # encode_tiff, gray replication, big-endian + multi-strip +
+    # WhiteIsZero on a hand-built fixture, compressed -> honest seam)
+    timg = (np.arange(4 * 5 * 3, dtype=np.uint32) * 29 % 256).astype(
+        np.uint8
+    ).reshape(4, 5, 3)
+    tf = M.encode_tiff(timg)
+    assert tf[:4] == b"II*\x00"
+    assert np.array_equal(M.decode_tiff(tf), timg)
+    tr = M.decode_real(tf)
+    assert (tr["width"], tr["height"], tr["channels"]) == (5, 4, 3)
+    gimg = (np.arange(3 * 4, dtype=np.uint32) * 47 % 256).astype(
+        np.uint8
+    ).reshape(3, 4)
+    assert np.array_equal(
+        M.decode_tiff(M.encode_tiff(gimg)),
+        np.repeat(gimg[:, :, None], 3, 2),
+    )
+    # big-endian, two strips, WhiteIsZero — layouts encode_tiff never
+    # emits, so the decoder is tested against the format
+    h2, w2 = 4, 3
+    px2 = (np.arange(h2 * w2).reshape(h2, w2) * 21 % 256).astype(np.uint8)
+    d = px2.tobytes()
+    s1, s2 = d[: 2 * w2], d[2 * w2 :]
+    n_tags = 9
+    val_area = 8 + 2 + 12 * n_tags + 4
+    so_off, sc_off = val_area, val_area + 8
+    d1 = sc_off + 8
+    d2 = d1 + len(s1)
+
+    def btag(t, typ, cnt, val4):
+        return struct.pack(">HHI", t, typ, cnt) + val4
+
+    bsv = lambda v: struct.pack(">HH", v, 0)  # noqa: E731
+    blv = lambda v: struct.pack(">I", v)  # noqa: E731
+    mm = (
+        b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", n_tags)
+        + btag(256, 4, 1, blv(w2)) + btag(257, 4, 1, blv(h2))
+        + btag(258, 3, 1, bsv(8)) + btag(259, 3, 1, bsv(1))
+        + btag(262, 3, 1, bsv(0))  # WhiteIsZero
+        + btag(273, 4, 2, blv(so_off)) + btag(277, 3, 1, bsv(1))
+        + btag(278, 4, 1, blv(2)) + btag(279, 4, 2, blv(sc_off))
+        + struct.pack(">I", 0)
+        + struct.pack(">II", d1, d2) + struct.pack(">II", len(s1), len(s2))
+        + s1 + s2
+    )
+    want_mm = np.repeat(
+        (255 - px2.astype(np.int32)).astype(np.uint8)[:, :, None], 3, 2
+    )
+    assert np.array_equal(M.decode_tiff(mm), want_mm)
+    lzw = bytearray(tf)
+    ci = tf.find(struct.pack("<HHI", 259, 3, 1))
+    lzw[ci + 8] = 5  # Compression = LZW
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        M.decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError):
+        M.decode_tiff(tf[: len(tf) // 2])
 
     # round 11: 32-bit BI_RGB (BGRX) and 8-bit palettized BMPs decode
     # for real — the two uncompressed layouts real writers emit that
