@@ -148,14 +148,11 @@ def encode_ppm(img) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def decode_ppm(blob: bytes):
-    """Decode a binary PPM (P6) into an HxWx3 RGB array — uint8 for
-    maxval 255, uint16 (from 2-byte big-endian samples) for maxval
-    256..65535 (round 11) — honoring '#' comments and arbitrary
-    whitespace in the header per the spec.  Sub-255 maxvals (whose
-    samples would need scaling) stay a declared seam."""
-    import numpy as np
-
+def _ppm_header(blob: bytes):
+    """Parse a P6 header — returns (w, h, maxval, data_pos) without
+    touching the pixel payload, honoring '#' comments and arbitrary
+    whitespace per the spec (shared by decode_ppm and decode_real's
+    cheap contract check)."""
     if blob[:2] != b"P6":
         raise ValueError("decode_ppm: not a P6 stream")
     pos, fields = 2, []
@@ -172,6 +169,18 @@ def decode_ppm(blob: bytes):
         fields.append(int(blob[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def decode_ppm(blob: bytes):
+    """Decode a binary PPM (P6) into an HxWx3 RGB array — uint8 for
+    maxval 255, uint16 (from 2-byte big-endian samples) for maxval
+    256..65535 (round 11) — honoring '#' comments and arbitrary
+    whitespace in the header per the spec.  Sub-255 maxvals (whose
+    samples would need scaling) stay a declared seam."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(blob)
     if maxval == 255:
         return (
             np.frombuffer(blob, np.uint8, w * h * 3, pos)
@@ -3002,9 +3011,12 @@ def decode_avi(blob: bytes) -> dict:
                 w, h = aw, ah
                 if usec:
                     fps = round(1_000_000 / usec)
-            elif cid == b"strh" and ln >= 48:
+            elif cid == b"strh" and ln >= 4:
+                # fccType needs only 4 bytes — track it for ANY strh so
+                # a short non-video strh can't leave a stale 'vids'
+                # classification on its strl's strf (review finding)
                 last_strh_type = blob[pos + 8 : pos + 12]
-                if last_strh_type == b"vids" and handler is None:
+                if last_strh_type == b"vids" and ln >= 48 and handler is None:
                     handler = blob[pos + 12 : pos + 16]
             elif (
                 cid == b"strf"
@@ -3089,6 +3101,8 @@ def encode_tiff(img) -> bytes:
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("encode_tiff: expected HxW gray or HxWx3 RGB")
     h, w = img.shape[:2]
+    if h == 0 or w == 0:  # decode_tiff rejects zero-area images too
+        raise ValueError("encode_tiff: zero-area image")
     spp = 1 if gray else 3
     data = img.tobytes()
     n_tags = 10
@@ -3204,7 +3218,12 @@ def decode_tiff(blob: bytes):
     if planar != 1:
         raise NotImplementedError("decode_tiff: planar configuration 2")
     bps = get(258, [8])
-    if any(b != 8 for b in bps) or len(bps) not in (1, spp):
+    if len(bps) not in (1, spp):  # structural damage, not a seam
+        raise ValueError(
+            f"decode_tiff: BitsPerSample count {len(bps)} != "
+            f"SamplesPerPixel {spp}"
+        )
+    if any(b != 8 for b in bps):
         raise NotImplementedError(
             f"decode_tiff: only 8-bit samples supported ({bps})"
         )
@@ -3228,7 +3247,10 @@ def decode_tiff(blob: bytes):
     data = b"".join(chunks)
     if len(data) != w * h * spp:
         raise ValueError("decode_tiff: pixel data size mismatch")
-    px = np.frombuffer(data, np.uint8).reshape(h, w, spp)
+    # .copy(): frombuffer over bytes is read-only, and the RGB path
+    # applies no transform — siblings (decode_bmp/ppm/png) all return
+    # writable pixels
+    px = np.frombuffer(data, np.uint8).reshape(h, w, spp).copy()
     if photo == 0:  # WhiteIsZero: invert per spec
         px = (255 - px.astype(np.int32)).astype(np.uint8)
     if spp == 1:
@@ -3250,14 +3272,16 @@ def decode_real(blob: bytes) -> dict:
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
-        px = decode_ppm(blob)
-        if px.dtype.itemsize != 1:
+        # header-only peek: rejecting a 16-bit PPM must not first
+        # materialize its whole pixel array (review finding)
+        if _ppm_header(blob)[2] > 255:
             # decode_real's contract is uint8 pixels; 16-bit PPMs are
             # decodable but exceed it — call decode_ppm directly
             raise NotImplementedError(
                 "decode_real: 16-bit PPM exceeds the uint8 pixel "
                 "contract; call decode_ppm directly"
             )
+        px = decode_ppm(blob)
     elif blob[:8] == _PNG_SIG:
         px = decode_png(blob)
     elif blob[:2] == b"\xff\xd8":

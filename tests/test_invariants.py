@@ -186,6 +186,20 @@ def test_multimodal_bmp_roundtrip_known_answer():
         M.decode_tiff(bytes(lzw))
     with pytest.raises(ValueError):
         M.decode_tiff(tf[: len(tf) // 2])
+    # review findings (round 11, second pass): decoded pixels are
+    # writable like every sibling decoder's; zero-area encode is
+    # rejected (its output could never round-trip); a BitsPerSample
+    # count that contradicts SamplesPerPixel is DAMAGE (ValueError),
+    # not an unimplemented feature
+    wpx = M.decode_tiff(tf)
+    wpx[0, 0, 0] = 1  # raises if read-only
+    with pytest.raises(ValueError, match="zero-area"):
+        M.encode_tiff(np.zeros((0, 5, 3), np.uint8))
+    mism = bytearray(tf)
+    bi = tf.find(struct.pack("<HHI", 258, 3, 3))
+    struct.pack_into("<I", mism, bi + 4, 2)  # BitsPerSample count 2
+    with pytest.raises(ValueError, match="BitsPerSample count"):
+        M.decode_tiff(bytes(mism))
 
     # round 11: 32-bit BI_RGB (BGRX) and 8-bit palettized BMPs decode
     # for real — the two uncompressed layouts real writers emit that
@@ -901,20 +915,19 @@ def test_multimodal_avi_roundtrip_known_answer():
     ml = M.decode_avi(M.encode_avi(lossy, 10, codec="MJPG"))["frames"]
     assert np.abs(ml.astype(np.int32) - lossy.astype(np.int32)).max() < 128
 
+    def chunk(cid, data):
+        return (
+            cid + _st.pack("<I", len(data)) + data
+            + (b"\x00" * (len(data) & 1))
+        )
+
+    def lst(kind, payload):
+        return b"LIST" + _st.pack("<I", 4 + len(payload)) + kind + payload
+
     def mini_mjpg_avi(w_, h_, payloads):
         """Minimal MJPG AVI around arbitrary frame payloads (tests the
         decoder against external-writer layouts encode_avi never emits,
         e.g. grayscale scans)."""
-
-        def chunk(cid, data):
-            return (
-                cid + _st.pack("<I", len(data)) + data
-                + (b"\x00" * (len(data) & 1))
-            )
-
-        def lst(kind, payload):
-            return b"LIST" + _st.pack("<I", 4 + len(payload)) + kind + payload
-
         avih_ = _st.pack(
             "<IIIIIIIIIIIIII", 100000, 0, 0, 0, len(payloads), 0, 1, 0,
             w_, h_, 0, 0, 0, 0,
@@ -945,18 +958,9 @@ def test_multimodal_avi_roundtrip_known_answer():
     # review finding (round 11): an 'auds' strl listed BEFORE the video
     # strl must not have its WAVEFORMAT strf parsed as a
     # BITMAPINFOHEADER — splice one into a real DIB AVI's hdrl
-    def chunk_(cid, data):
-        return (
-            cid + _st.pack("<I", len(data)) + data
-            + (b"\x00" * (len(data) & 1))
-        )
-
-    def lst_(kind, payload):
-        return b"LIST" + _st.pack("<I", 4 + len(payload)) + kind + payload
-
     astrh = b"auds" + b"\x00" * 52
     astrf = _st.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16) + b"\x00" * 24
-    auds_strl = lst_(b"strl", chunk_(b"strh", astrh) + chunk_(b"strf", astrf))
+    auds_strl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
     base = M.encode_avi(fr, 12)  # fr from the sampling block above
     hat = base.find(b"hdrl")  # hdrl LIST: kind at hat, payload follows
     (hlen,) = _st.unpack_from("<I", base, hat - 4)
@@ -968,6 +972,36 @@ def test_multimodal_avi_roundtrip_known_answer():
     _st.pack_into("<I", patched, 4, len(patched) - 8)
     pdec = M.decode_avi(bytes(patched))
     assert np.array_equal(pdec["frames"], fr)
+    # second-pass variant: a SHORT (44-byte) auds strh must still
+    # reclassify the stream — fccType needs only 4 bytes.  Repro shape:
+    # the vids strl's strf is too short to parse (< 40 bytes), so
+    # `compression` is still unbound when the auds strl arrives; a
+    # stale 'vids' type would parse the 40-byte WAVEFORMATEX as a
+    # BITMAPINFOHEADER and misroute the whole file.  Hand-built DIB AVI
+    # with exactly that hdrl; the movi frame must still decode.
+    one = fr[:1]
+    stride = ((3 * 7 + 3) // 4) * 4
+    dib = one[0, ::-1, :, ::-1]
+    dib = np.concatenate(
+        [dib.reshape(5, 21), np.zeros((5, stride - 21), np.uint8)], axis=1
+    ).tobytes()
+    avih2 = _st.pack(
+        "<IIIIIIIIIIIIII", 100000, 0, 0, 0, 1, 0, 2, 0, 7, 5, 0, 0, 0, 0
+    )
+    vstrh = b"vids" + b"DIB " + _st.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 0, 0, 0xFFFFFFFF, 0
+    ) + _st.pack("<hhhh", 0, 0, 7, 5)
+    hdrl2 = lst(
+        b"hdrl",
+        chunk(b"avih", avih2)
+        + lst(b"strl", chunk(b"strh", vstrh) + chunk(b"strf", b"\x00" * 36))
+        + lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 40)
+              + chunk(b"strf", astrf)),
+    )
+    body2 = hdrl2 + lst(b"movi", chunk(b"00db", dib))
+    crafted = b"RIFF" + _st.pack("<I", 4 + len(body2)) + b"AVI " + body2
+    pdec2 = M.decode_avi(crafted)
+    assert np.array_equal(pdec2["frames"], one)
 
 
 def test_multimodal_resize_nearest_known_answer():
