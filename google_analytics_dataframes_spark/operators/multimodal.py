@@ -3083,13 +3083,15 @@ def decode_avi(blob: bytes) -> dict:
     }
 
 
-def encode_tiff(img) -> bytes:
+def encode_tiff(img, compression: str = "none") -> bytes:
     """Encode an HxWx3 uint8 RGB (or HxW grayscale) array as a REAL
     baseline TIFF 6.0 (round 11): little-endian header, one IFD with the
     ten baseline tags a reader needs (ImageWidth/Length, BitsPerSample,
-    Compression=1 none, Photometric, StripOffsets, SamplesPerPixel,
+    Compression, Photometric, StripOffsets, SamplesPerPixel,
     RowsPerStrip, StripByteCounts, PlanarConfig=1 chunky), pixel data in
-    a single strip.  Real viewers open these files; :func:`decode_tiff`
+    a single strip.  ``compression``: "none" (1), "packbits" (32773,
+    Apple RLE) or "lzw" (5, the spec's MSB-first 9->12-bit variable
+    width codes).  Real viewers open these files; :func:`decode_tiff`
     reads this subset plus big-endian, multi-strip, and WhiteIsZero
     layouts it never emits."""
     import struct
@@ -3104,7 +3106,15 @@ def encode_tiff(img) -> bytes:
     if h == 0 or w == 0:  # decode_tiff rejects zero-area images too
         raise ValueError("encode_tiff: zero-area image")
     spp = 1 if gray else 3
-    data = img.tobytes()
+    raw = img.tobytes()
+    if compression == "none":
+        comp_tag, data = 1, raw
+    elif compression == "packbits":
+        comp_tag, data = 32773, _packbits_encode(raw)
+    elif compression == "lzw":
+        comp_tag, data = 5, _tiff_lzw_encode(raw)
+    else:
+        raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     n_tags = 10
     ifd_off = 8
     # BitsPerSample for RGB needs 3 SHORTs = 6 bytes -> stored off-IFD
@@ -3129,7 +3139,7 @@ def encode_tiff(img) -> bytes:
                 if spp == 3
                 else tag(258, 3, 1, short_v(8))
             ),
-            tag(259, 3, 1, short_v(1)),  # no compression
+            tag(259, 3, 1, short_v(comp_tag)),
             tag(262, 3, 1, short_v(2 if spp == 3 else 1)),  # RGB / BlackIsZero
             tag(273, 4, 1, long_v(strip_off)),
             tag(277, 3, 1, short_v(spp)),
@@ -3147,15 +3157,193 @@ def encode_tiff(img) -> bytes:
     return out + data
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773, round 11): n in 0..127
+    copies n+1 literal bytes, n in -127..-1 repeats the next byte 1-n
+    times, -128 is a no-op.  Decodes exactly ``expect`` bytes or raises
+    ValueError."""
+    out = bytearray()
+    i, n_data = 0, len(data)
+    while i < n_data and len(out) < expect:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > n_data:
+                raise ValueError("packbits: truncated literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= n_data:
+                raise ValueError("packbits: truncated repeat run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError(
+            f"packbits: decoded {len(out)} bytes, expected {expect}"
+        )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (for round-trip testing and strip writing):
+    greedy — runs of >= 2 identical bytes become repeat packets (max
+    128), everything else literal packets (max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([(1 - run) & 0xFF, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF LZW (compression 5, round 11): MSB-first variable-width
+    codes 9->12 bits with ClearCode 256 / EOI 257; the code width
+    bumps when the decoder's table reaches 511/1023/2047 entries (the
+    libtiff decoder's `free_entp > maxcodep` rule).  The second
+    hand-rolled LZW in this container; GIF's is LSB-first with a
+    different change rule, so the two share nothing but the idea."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # ClearCode
+                reset()
+                prev = None
+                continue
+            if code == 257:  # EndOfInformation
+                if len(out) != expect:
+                    raise ValueError(
+                        f"tiff-lzw: decoded {len(out)} bytes, "
+                        f"expected {expect}"
+                    )
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("tiff-lzw: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("tiff-lzw: code out of range")
+            if len(table) > 4095:  # writers must clear before this
+                raise ValueError("tiff-lzw: table overflow without clear")
+            out += entry
+            prev = entry
+            # early change: width grows when the NEXT code could
+            # overflow, one entry before the table actually fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) > expect:
+                raise ValueError("tiff-lzw: output exceeds strip size")
+    raise ValueError("tiff-lzw: missing EndOfInformation")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder — the exact inverse of :func:`_tiff_lzw_decode`.
+    Code widths are driven by SIMULATING the decoder's table growth
+    (its add for each emitted data code after a clear's first happens
+    one code later than the encoder's own dictionary insert), so the
+    two state machines can never disagree at a width boundary."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def emit_data(code):
+        # emit at the decoder's CURRENT width, then advance the
+        # simulated decoder: every data code after the first since a
+        # clear triggers one table add, and the decoder bumps its read
+        # width when that table reaches 2^width - 1 entries
+        nonlocal sim_size, width, first_since_clear
+        emit(code)
+        if first_since_clear:
+            first_since_clear = False
+        else:
+            sim_size += 1
+            if sim_size + 1 >= (1 << width) and width < 12:
+                width += 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    sim_size = 258
+    first_since_clear = True
+    emit(256)  # spec: streams begin with a ClearCode
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit_data(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= 4094:  # table nearly full: reset per spec
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            sim_size = 258
+            first_since_clear = True
+        cur = bytes([b])
+    if cur:
+        emit_data(table[cur])
+    emit(257)  # EndOfInformation
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(blob: bytes):
-    """Decode a baseline uncompressed TIFF 6.0 into an HxWx3 uint8 RGB
-    array (round 11): both byte orders (II/MM), any strip layout
+    """Decode a baseline TIFF 6.0 into an HxWx3 uint8 RGB array
+    (round 11): both byte orders (II/MM), any strip layout
     (RowsPerStrip + StripOffsets/ByteCounts), 8-bit grayscale in either
     photometric polarity (WhiteIsZero inverts per spec) and 8-bit chunky
-    RGB; grayscale replicates to 3 channels for the uniform pixel
-    contract.  Compression (LZW/PackBits/CCITT/JPEG-in-TIFF), planar
-    configuration 2, tiles, and non-8-bit depths raise the honest
-    NotImplementedError; structural damage raises ValueError."""
+    RGB, uncompressed or per-strip LZW (5) / PackBits (32773)
+    decompressed; grayscale replicates to 3 channels for the uniform
+    pixel contract.  Other compressions (CCITT/JPEG-in-TIFF/Deflate),
+    planar configuration 2, tiles, and non-8-bit depths raise the
+    honest NotImplementedError; structural damage raises ValueError."""
     import struct
 
     import numpy as np
@@ -3208,9 +3396,10 @@ def decode_tiff(blob: bytes):
     w = get(256)[0]
     h = get(257)[0]
     comp = get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"decode_tiff: only uncompressed (1) supported, got {comp}"
+            f"decode_tiff: only uncompressed (1), LZW (5) and PackBits "
+            f"(32773) supported, got {comp}"
         )
     photo = get(262)[0]
     spp = get(277, [1])[0]
@@ -3239,11 +3428,23 @@ def decode_tiff(blob: bytes):
     counts = get(279)
     if len(offs) != len(counts):
         raise ValueError("decode_tiff: strip offset/count mismatch")
+    rps = get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError("decode_tiff: bad RowsPerStrip")
     chunks = []
+    rows_left = h
     for o, c in zip(offs, counts):
         if o + c > len(blob):
             raise ValueError("decode_tiff: strip out of bounds")
-        chunks.append(blob[o : o + c])
+        raw = blob[o : o + c]
+        strip_rows = min(rps, rows_left)
+        rows_left -= strip_rows
+        expect = strip_rows * w * spp
+        if comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(raw, expect)
+        chunks.append(raw)
     data = b"".join(chunks)
     if len(data) != w * h * spp:
         raise ValueError("decode_tiff: pixel data size mismatch")
@@ -3265,7 +3466,7 @@ def decode_real(blob: bytes) -> dict:
     magic bytes.  Audio routes through :func:`decode_wav` (PCM
     int/float, IMA + MS ADPCM, G.711 mu-law/A-law) and video through
     :func:`decode_avi` (uncompressed-DIB and Motion-JPEG containers);
-    arithmetic-coded JPEG, compressed TIFF, and inter-frame video
+    arithmetic-coded JPEG, CCITT/JPEG-in-TIFF, and inter-frame video
     codecs are the remaining declared seams.  Returns {width, height,
     channels, pixels}; pixels is HxWx3 uint8 RGB (HxWx1 for grayscale
     JPEG)."""

@@ -179,13 +179,44 @@ def test_multimodal_bmp_roundtrip_known_answer():
         (255 - px2.astype(np.int32)).astype(np.uint8)[:, :, None], 3, 2
     )
     assert np.array_equal(M.decode_tiff(mm), want_mm)
-    lzw = bytearray(tf)
+    ccitt = bytearray(tf)
     ci = tf.find(struct.pack("<HHI", 259, 3, 1))
-    lzw[ci + 8] = 5  # Compression = LZW
-    with pytest.raises(NotImplementedError, match="uncompressed"):
-        M.decode_tiff(bytes(lzw))
+    ccitt[ci + 8] = 4  # Compression = CCITT G4 stays a seam
+    with pytest.raises(NotImplementedError, match="PackBits"):
+        M.decode_tiff(bytes(ccitt))
     with pytest.raises(ValueError):
         M.decode_tiff(tf[: len(tf) // 2])
+    # round 11: LZW (5) and PackBits (32773) strips decode for real —
+    # full-file round trips through encode_tiff's compressors, plus
+    # spec known answers for both kernels (PackBits' worked example
+    # from the spec; a hand-checked 9-bit LZW prefix)
+    for ckind in ("packbits", "lzw"):
+        tcomp = M.encode_tiff(timg, compression=ckind)
+        assert np.array_equal(M.decode_tiff(tcomp), timg), ckind
+        gcomp = M.encode_tiff(gimg, compression=ckind)
+        assert np.array_equal(
+            M.decode_tiff(gcomp), np.repeat(gimg[:, :, None], 3, 2)
+        ), ckind
+    # PackBits worked example straight from the TIFF 6.0 spec text
+    pb = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    want_pb = bytes(
+        [0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+         0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+         0xAA, 0xAA, 0xAA, 0xAA]
+    )
+    assert M._packbits_decode(pb, len(want_pb)) == want_pb
+    # LZW: a ClearCode (256) then literal bytes 7,7,7 then EOI, all
+    # 9-bit MSB-first, hand-packed: 100000000 000000111 000000111(->
+    # code 258 = "77" KwKwK on decode) — round-trip the simple way and
+    # assert the known header byte (0x80 = ClearCode's top 8 bits)
+    enc77 = M._tiff_lzw_encode(b"\x07\x07\x07")
+    assert enc77[0] == 0x80
+    assert M._tiff_lzw_decode(enc77, 3) == b"\x07\x07\x07"
+    with pytest.raises(ValueError, match="EndOfInformation"):
+        M._tiff_lzw_decode(enc77[:-1] + b"", 4)
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample

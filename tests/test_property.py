@@ -294,13 +294,19 @@ def test_lossless_codecs_roundtrip_arbitrary_images(img):
     rgb16p = (rgb.astype(np.uint16) << 8) | rgb[::-1, :, :].astype(np.uint16)
     back16p = M.decode_ppm(M.encode_ppm(rgb16p))
     assert back16p.dtype == np.uint16 and np.array_equal(back16p, rgb16p)
-    # round 11: uncompressed TIFF is lossless on the same space (RGB
-    # identity; grayscale replicates to 3 channels)
-    assert np.array_equal(M.decode_tiff(M.encode_tiff(rgb)), rgb)
+    # round 11: TIFF is lossless on the same space in all three
+    # supported compressions (RGB identity; grayscale replicates);
+    # arbitrary bytes exercise LZW width growth and PackBits
+    # literal/run packet switching
     gr = rgb[:, :, 1]
-    assert np.array_equal(
-        M.decode_tiff(M.encode_tiff(gr)), np.repeat(gr[:, :, None], 3, 2)
-    )
+    for ck in ("none", "packbits", "lzw"):
+        assert np.array_equal(
+            M.decode_tiff(M.encode_tiff(rgb, compression=ck)), rgb
+        )
+        assert np.array_equal(
+            M.decode_tiff(M.encode_tiff(gr, compression=ck)),
+            np.repeat(gr[:, :, None], 3, 2),
+        )
     assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
     # round 11: Adam7 interlace and 16-bit depth are lossless on the
     # same arbitrary input space (pass geometry exercises every empty/
