@@ -148,13 +148,13 @@ def encode_ppm(img) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def _ppm_header(blob: bytes):
-    """Parse a P6 header — returns (w, h, maxval, data_pos) without
-    touching the pixel payload, honoring '#' comments and arbitrary
-    whitespace per the spec (shared by decode_ppm and decode_real's
-    cheap contract check)."""
-    if blob[:2] != b"P6":
-        raise ValueError("decode_ppm: not a P6 stream")
+def _ppm_header(blob: bytes, magic: bytes = b"P6"):
+    """Parse a netpbm binary header (P5/P6) — returns (w, h, maxval,
+    data_pos) without touching the pixel payload, honoring '#' comments
+    and arbitrary whitespace per the spec (shared by decode_ppm /
+    decode_pgm and decode_real's cheap contract check)."""
+    if blob[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} stream")
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
@@ -201,6 +201,44 @@ def decode_ppm(blob: bytes):
             f"decode_ppm: sub-255 maxval ({maxval}) scaling not implemented"
         )
     raise ValueError(f"decode_ppm: maxval {maxval} outside the P6 spec")
+
+
+def encode_pgm(img) -> bytes:
+    """Encode an HxW grayscale array as binary PGM (P5): uint8 ->
+    maxval 255; uint16 -> maxval 65535, 2-byte big-endian samples
+    (round 11)."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_pgm: expected HxW grayscale")
+    h, w = img.shape
+    if img.dtype.type is np.uint16:
+        return b"P5\n%d %d\n65535\n" % (w, h) + img.astype(">u2").tobytes()
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_pgm(blob: bytes):
+    """Decode a binary PGM (P5) into an HxW grayscale array — uint8
+    for maxval 255, uint16 (2-byte big-endian) for maxval 256..65535
+    (round 11); sub-255 maxvals stay the same declared scaling seam as
+    P6's."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(blob, b"P5")
+    if maxval == 255:
+        return np.frombuffer(blob, np.uint8, w * h, pos).reshape(h, w).copy()
+    if 256 <= maxval <= 65535:
+        return (
+            np.frombuffer(blob, ">u2", w * h, pos)
+            .reshape(h, w)
+            .astype(np.uint16)
+        )
+    if 1 <= maxval < 255:
+        raise NotImplementedError(
+            f"decode_pgm: sub-255 maxval ({maxval}) scaling not implemented"
+        )
+    raise ValueError(f"decode_pgm: maxval {maxval} outside the P5 spec")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -3113,6 +3151,10 @@ def encode_tiff(img, compression: str = "none") -> bytes:
         comp_tag, data = 32773, _packbits_encode(raw)
     elif compression == "lzw":
         comp_tag, data = 5, _tiff_lzw_encode(raw)
+    elif compression == "deflate":
+        import zlib
+
+        comp_tag, data = 8, zlib.compress(raw, 6)
     else:
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     n_tags = 10
@@ -3396,10 +3438,10 @@ def decode_tiff(blob: bytes):
     w = get(256)[0]
     h = get(257)[0]
     comp = get(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"decode_tiff: only uncompressed (1), LZW (5) and PackBits "
-            f"(32773) supported, got {comp}"
+            f"decode_tiff: only uncompressed (1), LZW (5), Deflate "
+            f"(8/32946) and PackBits (32773) supported, got {comp}"
         )
     photo = get(262)[0]
     spp = get(277, [1])[0]
@@ -3444,6 +3486,18 @@ def decode_tiff(blob: bytes):
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
             raw = _tiff_lzw_decode(raw, expect)
+        elif comp in (8, 32946):  # Adobe/legacy Deflate: zlib streams
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"decode_tiff: bad deflate strip ({e})")
+            if len(raw) != expect:
+                raise ValueError(
+                    f"decode_tiff: deflate strip {len(raw)} bytes, "
+                    f"expected {expect}"
+                )
         chunks.append(raw)
     data = b"".join(chunks)
     if len(data) != w * h * spp:
@@ -3483,6 +3537,15 @@ def decode_real(blob: bytes) -> dict:
                 "contract; call decode_ppm directly"
             )
         px = decode_ppm(blob)
+    elif blob[:2] == b"P5":  # PGM (round 11): grayscale netpbm
+        if _ppm_header(blob, b"P5")[2] > 255:
+            raise NotImplementedError(
+                "decode_real: 16-bit PGM exceeds the uint8 pixel "
+                "contract; call decode_pgm directly"
+            )
+        import numpy as _np
+
+        px = _np.repeat(decode_pgm(blob)[:, :, None], 3, axis=2)
     elif blob[:8] == _PNG_SIG:
         px = decode_png(blob)
     elif blob[:2] == b"\xff\xd8":

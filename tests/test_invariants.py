@@ -217,6 +217,27 @@ def test_multimodal_bmp_roundtrip_known_answer():
     assert M._tiff_lzw_decode(enc77, 3) == b"\x07\x07\x07"
     with pytest.raises(ValueError, match="EndOfInformation"):
         M._tiff_lzw_decode(enc77[:-1] + b"", 4)
+    # Deflate strips (tags 8 and legacy 32946) decode via zlib
+    tdz = M.encode_tiff(timg, compression="deflate")
+    assert np.array_equal(M.decode_tiff(tdz), timg)
+    leg = bytearray(tdz)
+    di = tdz.find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", leg, di + 8, 32946)
+    assert np.array_equal(M.decode_tiff(bytes(leg)), timg)
+    # PGM (P5): uint8 + 16-bit big-endian round trips; decode_real
+    # replicates gray to 3 channels and rejects 16-bit like P6
+    pg = (np.arange(12, dtype=np.uint32).reshape(3, 4) * 19 % 256).astype(
+        np.uint8
+    )
+    assert np.array_equal(M.decode_pgm(M.encode_pgm(pg)), pg)
+    pg16 = (pg.astype(np.uint16) << 8) | 0x21
+    b16 = M.decode_pgm(M.encode_pgm(pg16))
+    assert b16.dtype == np.uint16 and np.array_equal(b16, pg16)
+    drg = M.decode_real(M.encode_pgm(pg))
+    assert drg["channels"] == 3
+    assert np.array_equal(drg["pixels"], np.repeat(pg[:, :, None], 3, 2))
+    with pytest.raises(NotImplementedError, match="16-bit PGM"):
+        M.decode_real(M.encode_pgm(pg16))
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample

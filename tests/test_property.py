@@ -299,7 +299,7 @@ def test_lossless_codecs_roundtrip_arbitrary_images(img):
     # arbitrary bytes exercise LZW width growth and PackBits
     # literal/run packet switching
     gr = rgb[:, :, 1]
-    for ck in ("none", "packbits", "lzw"):
+    for ck in ("none", "packbits", "lzw", "deflate"):
         assert np.array_equal(
             M.decode_tiff(M.encode_tiff(rgb, compression=ck)), rgb
         )
@@ -307,6 +307,10 @@ def test_lossless_codecs_roundtrip_arbitrary_images(img):
             M.decode_tiff(M.encode_tiff(gr, compression=ck)),
             np.repeat(gr[:, :, None], 3, 2),
         )
+    # PGM (P5) is lossless at both depths on the same space
+    assert np.array_equal(M.decode_pgm(M.encode_pgm(gr)), gr)
+    gr16 = (gr.astype(np.uint16) << 8) | gr.astype(np.uint16)
+    assert np.array_equal(M.decode_pgm(M.encode_pgm(gr16)), gr16)
     assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
     # round 11: Adam7 interlace and 16-bit depth are lossless on the
     # same arbitrary input space (pass geometry exercises every empty/
