@@ -1333,13 +1333,25 @@ def l63_bmp_roundtrip(spark, sf_dir):
                         f"BMP round-trip mismatch for doc {d}"
                     )
                 # TIFF leg (round 11): same image through the baseline
-                # uncompressed-TIFF codec — any IFD/strip regression
-                # kills the row; columns and oracle unchanged
+                # TIFF codec in every compression this container
+                # implements (uncompressed IFD walk + LZW + PackBits +
+                # Deflate strips — per-doc images are ~100 bytes, so
+                # the three extra kernels cost microseconds) — any
+                # IFD/strip/entropy regression kills the row; columns
+                # and oracle unchanged
                 tdec = M.decode_real(M.encode_tiff(img))
                 if not np.array_equal(tdec["pixels"], img):
                     raise ValueError(
                         f"TIFF round-trip mismatch for doc {d}"
                     )
+                for ck in ("packbits", "lzw", "deflate"):
+                    if not np.array_equal(
+                        M.decode_tiff(M.encode_tiff(img, compression=ck)),
+                        img,
+                    ):
+                        raise ValueError(
+                            f"TIFF {ck} round-trip mismatch for doc {d}"
+                        )
                 rows.append((d, w, h, len(bmp), int(img.sum())))
             yield pd.DataFrame(
                 rows,
