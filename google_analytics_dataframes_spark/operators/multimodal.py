@@ -3121,7 +3121,7 @@ def decode_avi(blob: bytes) -> dict:
     }
 
 
-def encode_tiff(img, compression: str = "none") -> bytes:
+def encode_tiff(img, compression: str = "none", predictor: bool = False) -> bytes:
     """Encode an HxWx3 uint8 RGB (or HxW grayscale) array as a REAL
     baseline TIFF 6.0 (round 11): little-endian header, one IFD with the
     ten baseline tags a reader needs (ImageWidth/Length, BitsPerSample,
@@ -3144,7 +3144,23 @@ def encode_tiff(img, compression: str = "none") -> bytes:
     if h == 0 or w == 0:  # decode_tiff rejects zero-area images too
         raise ValueError("encode_tiff: zero-area image")
     spp = 1 if gray else 3
-    raw = img.tobytes()
+    if predictor:
+        # horizontal differencing (tag 317 = 2): store each sample as
+        # the delta from its left neighbor mod 256 — the layout real
+        # LZW/Deflate writers use because deltas compress better
+        p3 = img if not gray else img[:, :, None]
+        diffed = np.concatenate(
+            [
+                p3[:, :1],
+                (
+                    p3[:, 1:].astype(np.int16) - p3[:, :-1].astype(np.int16)
+                ).astype(np.uint8),
+            ],
+            axis=1,
+        )
+        raw = diffed.tobytes()
+    else:
+        raw = img.tobytes()
     if compression == "none":
         comp_tag, data = 1, raw
     elif compression == "packbits":
@@ -3157,7 +3173,7 @@ def encode_tiff(img, compression: str = "none") -> bytes:
         comp_tag, data = 8, zlib.compress(raw, 6)
     else:
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
-    n_tags = 10
+    n_tags = 11 if predictor else 10
     ifd_off = 8
     # BitsPerSample for RGB needs 3 SHORTs = 6 bytes -> stored off-IFD
     bps_off = ifd_off + 2 + 12 * n_tags + 4
@@ -3189,6 +3205,7 @@ def encode_tiff(img, compression: str = "none") -> bytes:
             tag(279, 4, 1, long_v(len(data))),
             tag(284, 3, 1, short_v(1)),  # chunky
         ]
+        + ([tag(317, 3, 1, short_v(2))] if predictor else [])
     )
     out = (
         b"II*\x00" + struct.pack("<I", ifd_off)
@@ -3383,7 +3400,10 @@ def decode_tiff(blob: bytes):
     photometric polarity (WhiteIsZero inverts per spec) and 8-bit chunky
     RGB, uncompressed or per-strip LZW (5) / PackBits (32773)
     decompressed; grayscale replicates to 3 channels for the uniform
-    pixel contract.  Other compressions (CCITT/JPEG-in-TIFF/Deflate),
+    pixel contract.  The horizontal-differencing predictor (tag 317 =
+    2, the layout real LZW/Deflate writers use) is reconstructed by
+    row-wise cumulative sum; an unknown predictor is REFUSED rather
+    than silently ignored.  Other compressions (CCITT/JPEG-in-TIFF),
     planar configuration 2, tiles, and non-8-bit depths raise the
     honest NotImplementedError; structural damage raises ValueError."""
     import struct
@@ -3506,6 +3526,18 @@ def decode_tiff(blob: bytes):
     # applies no transform — siblings (decode_bmp/ppm/png) all return
     # writable pixels
     px = np.frombuffer(data, np.uint8).reshape(h, w, spp).copy()
+    pred = get(317, [1])[0]
+    if pred == 2:
+        # horizontal differencing (tag 317, common with LZW/Deflate):
+        # each stored sample is the delta from its left neighbor in
+        # the same channel — reconstruct by cumulative sum mod 256.
+        # Ignoring this tag would silently emit wrong pixels, so it is
+        # either applied or refused, never skipped.
+        px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+    elif pred != 1:
+        raise NotImplementedError(
+            f"decode_tiff: predictor {pred} (only none/horizontal)"
+        )
     if photo == 0:  # WhiteIsZero: invert per spec
         px = (255 - px.astype(np.int32)).astype(np.uint8)
     if spp == 1:

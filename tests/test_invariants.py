@@ -238,6 +238,22 @@ def test_multimodal_bmp_roundtrip_known_answer():
     assert np.array_equal(drg["pixels"], np.repeat(pg[:, :, None], 3, 2))
     with pytest.raises(NotImplementedError, match="16-bit PGM"):
         M.decode_real(M.encode_pgm(pg16))
+    # predictor 2 (tag 317, horizontal differencing): round-trips in
+    # every compression, demonstrably shrinks smooth-content LZW (the
+    # reason real writers use it), and an unknown predictor value is
+    # REFUSED — silently ignoring the tag would emit wrong pixels
+    smooth = (np.indices((10, 30))[1] * 5).astype(np.uint8)
+    for ckp in ("none", "packbits", "lzw", "deflate"):
+        tp = M.encode_tiff(timg, compression=ckp, predictor=True)
+        assert np.array_equal(M.decode_tiff(tp), timg), ckp
+    assert len(M.encode_tiff(smooth, compression="lzw", predictor=True)) < len(
+        M.encode_tiff(smooth, compression="lzw")
+    )
+    tpred = bytearray(M.encode_tiff(timg, predictor=True))
+    pi = bytes(tpred).find(struct.pack("<HHI", 317, 3, 1))
+    tpred[pi + 8] = 3
+    with pytest.raises(NotImplementedError, match="predictor"):
+        M.decode_tiff(bytes(tpred))
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample
