@@ -3171,6 +3171,13 @@ def encode_tiff(img, compression: str = "none", predictor: bool = False) -> byte
         import zlib
 
         comp_tag, data = 8, zlib.compress(raw, 6)
+    elif compression == "jpeg":
+        # new-style JPEG-in-TIFF: one strip holding a complete JPEG
+        # stream from this container's own encoder (tables in-stream,
+        # so no JPEGTables tag needed); lossy, unlike the other modes
+        if predictor:
+            raise ValueError("encode_tiff: predictor is not valid with jpeg")
+        comp_tag, data = 7, encode_jpeg(img)
     else:
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     n_tags = 11 if predictor else 10
@@ -3403,9 +3410,11 @@ def decode_tiff(blob: bytes):
     pixel contract.  The horizontal-differencing predictor (tag 317 =
     2, the layout real LZW/Deflate writers use) is reconstructed by
     row-wise cumulative sum; an unknown predictor is REFUSED rather
-    than silently ignored.  Other compressions (CCITT/JPEG-in-TIFF),
-    planar configuration 2, tiles, and non-8-bit depths raise the
-    honest NotImplementedError; structural damage raises ValueError."""
+    than silently ignored.  New-style JPEG-in-TIFF (7) routes each
+    strip through this container's own JPEG decoder.  CCITT/old-style
+    JPEG/abbreviated JPEGTables streams, planar configuration 2,
+    tiles, and non-8-bit depths raise the honest NotImplementedError;
+    structural damage raises ValueError."""
     import struct
 
     import numpy as np
@@ -3458,10 +3467,45 @@ def decode_tiff(blob: bytes):
     w = get(256)[0]
     h = get(257)[0]
     comp = get(259, [1])[0]
+    if comp == 7:  # new-style JPEG-in-TIFF (round 11): each strip is a
+        # complete JPEG stream this container's own decoder reads —
+        # the composition MJPEG-in-AVI already proved.  Abbreviated
+        # streams (shared JPEGTables, tag 347) stay the seam.
+        if 347 in fields:
+            raise NotImplementedError(
+                "decode_tiff: abbreviated JPEG streams (JPEGTables)"
+            )
+        if w <= 0 or h <= 0:
+            raise ValueError("decode_tiff: bad dimensions")
+        offs_j = get(273)
+        counts_j = get(279)
+        if len(offs_j) != len(counts_j):
+            raise ValueError("decode_tiff: strip offset/count mismatch")
+        parts = []
+        rows_seen = 0
+        for o, c in zip(offs_j, counts_j):
+            if o + c > len(blob):
+                raise ValueError("decode_tiff: strip out of bounds")
+            px_j = decode_jpeg(blob[o : o + c])
+            if px_j.ndim == 2:
+                px_j = np.repeat(px_j[:, :, None], 3, axis=2)
+            if px_j.shape[1] != w:
+                raise ValueError(
+                    f"decode_tiff: JPEG strip width {px_j.shape[1]} != {w}"
+                )
+            parts.append(px_j)
+            rows_seen += px_j.shape[0]
+        if rows_seen != h:
+            raise ValueError(
+                f"decode_tiff: JPEG strips cover {rows_seen} rows, "
+                f"expected {h}"
+            )
+        return np.ascontiguousarray(np.concatenate(parts, axis=0))
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"decode_tiff: only uncompressed (1), LZW (5), Deflate "
-            f"(8/32946) and PackBits (32773) supported, got {comp}"
+            f"(8/32946), JPEG (7) and PackBits (32773) supported, "
+            f"got {comp}"
         )
     photo = get(262)[0]
     spp = get(277, [1])[0]

@@ -254,6 +254,46 @@ def test_multimodal_bmp_roundtrip_known_answer():
     tpred[pi + 8] = 3
     with pytest.raises(NotImplementedError, match="predictor"):
         M.decode_tiff(bytes(tpred))
+    # JPEG-in-TIFF (compression 7): flat-block gray-valued RGB is
+    # bit-exact through the lossy codec (the l67/MJPG channel); a
+    # hand-built two-strip file (each strip its own complete JPEG)
+    # assembles rows; abbreviated JPEGTables (tag 347) stays a seam
+    jy, jx = np.indices((16, 24))
+    jv = ((((jy // 8) * 7 + (jx // 8) * 13) * 9) % 256).astype(np.uint8)
+    jimg = np.repeat(jv[:, :, None], 3, 2)
+    jt = M.encode_tiff(jimg, compression="jpeg")
+    assert np.array_equal(M.decode_tiff(jt), jimg)
+    top, bot = M.encode_jpeg(jimg[:8]), M.encode_jpeg(jimg[8:])
+
+    def btag2(t, typ, cnt, val4):  # little-endian entry (btag is MM)
+        return struct.pack("<HHI", t, typ, cnt) + val4
+
+    jn = 8
+    jval = 8 + 2 + 12 * jn + 4
+    jso, jsc = jval, jval + 8
+    jd1 = jsc + 8
+    jd2 = jd1 + len(top)
+    jmm = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", jn)
+        + btag2(256, 4, 1, struct.pack("<I", 24))
+        + btag2(257, 4, 1, struct.pack("<I", 16))
+        + btag2(259, 3, 1, struct.pack("<HH", 7, 0))
+        + btag2(262, 3, 1, struct.pack("<HH", 6, 0))
+        + btag2(273, 4, 2, struct.pack("<I", jso))
+        + btag2(277, 3, 1, struct.pack("<HH", 3, 0))
+        + btag2(278, 4, 1, struct.pack("<I", 8))
+        + btag2(279, 4, 2, struct.pack("<I", jsc))
+        + struct.pack("<I", 0)
+        + struct.pack("<II", jd1, jd2)
+        + struct.pack("<II", len(top), len(bot))
+        + top + bot
+    )
+    assert np.array_equal(M.decode_tiff(jmm), jimg)
+    jtab = bytearray(jt)
+    ji = jt.find(struct.pack("<HHI", 284, 3, 1))
+    struct.pack_into("<H", jtab, ji, 347)  # planar tag id -> JPEGTables
+    with pytest.raises(NotImplementedError, match="JPEGTables"):
+        M.decode_tiff(bytes(jtab))
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample
