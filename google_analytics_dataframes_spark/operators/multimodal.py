@@ -3411,10 +3411,11 @@ def decode_tiff(blob: bytes):
     2, the layout real LZW/Deflate writers use) is reconstructed by
     row-wise cumulative sum; an unknown predictor is REFUSED rather
     than silently ignored.  New-style JPEG-in-TIFF (7) routes each
-    strip through this container's own JPEG decoder.  CCITT/old-style
-    JPEG/abbreviated JPEGTables streams, planar configuration 2,
-    tiles, and non-8-bit depths raise the honest NotImplementedError;
-    structural damage raises ValueError."""
+    strip through this container's own JPEG decoder; planar
+    configuration 2 (separate planes) assembles per-plane strips.
+    CCITT/old-style JPEG/abbreviated JPEGTables streams, tiles, and
+    non-8-bit depths raise the honest NotImplementedError; structural
+    damage raises ValueError."""
     import struct
 
     import numpy as np
@@ -3510,8 +3511,8 @@ def decode_tiff(blob: bytes):
     photo = get(262)[0]
     spp = get(277, [1])[0]
     planar = get(284, [1])[0]
-    if planar != 1:
-        raise NotImplementedError("decode_tiff: planar configuration 2")
+    if planar not in (1, 2):
+        raise ValueError(f"decode_tiff: bad planar configuration {planar}")
     bps = get(258, [8])
     if len(bps) not in (1, spp):  # structural damage, not a seam
         raise ValueError(
@@ -3537,15 +3538,11 @@ def decode_tiff(blob: bytes):
     rps = get(278, [h])[0]
     if rps <= 0:
         raise ValueError("decode_tiff: bad RowsPerStrip")
-    chunks = []
-    rows_left = h
-    for o, c in zip(offs, counts):
+
+    def read_strip(o, c, expect):
         if o + c > len(blob):
             raise ValueError("decode_tiff: strip out of bounds")
         raw = blob[o : o + c]
-        strip_rows = min(rps, rows_left)
-        rows_left -= strip_rows
-        expect = strip_rows * w * spp
         if comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
@@ -3562,14 +3559,49 @@ def decode_tiff(blob: bytes):
                     f"decode_tiff: deflate strip {len(raw)} bytes, "
                     f"expected {expect}"
                 )
-        chunks.append(raw)
-    data = b"".join(chunks)
-    if len(data) != w * h * spp:
-        raise ValueError("decode_tiff: pixel data size mismatch")
-    # .copy(): frombuffer over bytes is read-only, and the RGB path
-    # applies no transform — siblings (decode_bmp/ppm/png) all return
-    # writable pixels
-    px = np.frombuffer(data, np.uint8).reshape(h, w, spp).copy()
+        return raw
+
+    if planar == 2 and spp > 1:
+        # separate planes (round 11): all of channel 0's strips, then
+        # channel 1's, ... — per-strip sizes carry ONE sample per pixel
+        spi = (h + rps - 1) // rps
+        if len(offs) != spi * spp:
+            raise ValueError(
+                f"decode_tiff: planar-2 expects {spi * spp} strips, "
+                f"got {len(offs)}"
+            )
+        planes = []
+        for p in range(spp):
+            rows_left, parts = h, []
+            for s in range(spi):
+                strip_rows = min(rps, rows_left)
+                rows_left -= strip_rows
+                parts.append(
+                    read_strip(
+                        offs[p * spi + s],
+                        counts[p * spi + s],
+                        strip_rows * w,
+                    )
+                )
+            plane = b"".join(parts)
+            if len(plane) != w * h:
+                raise ValueError("decode_tiff: plane size mismatch")
+            planes.append(np.frombuffer(plane, np.uint8).reshape(h, w))
+        px = np.stack(planes, axis=2)
+    else:
+        chunks = []
+        rows_left = h
+        for o, c in zip(offs, counts):
+            strip_rows = min(rps, rows_left)
+            rows_left -= strip_rows
+            chunks.append(read_strip(o, c, strip_rows * w * spp))
+        data = b"".join(chunks)
+        if len(data) != w * h * spp:
+            raise ValueError("decode_tiff: pixel data size mismatch")
+        # .copy(): frombuffer over bytes is read-only, and the RGB path
+        # applies no transform — siblings (decode_bmp/ppm/png) all
+        # return writable pixels
+        px = np.frombuffer(data, np.uint8).reshape(h, w, spp).copy()
     pred = get(317, [1])[0]
     if pred == 2:
         # horizontal differencing (tag 317, common with LZW/Deflate):

@@ -294,6 +294,56 @@ def test_multimodal_bmp_roundtrip_known_answer():
     struct.pack_into("<H", jtab, ji, 347)  # planar tag id -> JPEGTables
     with pytest.raises(NotImplementedError, match="JPEGTables"):
         M.decode_tiff(bytes(jtab))
+    # planar configuration 2 (separate planes): hand-built file with 3
+    # LZW planes x 3 strips each (RowsPerStrip 2 over 5 rows), plus a
+    # bad planar value rejected
+    ph, pw, prps = 5, 7, 2
+    pimg = (np.arange(ph * pw * 3, dtype=np.uint32) * 91 % 256).astype(
+        np.uint8
+    ).reshape(ph, pw, 3)
+    pspi = (ph + prps - 1) // prps
+    pn = 10
+    pval = 8 + 2 + 12 * pn + 4
+    pns = pspi * 3
+    pso, psc = pval, pval + 4 * pns
+    pbps = psc + 4 * pns
+    pstart = pbps + 6
+    pstrips = [
+        M._tiff_lzw_encode(
+            pimg[s * prps : (s + 1) * prps, :, p].tobytes()
+        )
+        for p in range(3)
+        for s in range(pspi)
+    ]
+    poffs, pcnts, pcur = [], [], pstart
+    for stp in pstrips:
+        poffs.append(pcur)
+        pcnts.append(len(stp))
+        pcur += len(stp)
+    pblob = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", pn)
+        + btag2(256, 4, 1, struct.pack("<I", pw))
+        + btag2(257, 4, 1, struct.pack("<I", ph))
+        + btag2(258, 3, 3, struct.pack("<I", pbps))
+        + btag2(259, 3, 1, struct.pack("<HH", 5, 0))
+        + btag2(262, 3, 1, struct.pack("<HH", 2, 0))
+        + btag2(273, 4, pns, struct.pack("<I", pso))
+        + btag2(277, 3, 1, struct.pack("<HH", 3, 0))
+        + btag2(278, 4, 1, struct.pack("<I", prps))
+        + btag2(279, 4, pns, struct.pack("<I", psc))
+        + btag2(284, 3, 1, struct.pack("<HH", 2, 0))
+        + struct.pack("<I", 0)
+        + b"".join(struct.pack("<I", o) for o in poffs)
+        + b"".join(struct.pack("<I", c) for c in pcnts)
+        + struct.pack("<HHH", 8, 8, 8)
+        + b"".join(pstrips)
+    )
+    assert np.array_equal(M.decode_tiff(pblob), pimg)
+    pbad = bytearray(pblob)
+    pj = pblob.find(struct.pack("<HHI", 284, 3, 1))
+    pbad[pj + 8] = 3
+    with pytest.raises(ValueError, match="planar"):
+        M.decode_tiff(bytes(pbad))
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample
