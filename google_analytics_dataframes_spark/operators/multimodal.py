@@ -3412,10 +3412,12 @@ def decode_tiff(blob: bytes):
     row-wise cumulative sum; an unknown predictor is REFUSED rather
     than silently ignored.  New-style JPEG-in-TIFF (7) routes each
     strip through this container's own JPEG decoder; planar
-    configuration 2 (separate planes) assembles per-plane strips.
-    CCITT/old-style JPEG/abbreviated JPEGTables streams, tiles, and
-    non-8-bit depths raise the honest NotImplementedError; structural
-    damage raises ValueError."""
+    configuration 2 (separate planes) assembles per-plane strips, and
+    TILED layouts (322-325, 16-multiple tiles, edge padding, per-tile
+    predictor reset) assemble in every non-JPEG compression.
+    CCITT/old-style JPEG/abbreviated JPEGTables streams, tiled JPEG,
+    and non-8-bit depths raise the honest NotImplementedError;
+    structural damage raises ValueError."""
     import struct
 
     import numpy as np
@@ -3476,6 +3478,8 @@ def decode_tiff(blob: bytes):
             raise NotImplementedError(
                 "decode_tiff: abbreviated JPEG streams (JPEGTables)"
             )
+        if 322 in fields or 324 in fields:
+            raise NotImplementedError("decode_tiff: tiled JPEG strips")
         if w <= 0 or h <= 0:
             raise ValueError("decode_tiff: bad dimensions")
         offs_j = get(273)
@@ -3531,13 +3535,11 @@ def decode_tiff(blob: bytes):
         raise NotImplementedError(f"decode_tiff: photometric {photo}")
     if w <= 0 or h <= 0:
         raise ValueError("decode_tiff: bad dimensions")
-    offs = get(273)
-    counts = get(279)
-    if len(offs) != len(counts):
-        raise ValueError("decode_tiff: strip offset/count mismatch")
-    rps = get(278, [h])[0]
-    if rps <= 0:
-        raise ValueError("decode_tiff: bad RowsPerStrip")
+    pred = get(317, [1])[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"decode_tiff: predictor {pred} (only none/horizontal)"
+        )
 
     def read_strip(o, c, expect):
         if o + c > len(blob):
@@ -3561,6 +3563,69 @@ def decode_tiff(blob: bytes):
                 )
         return raw
 
+    if 322 in fields or 324 in fields:
+        # tiled layout (round 11): fixed-size tiles, multiples of 16,
+        # padded at the right/bottom edges, row-major over the tile
+        # grid (plane-major under planar 2).  The predictor applies
+        # WITHIN each tile (its left column is stored literally), so it
+        # is undone per tile before edge-cropping into the image.
+        tw = get(322)[0]
+        th = get(323)[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"decode_tiff: bad tile geometry {tw}x{th}")
+        toffs = get(324)
+        tcounts = get(325)
+        if len(toffs) != len(tcounts):
+            raise ValueError("decode_tiff: tile offset/count mismatch")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        n_planes = spp if (planar == 2 and spp > 1) else 1
+        tile_spp = 1 if n_planes > 1 else spp
+        if len(toffs) != across * down * n_planes:
+            raise ValueError(
+                f"decode_tiff: expected {across * down * n_planes} "
+                f"tiles, got {len(toffs)}"
+            )
+        px = np.zeros((h, w, spp), np.uint8)
+        for p in range(n_planes):
+            for ty in range(down):
+                for tx in range(across):
+                    idx = (p * down + ty) * across + tx
+                    raw = read_strip(
+                        toffs[idx], tcounts[idx], tw * th * tile_spp
+                    )
+                    tile = np.frombuffer(raw, np.uint8).reshape(
+                        th, tw, tile_spp
+                    )
+                    if pred == 2:
+                        tile = np.cumsum(
+                            tile, axis=1, dtype=np.uint32
+                        ).astype(np.uint8)
+                    ch = min(th, h - ty * th)
+                    cw = min(tw, w - tx * tw)
+                    if n_planes > 1:
+                        px[
+                            ty * th : ty * th + ch,
+                            tx * tw : tx * tw + cw,
+                            p,
+                        ] = tile[:ch, :cw, 0]
+                    else:
+                        px[
+                            ty * th : ty * th + ch, tx * tw : tx * tw + cw
+                        ] = tile[:ch, :cw]
+        if photo == 0:
+            px = (255 - px.astype(np.int32)).astype(np.uint8)
+        if spp == 1:
+            px = np.repeat(px, 3, axis=2)
+        return np.ascontiguousarray(px)
+
+    offs = get(273)
+    counts = get(279)
+    if len(offs) != len(counts):
+        raise ValueError("decode_tiff: strip offset/count mismatch")
+    rps = get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError("decode_tiff: bad RowsPerStrip")
     if planar == 2 and spp > 1:
         # separate planes (round 11): all of channel 0's strips, then
         # channel 1's, ... — per-strip sizes carry ONE sample per pixel
@@ -3602,18 +3667,15 @@ def decode_tiff(blob: bytes):
         # applies no transform — siblings (decode_bmp/ppm/png) all
         # return writable pixels
         px = np.frombuffer(data, np.uint8).reshape(h, w, spp).copy()
-    pred = get(317, [1])[0]
     if pred == 2:
         # horizontal differencing (tag 317, common with LZW/Deflate):
         # each stored sample is the delta from its left neighbor in
-        # the same channel — reconstruct by cumulative sum mod 256.
-        # Ignoring this tag would silently emit wrong pixels, so it is
-        # either applied or refused, never skipped.
+        # the same channel — reconstruct by cumulative sum mod 256
+        # (each row starts literal, so the row-wise cumsum is exact
+        # regardless of strip boundaries).  Ignoring this tag would
+        # silently emit wrong pixels, so it is either applied or
+        # refused, never skipped.
         px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
-    elif pred != 1:
-        raise NotImplementedError(
-            f"decode_tiff: predictor {pred} (only none/horizontal)"
-        )
     if photo == 0:  # WhiteIsZero: invert per spec
         px = (255 - px.astype(np.int32)).astype(np.uint8)
     if spp == 1:

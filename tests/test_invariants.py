@@ -344,6 +344,64 @@ def test_multimodal_bmp_roundtrip_known_answer():
     pbad[pj + 8] = 3
     with pytest.raises(ValueError, match="planar"):
         M.decode_tiff(bytes(pbad))
+    # tiled layout (322-325): 16x16 LZW tiles WITH the predictor over
+    # a 35x40 image (edge tiles padded right/bottom; differencing
+    # resets at each tile's left column — undone per tile, which the
+    # whole-image cumsum would get wrong)
+    th2, tw2 = 16, 16
+    ih, iw = 35, 40
+    timg2 = (np.arange(ih * iw * 3, dtype=np.uint32) * 151 % 256).astype(
+        np.uint8
+    ).reshape(ih, iw, 3)
+    tacross, tdown = (iw + tw2 - 1) // tw2, (ih + th2 - 1) // th2
+    ttiles = []
+    for tty in range(tdown):
+        for ttx in range(tacross):
+            tile = np.zeros((th2, tw2, 3), np.uint8)
+            tch = min(th2, ih - tty * th2)
+            tcw = min(tw2, iw - ttx * tw2)
+            tile[:tch, :tcw] = timg2[
+                tty * th2 : tty * th2 + tch, ttx * tw2 : ttx * tw2 + tcw
+            ]
+            t16 = tile.astype(np.int16)
+            diffed = np.concatenate(
+                [t16[:, :1], (t16[:, 1:] - t16[:, :-1]) % 256], axis=1
+            ).astype(np.uint8)
+            ttiles.append(M._tiff_lzw_encode(diffed.tobytes()))
+    tn = 12
+    tval = 8 + 2 + 12 * tn + 4
+    tnt = tacross * tdown
+    tto, ttc = tval, tval + 4 * tnt
+    tbps = ttc + 4 * tnt
+    tstart = tbps + 6
+    ttoffs, ttcnts, tcur = [], [], tstart
+    for tt in ttiles:
+        ttoffs.append(tcur)
+        ttcnts.append(len(tt))
+        tcur += len(tt)
+    tentries = (
+        btag2(256, 4, 1, struct.pack("<I", iw))
+        + btag2(257, 4, 1, struct.pack("<I", ih))
+        + btag2(258, 3, 3, struct.pack("<I", tbps))
+        + btag2(259, 3, 1, struct.pack("<HH", 5, 0))
+        + btag2(262, 3, 1, struct.pack("<HH", 2, 0))
+        + btag2(277, 3, 1, struct.pack("<HH", 3, 0))
+        + btag2(284, 3, 1, struct.pack("<HH", 1, 0))
+        + btag2(317, 3, 1, struct.pack("<HH", 2, 0))
+        + btag2(322, 4, 1, struct.pack("<I", tw2))
+        + btag2(323, 4, 1, struct.pack("<I", th2))
+        + btag2(324, 4, tnt, struct.pack("<I", tto))
+        + btag2(325, 4, tnt, struct.pack("<I", ttc))
+    )
+    tiled = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", tn)
+        + tentries + struct.pack("<I", 0)
+        + b"".join(struct.pack("<I", o) for o in ttoffs)
+        + b"".join(struct.pack("<I", c) for c in ttcnts)
+        + struct.pack("<HHH", 8, 8, 8)
+        + b"".join(ttiles)
+    )
+    assert np.array_equal(M.decode_tiff(tiled), timg2)
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample
