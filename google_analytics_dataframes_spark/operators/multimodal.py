@@ -154,7 +154,8 @@ def _ppm_header(blob: bytes, magic: bytes = b"P6"):
     and arbitrary whitespace per the spec (shared by decode_ppm /
     decode_pgm and decode_real's cheap contract check)."""
     if blob[:2] != magic:
-        raise ValueError(f"not a {magic.decode()} stream")
+        name = "decode_pgm" if magic == b"P5" else "decode_ppm"
+        raise ValueError(f"{name}: not a {magic.decode()} stream")
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
@@ -3123,15 +3124,19 @@ def decode_avi(blob: bytes) -> dict:
 
 def encode_tiff(img, compression: str = "none", predictor: bool = False) -> bytes:
     """Encode an HxWx3 uint8 RGB (or HxW grayscale) array as a REAL
-    baseline TIFF 6.0 (round 11): little-endian header, one IFD with the
-    ten baseline tags a reader needs (ImageWidth/Length, BitsPerSample,
+    baseline TIFF 6.0 (round 11): little-endian header, one IFD with
+    the baseline tags a reader needs (ImageWidth/Length, BitsPerSample,
     Compression, Photometric, StripOffsets, SamplesPerPixel,
-    RowsPerStrip, StripByteCounts, PlanarConfig=1 chunky), pixel data in
-    a single strip.  ``compression``: "none" (1), "packbits" (32773,
-    Apple RLE) or "lzw" (5, the spec's MSB-first 9->12-bit variable
-    width codes).  Real viewers open these files; :func:`decode_tiff`
-    reads this subset plus big-endian, multi-strip, and WhiteIsZero
-    layouts it never emits."""
+    RowsPerStrip, StripByteCounts, PlanarConfig=1 chunky, plus
+    Predictor when requested — 10 or 11 tags), pixel data in a single
+    strip.  ``compression``: "none" (1), "packbits" (32773, Apple
+    RLE), "lzw" (5, the spec's MSB-first 9->12-bit variable width
+    codes), "deflate" (8, zlib) or "jpeg" (7, one complete
+    tables-in-stream JPEG — the one LOSSY mode).  ``predictor=True``
+    stores horizontal differences (tag 317 = 2, invalid with jpeg).
+    Real viewers open these files; :func:`decode_tiff` reads this
+    subset plus big-endian, multi-strip, tiled, planar-2 and
+    WhiteIsZero layouts it never emits."""
     import struct
 
     import numpy as np
@@ -3470,6 +3475,12 @@ def decode_tiff(blob: bytes):
     w = get(256)[0]
     h = get(257)[0]
     comp = get(259, [1])[0]
+    if comp not in (1, 5, 7, 8, 32773, 32946):
+        raise NotImplementedError(
+            f"decode_tiff: only uncompressed (1), LZW (5), JPEG (7), "
+            f"Deflate (8/32946) and PackBits (32773) supported, "
+            f"got {comp}"
+        )
     if comp == 7:  # new-style JPEG-in-TIFF (round 11): each strip is a
         # complete JPEG stream this container's own decoder reads —
         # the composition MJPEG-in-AVI already proved.  Abbreviated
@@ -3482,6 +3493,15 @@ def decode_tiff(blob: bytes):
             raise NotImplementedError("decode_tiff: tiled JPEG strips")
         if w <= 0 or h <= 0:
             raise ValueError("decode_tiff: bad dimensions")
+        # the JPEG stream defines its own colorspace; photometric 0
+        # (WhiteIsZero) still demands the spec inversion, and an
+        # unknown photometric is refused, not silently accepted
+        # (review finding — matches the non-JPEG paths)
+        photo_j = get(262, [6])[0]
+        if photo_j not in (0, 1, 2, 6):
+            raise NotImplementedError(
+                f"decode_tiff: photometric {photo_j} with JPEG"
+            )
         offs_j = get(273)
         counts_j = get(279)
         if len(offs_j) != len(counts_j):
@@ -3505,13 +3525,10 @@ def decode_tiff(blob: bytes):
                 f"decode_tiff: JPEG strips cover {rows_seen} rows, "
                 f"expected {h}"
             )
-        return np.ascontiguousarray(np.concatenate(parts, axis=0))
-    if comp not in (1, 5, 8, 32773, 32946):
-        raise NotImplementedError(
-            f"decode_tiff: only uncompressed (1), LZW (5), Deflate "
-            f"(8/32946), JPEG (7) and PackBits (32773) supported, "
-            f"got {comp}"
-        )
+        px_all = np.concatenate(parts, axis=0)
+        if photo_j == 0:
+            px_all = (255 - px_all.astype(np.int32)).astype(np.uint8)
+        return np.ascontiguousarray(px_all)
     photo = get(262)[0]
     spp = get(277, [1])[0]
     planar = get(284, [1])[0]
@@ -3535,6 +3552,14 @@ def decode_tiff(blob: bytes):
         raise NotImplementedError(f"decode_tiff: photometric {photo}")
     if w <= 0 or h <= 0:
         raise ValueError("decode_tiff: bad dimensions")
+    if w * h * spp > 1 << 30:
+        # review finding: header-declared dimensions drive allocations
+        # (the tiled path's output buffer in particular), so absurd
+        # headers must fail loudly, not as a multi-GiB MemoryError
+        raise ValueError(
+            f"decode_tiff: declared image size {w}x{h}x{spp} exceeds "
+            f"the 1 GiB decode ceiling"
+        )
     pred = get(317, [1])[0]
     if pred not in (1, 2):
         raise NotImplementedError(
@@ -3545,7 +3570,14 @@ def decode_tiff(blob: bytes):
         if o + c > len(blob):
             raise ValueError("decode_tiff: strip out of bounds")
         raw = blob[o : o + c]
-        if comp == 32773:
+        if comp == 1:  # review finding: short/oversized uncompressed
+            # strips must fail structurally, not as a numpy reshape
+            if len(raw) != expect:
+                raise ValueError(
+                    f"decode_tiff: strip {len(raw)} bytes, "
+                    f"expected {expect}"
+                )
+        elif comp == 32773:
             raw = _packbits_decode(raw, expect)
         elif comp == 5:
             raw = _tiff_lzw_decode(raw, expect)
@@ -3685,15 +3717,17 @@ def decode_tiff(blob: bytes):
 
 def decode_real(blob: bytes) -> dict:
     """Real decode for the STILL-IMAGE formats a pure-python/numpy codec
-    can honestly implement — 24-bit BMP, binary PPM, any spec-valid PNG,
-    baseline/progressive JPEG, GIF, uncompressed TIFF — dispatched on
+    can honestly implement — BMP (24/32-bit + palettized), binary
+    PPM/PGM, any spec-valid PNG, baseline/progressive JPEG, GIF, and
+    baseline TIFF (uncompressed/LZW/PackBits/Deflate/new-style-JPEG
+    strips or tiles, chunky or planar, predictor) — dispatched on
     magic bytes.  Audio routes through :func:`decode_wav` (PCM
     int/float, IMA + MS ADPCM, G.711 mu-law/A-law) and video through
     :func:`decode_avi` (uncompressed-DIB and Motion-JPEG containers);
-    arithmetic-coded JPEG, CCITT/JPEG-in-TIFF, and inter-frame video
-    codecs are the remaining declared seams.  Returns {width, height,
-    channels, pixels}; pixels is HxWx3 uint8 RGB (HxWx1 for grayscale
-    JPEG)."""
+    arithmetic-coded JPEG, CCITT/old-style-JPEG/JPEGTables TIFF, and
+    inter-frame video codecs are the remaining declared seams.
+    Returns {width, height, channels, pixels}; pixels is HxWx3 uint8
+    RGB (HxWx1 for grayscale JPEG)."""
     if blob[:2] == b"BM":
         px = decode_bmp(blob)
     elif blob[:2] == b"P6":
@@ -3728,12 +3762,13 @@ def decode_real(blob: bytes) -> dict:
         px = decode_tiff(blob)
     else:
         raise NotImplementedError(
-            "real image decode implemented for BMP (24-bit BI_RGB), "
-            "PPM (P6), PNG (all spec depths/interlace), JPEG "
-            "(baseline/progressive Huffman), GIF, and uncompressed "
-            "TIFF in this container; audio decodes via decode_wav "
-            "(PCM int/float, IMA/MS ADPCM, G.711) and video via "
-            "decode_avi (uncompressed-DIB and Motion-JPEG AVI)"
+            "real image decode implemented for BMP (24/32-bit + "
+            "palettized), PPM/PGM, PNG (all spec depths/interlace), "
+            "JPEG (baseline/progressive Huffman), GIF, and baseline "
+            "TIFF (5 compressions, strips/tiles, chunky/planar) in "
+            "this container; audio decodes via decode_wav (PCM "
+            "int/float, IMA/MS ADPCM, G.711) and video via decode_avi "
+            "(uncompressed-DIB and Motion-JPEG AVI)"
         )
     return {
         "width": px.shape[1],

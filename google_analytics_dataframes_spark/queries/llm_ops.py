@@ -1307,13 +1307,15 @@ def l63_bmp_roundtrip(spark, sf_dir):
     Scale shape: pure per-row Arrow-batched compute on the scan — no
     shuffle, no driver involvement; the same shape a real thumbnailing /
     feature-extraction pass has over a binary image column.  A second
-    leg (round 11) runs the SAME image through the baseline
-    uncompressed-TIFF codec (encode_tiff -> decode_real) and requires
-    bitwise equality — TIFF is the last common still-image container
-    and its IFD walk is structurally unlike BMP's fixed header, so the
-    two legs fail independently.  Emitted columns and the oracle are
-    unchanged.  (JPEG/PNG/GIF round-trip in their own queries l67/l64/
-    l72; compressed TIFF stays the declared seam.)"""
+    leg (round 11) runs the SAME image through the baseline TIFF codec
+    in all four lossless compressions (uncompressed IFD walk, LZW,
+    PackBits, Deflate) and requires bitwise equality — TIFF's IFD walk
+    is structurally unlike BMP's fixed header, so the legs fail
+    independently.  Emitted columns and the oracle are unchanged.
+    (JPEG/PNG/GIF round-trip in their own queries l67/l64/l72; TIFF's
+    predictor/planar/tiled/JPEG-strip layouts are pinned by
+    tests/test_invariants.py fixtures; CCITT and JPEGTables streams
+    stay the declared seams.)"""
     import numpy as np
 
     def per_batch(batches):

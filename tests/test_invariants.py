@@ -402,6 +402,27 @@ def test_multimodal_bmp_roundtrip_known_answer():
         + b"".join(ttiles)
     )
     assert np.array_equal(M.decode_tiff(tiled), timg2)
+    # third-pass review findings: absurd header dims fail loudly (not
+    # a multi-GiB MemoryError in the tiled allocator); JPEG-in-TIFF
+    # honors WhiteIsZero and refuses unknown photometrics; a short
+    # uncompressed strip is structural damage, not a numpy reshape
+    big = bytearray(tf)
+    bi2 = tf.find(struct.pack("<HHI", 257, 4, 1))
+    struct.pack_into("<I", big, bi2 + 8, 1 << 28)
+    with pytest.raises(ValueError, match="ceiling"):
+        M.decode_tiff(bytes(big))
+    jwz = bytearray(jt)
+    jpi = jt.find(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<H", jwz, jpi + 8, 0)  # WhiteIsZero
+    assert np.array_equal(M.decode_tiff(bytes(jwz)), 255 - jimg)
+    struct.pack_into("<H", jwz, jpi + 8, 5)  # CMYK stays a seam
+    with pytest.raises(NotImplementedError, match="photometric"):
+        M.decode_tiff(bytes(jwz))
+    shrt = bytearray(tf)
+    si2 = tf.find(struct.pack("<HHI", 279, 4, 1))
+    struct.pack_into("<I", shrt, si2 + 8, 10)
+    with pytest.raises(ValueError, match="strip 10 bytes"):
+        M.decode_tiff(bytes(shrt))
     # review findings (round 11, second pass): decoded pixels are
     # writable like every sibling decoder's; zero-area encode is
     # rejected (its output could never round-trip); a BitsPerSample
