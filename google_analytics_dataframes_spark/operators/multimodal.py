@@ -646,7 +646,10 @@ def decode_png(blob: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("decode_png: missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # fuzz finding (round 11): truncated IDAT
+        raise ValueError(f"decode_png: bad IDAT stream ({e})")
     # bits per pixel = channels (gray 1, truecolor 3, gray+alpha 2, RGBA
     # 4, palette indices 1) x depth; the filter byte distance is
     # ceil(bits/8) floored at 1 (spec: sub-byte pixels filter at
@@ -2063,6 +2066,8 @@ def _gif_read_image(blob: bytes, pos: int, gct):
 
     import numpy as np
 
+    if pos + 10 > len(blob):  # fuzz finding (round 11)
+        raise ValueError("decode_gif: truncated image descriptor")
     left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
     pos += 10
     interlaced = bool(iflags & 0x40)
@@ -2075,7 +2080,12 @@ def _gif_read_image(blob: bytes, pos: int, gct):
         pos += lct_size * 3
     if pal is None:
         raise ValueError("decode_gif: no color table (neither GCT nor LCT)")
+    if pos >= len(blob):
+        raise ValueError("decode_gif: truncated before LZW code size")
     min_code = blob[pos]
+    if not 1 <= min_code <= 8:  # fuzz finding: 1<<min_code drives the
+        # table allocation, so a wild byte here is a memory DoS
+        raise ValueError(f"decode_gif: bad LZW minimum code size {min_code}")
     pos += 1
     data = bytearray()
     while True:
@@ -2135,6 +2145,8 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
         if code == EOI:
             break
         if prev is None:
+            if code >= len(table):  # fuzz finding: first code after a
+                raise ValueError("decode_gif: corrupt LZW code")  # clear
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -2169,6 +2181,8 @@ def decode_gif(blob: bytes):
 
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("decode_gif: not a GIF stream")
+    if len(blob) < 13:  # fuzz finding (round 11): truncated LSD
+        raise ValueError("decode_gif: truncated logical screen descriptor")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     pal = None  # a GIF may carry only a LOCAL table (round 10)
@@ -2244,6 +2258,8 @@ def decode_gif_frames(blob: bytes):
 
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("decode_gif: not a GIF stream")
+    if len(blob) < 13:  # fuzz finding (round 11): truncated LSD
+        raise ValueError("decode_gif: truncated logical screen descriptor")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     gct = None

@@ -610,6 +610,15 @@ def test_multimodal_png_roundtrip_known_answer():
     )
     with pytest.raises(ValueError, match="payload size mismatch"):
         M.decode_png(hacked)
+    # round-11 fuzz finding: a mid-stream-truncated (not just short)
+    # IDAT makes zlib raise — must surface as the documented ValueError
+    cut = (
+        il_png[: il_png.find(b"IDAT") - 4]
+        + _chunk(b"IDAT", zlib.compress(raw_full)[:-5])
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad IDAT"):
+        M.decode_png(cut)
 
     # round 11b: SUB-BYTE depths close the last PNG seam — gray 1/2/4
     # (values on the exact 255/(2^d-1) grid round-trip through MSB-first
@@ -2003,6 +2012,26 @@ def test_multimodal_gif_roundtrip_known_answer():
     assert np.array_equal(M.decode_gif(lct_only)["pixels"], lpal[idx])
     with pytest.raises(ValueError, match="no color table"):
         M.decode_gif(gif[:6] + bytes(scr) + gif[img_at:])
+
+    # round-11 fuzz findings: headers shorter than the 13-byte logical
+    # screen descriptor, a descriptor truncated mid-field, a wild LZW
+    # minimum code size (memory-DoS via 1<<min_code table allocation),
+    # and a first-code-after-clear beyond the table must all raise
+    # ValueError, never struct.error / IndexError / a giant alloc
+    for dec in (M.decode_gif, M.decode_gif_frames):
+        with pytest.raises(ValueError, match="screen descriptor"):
+            dec(b"GIF89a\x01\x00")
+    with pytest.raises(ValueError, match="image descriptor"):
+        M.decode_gif(gif[: img_at + 4])
+    wild = bytearray(gif)
+    wild[img_at + 10] = 200  # LZW minimum code size byte
+    with pytest.raises(ValueError, match="minimum code size"):
+        M.decode_gif(bytes(wild))
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        # min_code 8 => first code is 9 bits; craft sub-block whose
+        # first code is 300 (> CLEAR+1 = 257 with an empty table)
+        payload = bytes([8, 2, 0b00101100, 0b00000001, 0])  # code 300
+        M.decode_gif(gif[: img_at + 10] + payload + b"\x3b")
     with pytest.raises(ValueError, match="truncated local"):
         M.decode_gif(gif[:img_at] + bytes(desc) + lpal.tobytes()[:100])
 
