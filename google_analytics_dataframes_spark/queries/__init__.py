@@ -53,7 +53,7 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 10
-    # 22 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 23 stale/changed rows lead; oldest-evidence back-fill to 50
     "s9_binaryfile_source",
     "st16_stream_outer_join",
     "st19_stream_timer_sessions",
@@ -69,6 +69,7 @@ SWEEP_HEAD: list[str] = [
     "l64_png_roundtrip",
     "l67_jpeg_roundtrip",
     "l68_wav_roundtrip",
+    "l72_gif_roundtrip",
     "l27_sequence_pack",
     "l29_dedup_clusters",
     "l33_dedup_apply",
@@ -103,7 +104,6 @@ SWEEP_HEAD: list[str] = [
     "rb12_report_totals",
     "rb13_new_vs_returning",
     "rb14_keep_empty_rows",
-    "rb15_histogram_buckets",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
