@@ -646,10 +646,6 @@ def decode_png(blob: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("decode_png: missing IHDR")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:  # fuzz finding (round 11): truncated IDAT
-        raise ValueError(f"decode_png: bad IDAT stream ({e})")
     # bits per pixel = channels (gray 1, truecolor 3, gray+alpha 2, RGBA
     # 4, palette indices 1) x depth; the filter byte distance is
     # ceil(bits/8) floored at 1 (spec: sub-byte pixels filter at
@@ -658,6 +654,41 @@ def decode_png(blob: bytes):
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     bits = nch * depth
     fbpp = max(1, bits // 8)
+    # expected inflated payload, exactly per IHDR geometry: each
+    # scanline is 1 filter byte + packed pixel bytes, summed over the 7
+    # Adam7 sub-images when interlaced (empty passes contribute nothing)
+    if inter == 0:
+        expect = h * (1 + (w * bits + 7) // 8)
+    else:
+        expect = sum(
+            ph * (1 + (pw * bits + 7) // 8)
+            for x0, y0, xs, ys in _ADAM7
+            for pw in [(w - x0 + xs - 1) // xs if w > x0 else 0]
+            for ph in [(h - y0 + ys - 1) // ys if h > y0 else 0]
+            if pw and ph
+        )
+    if expect > 1 << 30:
+        # review finding (round 12): header-declared dimensions drive
+        # allocations, same ceiling convention as decode_tiff
+        raise ValueError(
+            f"decode_png: declared image size {w}x{h}@{bits}bpp exceeds "
+            f"the 1 GiB decode ceiling"
+        )
+    # review finding (round 12): inflate BOUNDED by the IHDR-derived
+    # size — unbounded zlib.decompress lets a tiny crafted IDAT allocate
+    # hundreds of MB before the scanline size check ever runs (deflate
+    # bomb); requesting expect+1 detects overflow without paying for it
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expect + 1)
+    except zlib.error as e:  # fuzz finding (round 11): corrupt IDAT
+        raise ValueError(f"decode_png: bad IDAT stream ({e})")
+    if len(raw) <= expect and not d.eof:
+        # mid-stream truncation: decompressobj returns the partial
+        # prefix silently where one-shot zlib.decompress raised
+        raise ValueError("decode_png: bad IDAT stream (truncated)")
+    if len(raw) != expect or d.unconsumed_tail or d.unused_data:
+        raise ValueError("decode_png: scanline payload size mismatch")
 
     def unfilter_block(seg, pw, ph):
         """One (sub-)image -> (ph, pw, k) where k = bytes per pixel at
@@ -3066,11 +3097,13 @@ def decode_avi(blob: bytes) -> dict:
                 w, h = aw, ah
                 if usec:
                     fps = round(1_000_000 / usec)
-            elif cid == b"strh" and ln >= 4:
+            elif cid == b"strh":
                 # fccType needs only 4 bytes — track it for ANY strh so
                 # a short non-video strh can't leave a stale 'vids'
-                # classification on its strl's strf (review finding)
-                last_strh_type = blob[pos + 8 : pos + 12]
+                # classification on its strl's strf (review finding);
+                # a degenerate <4-byte strh CLEARS it for the same
+                # reason (review finding, round 12)
+                last_strh_type = blob[pos + 8 : pos + 12] if ln >= 4 else None
                 if last_strh_type == b"vids" and ln >= 48 and handler is None:
                     handler = blob[pos + 12 : pos + 16]
             elif (
@@ -3600,14 +3633,22 @@ def decode_tiff(blob: bytes):
         elif comp in (8, 32946):  # Adobe/legacy Deflate: zlib streams
             import zlib
 
+            # review finding (round 12): decompress BOUNDED by the
+            # strip's declared size — an unbounded zlib.decompress lets
+            # a tiny crafted strip allocate far past the 1 GiB header
+            # ceiling (a classic deflate bomb).  Asking for expect+1
+            # bytes detects overflow without materializing it, and a
+            # non-empty unconsumed tail is the same structural lie.
+            d = zlib.decompressobj()
             try:
-                raw = zlib.decompress(raw)
+                raw = d.decompress(raw, expect + 1)
             except zlib.error as e:
                 raise ValueError(f"decode_tiff: bad deflate strip ({e})")
-            if len(raw) != expect:
+            if len(raw) != expect or d.unconsumed_tail or d.unused_data:
                 raise ValueError(
-                    f"decode_tiff: deflate strip {len(raw)} bytes, "
-                    f"expected {expect}"
+                    f"decode_tiff: deflate strip {len(raw)} bytes "
+                    f"(tail={len(d.unconsumed_tail) + len(d.unused_data)}),"
+                    f" expected {expect}"
                 )
         return raw
 

@@ -2143,3 +2143,122 @@ def test_decimal_render_witness_above_2_53(spark):
             "needed; simplify it (determinism.py)",
             stacklevel=1,
         )
+
+
+def test_codec_decompress_bombs_and_degenerate_strh_r12():
+    """Round-12 review hardenings: (a) decode_png inflates IDAT BOUNDED
+    by the IHDR-derived payload size and enforces a 1 GiB header
+    ceiling, so a tiny crafted IDAT can neither balloon memory nor
+    reach numpy with an oversized buffer; (b) decode_tiff's Deflate
+    strips are likewise bounded by the strip's declared size and reject
+    trailing garbage; (c) decode_avi clears the stream classification
+    on a degenerate (<4-byte) strh so a following strf is never
+    misrouted through a stale 'vids' type."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # (a1) header ceiling: 40000x40000 RGBA-16 declares ~12.8 GB of
+    # scanlines — refused from the IHDR alone, before any inflate
+    huge_hdr = struct.pack(">IIBBBBB", 40000, 40000, 16, 6, 0, 0, 0)
+    with pytest.raises(ValueError, match="decode ceiling"):
+        M.decode_png(sig + chunk(b"IHDR", huge_hdr) + chunk(b"IEND", b""))
+    # (a2) deflate bomb: a 4x4 gray-8 header (expect = 20 bytes) with an
+    # IDAT that inflates to 8 MB — must fail as the documented
+    # ValueError with only expect+1 bytes ever materialized
+    small_hdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (8 << 20))
+    assert len(bomb) < 20_000  # it IS a bomb, not a big upload
+    with pytest.raises(ValueError, match="payload size mismatch"):
+        M.decode_png(
+            sig + chunk(b"IHDR", small_hdr) + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+    # (a3) trailing garbage after a correctly-sized zlib stream is a
+    # structural lie, not ignorable padding
+    good_raw = b"".join(b"\x00" + bytes(4) for _ in range(4))  # 20 bytes
+    tail = zlib.compress(good_raw) + b"JUNK"
+    with pytest.raises(ValueError, match="payload size mismatch|bad IDAT"):
+        M.decode_png(
+            sig + chunk(b"IHDR", small_hdr) + chunk(b"IDAT", tail)
+            + chunk(b"IEND", b"")
+        )
+    # happy path still exact after the bounded rewrite
+    ok = sig + chunk(b"IHDR", small_hdr) + chunk(
+        b"IDAT", zlib.compress(good_raw)
+    ) + chunk(b"IEND", b"")
+    assert np.array_equal(M.decode_png(ok), np.zeros((4, 4, 1), np.uint8))
+
+    # (b) TIFF deflate strip bomb: append an 8 MB-inflating strip to a
+    # valid single-strip deflate TIFF and point StripOffsets /
+    # StripByteCounts at it — bounded decode refuses it structurally
+    timg = (np.arange(48, dtype=np.uint32).reshape(4, 4, 3) * 5 % 256).astype(
+        np.uint8
+    )
+    base = M.encode_tiff(timg, compression="deflate")
+    tiff_bomb = zlib.compress(b"\x00" * (8 << 20))
+    blob = bytearray(base + tiff_bomb)
+    oi = base.find(struct.pack("<HH", 273, 4))  # StripOffsets (LONG)
+    ci = base.find(struct.pack("<HH", 279, 4))  # StripByteCounts (LONG)
+    assert oi > 0 and ci > 0
+    struct.pack_into("<I", blob, oi + 8, len(base))
+    struct.pack_into("<I", blob, ci + 8, len(tiff_bomb))
+    with pytest.raises(ValueError, match="deflate strip"):
+        M.decode_tiff(bytes(blob))
+    # trailing garbage after the strip's zlib stream also refused
+    expect_strip = 4 * 4 * 3
+    tail_strip = zlib.compress(bytes(range(expect_strip))) + b"XY"
+    blob2 = bytearray(base + tail_strip)
+    struct.pack_into("<I", blob2, oi + 8, len(base))
+    struct.pack_into("<I", blob2, ci + 8, len(tail_strip))
+    with pytest.raises(ValueError, match="deflate strip"):
+        M.decode_tiff(bytes(blob2))
+
+    # (c) degenerate strh: stream 1 declares vids but carries no strf;
+    # stream 2 opens with a 2-byte strh (fccType unreadable) and an
+    # AUDIO-ish 16-bit strf.  With a stale 'vids' classification that
+    # strf used to be parsed as the video format (16-bit DIB ->
+    # NotImplementedError); clearing the type on the short strh lets
+    # the DIB frames decode.
+    h_, w_ = 3, 5
+    stride = ((3 * w_ + 3) // 4) * 4
+    fr = np.arange(h_ * w_ * 3, dtype=np.uint32).reshape(h_, w_, 3) % 256
+    fr = fr.astype(np.uint8)
+    bgr_bottom_up = fr[::-1, :, ::-1]
+    rows = np.zeros((h_, stride), np.uint8)
+    rows[:, : 3 * w_] = bgr_bottom_up.reshape(h_, 3 * w_)
+    frame = rows.tobytes()
+
+    def rchunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def rlist(kind: bytes, body: bytes) -> bytes:
+        return rchunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIII", 100_000, 0, 0, 0, 1, 0, 2, 0, w_, h_)
+    strh_vids = b"vids" + b"DIB " + bytes(48 - 8)
+    strl_video = rlist(b"strl", rchunk(b"strh", strh_vids))
+    strf_audio = struct.pack("<IiiHHI", 0, 0, 0, 1, 16, 0) + bytes(20)
+    strl_degen = rlist(
+        b"strl", rchunk(b"strh", b"\x01\x02") + rchunk(b"strf", strf_audio)
+    )
+    hdrl = rlist(b"hdrl", rchunk(b"avih", avih) + strl_video + strl_degen)
+    movi = rlist(b"movi", rchunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = M.decode_avi(avi)
+    assert (out["width"], out["height"], out["n_frames"]) == (w_, h_, 1)
+    assert np.array_equal(out["frames"][0], fr)
