@@ -256,6 +256,106 @@ def ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return centroid_table, cells_table
 
 
+#: Same cache policy as the other index artifacts; value is the complete
+#: stats dict (vocab list included — bounded at <= max_vocab entries).
+_CROSS_STATS_CACHE: dict[tuple, dict] = {}
+
+
+def dedup_cross_stats(
+    spark: SparkSession, sf_dir: str, max_vocab: int = 4096
+) -> dict:
+    """Persist (or reuse) the dedup index's CROSS-JOIN statistics and
+    return a COMPLETE ``stats`` dict for
+    :func:`operators.dedup.jaccard_pairs_cross` — ``{"n_items", "vocab",
+    "n_in_docs"}`` with ``n_in_docs`` always present (VERDICT r11 item
+    #4): a stats dict missing ``n_in_docs`` forces the operator to count
+    the incoming side's docs with a full scan of the unpersisted input
+    lineage — exactly the probe job the stats exist to skip — so the
+    stored writer records it rather than trusting every caller to.
+
+    Contents, persisted as a one-row catalog table next to the other
+    index artifacts (same (session, dataset, fingerprint) cache policy):
+
+    * ``n_in_docs`` / ``n_in_items`` — the incoming slice's doc and
+      (doc, distinct-gram) row counts (``length(source) == 5``, the
+      batch side of the l60/l69/l75 family).
+    * ``n_ex_items`` — the corpus side's row count (``length(source) ==
+      4``, the side :func:`corpus_gram_relation` indexes).
+    * ``vocab`` — the UNION vocabulary over both sides (the operator
+      validates coverage before the bitmask path may run; a corpus-only
+      vocabulary would spuriously fail that check on any batch gram the
+      corpus lacks), or None past ``max_vocab`` — the operator then
+      routes to a candidate-generation strategy, same regime logic as
+      :func:`mask_index_tables`."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from google_analytics_dataframes_spark.io import (
+        load_table,
+        scratch_dir,
+        table_fingerprint,
+    )
+    from google_analytics_dataframes_spark.operators.dedup import char_ngrams
+
+    fp = table_fingerprint(sf_dir, "documents")
+    key = ("cross_stats", spark.sparkContext.applicationId, sf_dir, fp, max_vocab)
+    cached = _CROSS_STATS_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stats_table = f"dedup_cross_stats_{sf_tag}_{fp}"
+    if spark.catalog.tableExists(stats_table):
+        row = spark.table(stats_table).head()
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        grams = docs.filter(F.length("source").isin(4, 5)).select(
+            "doc_id",
+            F.length("source").alias("_side"),
+            F.explode(char_ngrams(F.col("text"), 3)).alias("item"),
+        )
+        grams = grams.persist()
+        counts = grams.groupBy().agg(
+            F.count_distinct(
+                F.when(F.col("_side") == 5, F.col("doc_id"))
+            ).alias("n_in_docs"),
+            F.sum((F.col("_side") == 5).cast("long")).alias("n_in_items"),
+            F.sum((F.col("_side") == 4).cast("long")).alias("n_ex_items"),
+        ).head()
+        # vocab probe bounded exactly like mask_index_tables: the driver
+        # never holds more than max_vocab + 1 items, whatever the corpus
+        vocab_rows = (
+            grams.select("item").distinct().limit(max_vocab + 1).collect()
+        )
+        grams.unpersist()
+        probe_vocab = sorted(r["item"] for r in vocab_rows)
+        agg = spark.createDataFrame(
+            [
+                (
+                    int(counts["n_in_docs"]),
+                    int(counts["n_in_items"]),
+                    int(counts["n_ex_items"]),
+                    probe_vocab,
+                )
+            ],
+            "n_in_docs long, n_in_items long, n_ex_items long, "
+            "vocab array<string>",
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {stats_table}")
+        agg.coalesce(1).write.mode("overwrite").option(
+            "path", os.path.join(scratch_dir("cross_stats"), stats_table)
+        ).format("parquet").saveAsTable(stats_table)
+        row = spark.table(stats_table).head()
+    vocab = list(row["vocab"]) if len(row["vocab"]) <= max_vocab else None
+    stats = {
+        "n_items": int(row["n_in_items"]) + int(row["n_ex_items"]),
+        "vocab": vocab,
+        "n_in_docs": int(row["n_in_docs"]),
+    }
+    _CROSS_STATS_CACHE[key] = dict(stats)
+    return stats
+
+
 def corpus_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-side signature relation the gram index stores: one row
     per (existing-corpus doc, distinct char-3-gram) with the per-doc

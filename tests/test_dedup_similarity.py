@@ -301,7 +301,7 @@ def test_cross_dense_vocab_routes_to_bitmask(spark):
     ex = spark.createDataFrame(pdf[pdf.doc_id >= 4].assign(doc_id=lambda d: d.doc_id))
     # explicit stats keep the plan lazy (no probe persist/localCheckpoint),
     # so the strategy choice is visible in the physical plan
-    stats = {"n_items": len(pdf), "vocab": sorted(alpha)}
+    stats = {"n_items": len(pdf), "vocab": sorted(alpha), "n_in_docs": 4}
     out = D.jaccard_pairs_cross(inc, ex, threshold_pct=60, stats=stats)
     from google_analytics_dataframes_spark.plans import audit
 
@@ -344,7 +344,7 @@ def test_cross_bitmask_broadcast_guard_falls_back(spark):
     )
     inc = items.filter(F.col("doc_id") == 1)
     ex = items.filter(F.col("doc_id") > 1)
-    stats = {"n_items": 6, "vocab": ["a", "b", "c"]}
+    stats = {"n_items": 6, "vocab": ["a", "b", "c"], "n_in_docs": 1}
     from google_analytics_dataframes_spark.plans import audit
 
     fast = D.jaccard_pairs_cross(inc, ex, 40, stats=stats)
@@ -485,3 +485,35 @@ def test_bpe_trainer_is_deterministic_under_tie_storms():
     f1 = {w: 1 for w in words}
     f2 = {w: 1 for w in reversed(words)}
     assert train_bpe_merges(f1, 8) == train_bpe_merges(f2, 8)
+
+
+def test_stored_cross_stats_round_trip_includes_n_in_docs(spark):
+    """VERDICT r11 item #4: the stored-stats writer must persist
+    n_in_docs so jaccard_pairs_cross(stats=...) can never silently fall
+    back to re-scanning the unpersisted incoming lineage (the
+    probe-skip-defeating path warns; with the stored dict the warning
+    must be unreachable).  Also pins that the stats-driven plan emits
+    the exact pair set the adaptive (probe-everything) path does."""
+    import warnings
+
+    from google_analytics_dataframes_spark.sources import bucketed as B
+
+    stats = B.dedup_cross_stats(spark, SF_DIR)
+    assert {"n_items", "vocab", "n_in_docs"} <= set(stats)
+    assert stats["n_in_docs"] > 0 and stats["n_items"] > 0
+    # second call serves the persisted table (and must round-trip the
+    # same dict, n_in_docs included)
+    again = B.dedup_cross_stats(spark, SF_DIR)
+    assert again == stats
+
+    docs = load_table(spark, SF_DIR, "documents")
+    grams = F.explode(D.char_ngrams(F.col("text"), 3)).alias("item")
+    inc = docs.filter(F.length("source") == 5).select("doc_id", grams)
+    ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning -> failure
+        fast = D.jaccard_pairs_cross(inc, ex, threshold_pct=60, stats=stats)
+        got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in fast.collect()}
+    slow = D.jaccard_pairs_cross(inc, ex, threshold_pct=60)
+    want = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in slow.collect()}
+    assert got == want and want
