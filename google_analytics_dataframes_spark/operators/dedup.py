@@ -877,7 +877,10 @@ def _cross_prefix(
 
 
 def exact_substr_spans(
-    docs: DataFrame, min_len: int = 30, hashed: bool = False
+    docs: DataFrame,
+    min_len: int = 30,
+    hashed: bool = False,
+    a_residue: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring spans (the ExactSubstr protocol of
     Lee et al. 2022): (doc_a, doc_b, shared_windows, max_run) for every
@@ -905,11 +908,24 @@ def exact_substr_spans(
     scale), so the re-verify joins probe a tiny build side against the
     doc scan (AQE broadcasts it); output is IDENTICAL to the raw-key
     path on any input, collisions included, because verification is
-    exact."""
+    exact.
+
+    ``a_residue=(mod, res)`` restricts the LOWER-id side of each pair
+    (the join's ``a`` stream) to ``doc_id % mod == res`` — the 10x
+    slice-audit hook (VERDICT r11 item #3, the l60b recipe applied to
+    this family): the b side — full-corpus candidate generation, the
+    scale risk — stays whole, while the naive SQL oracle's window
+    self-join intermediate divides by ``mod``."""
     from pyspark.sql import Window
 
     L = min_len
     eligible = docs.filter(F.length("text") >= L)
+
+    def a_side(stream):
+        if a_residue is None:
+            return stream
+        mod, res = a_residue
+        return stream.filter(F.col("doc_id") % mod == res)
     win_struct = F.explode(
         F.expr(
             f"transform(sequence(1, length(text) - {L - 1}), "
@@ -923,7 +939,7 @@ def exact_substr_spans(
         # shuffle only the 8-byte hash; the raw window never leaves its
         # map task
         wh = w.select("doc_id", "p", F.xxhash64("win").alias("h"))
-        a, b = wh.alias("a"), wh.alias("b")
+        a, b = a_side(wh).alias("a"), wh.alias("b")
         cand = a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -951,7 +967,7 @@ def exact_substr_spans(
             )
         )
     else:
-        a, b = w.alias("a"), w.alias("b")
+        a, b = a_side(w).alias("a"), w.alias("b")
         m = a.join(
             b,
             (F.col("a.win") == F.col("b.win"))

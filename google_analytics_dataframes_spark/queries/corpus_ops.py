@@ -1349,6 +1349,68 @@ _ED_K = 2
 _ED_SEG = 8
 
 
+def _editdist_pairs(index_titles, probe_titles):
+    """PassJoin segment-filter core shared by l70 and its 10x slice twin
+    l70b: ``index_titles`` emits the k+1 disjoint segments (its doc_id
+    becomes doc_a), ``probe_titles`` emits the shifted candidate
+    substrings (doc_b); candidates equi-join on (segment, substring),
+    keep doc_a < doc_b, and survivors verify with one JVM levenshtein.
+    Both inputs are (doc_id, title) frames over the fixed-length
+    ``_ED_PFX`` prefix — see l70's docstring for the pigeonhole
+    losslessness argument, which is per-pair and therefore unaffected
+    by restricting the INDEX side to a doc_id slice."""
+    n_seg = _ED_K + 1
+    seg_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring(
+                        "title", 1 + i * _ED_SEG, _ED_SEG
+                    ).alias("sub"),
+                )
+                for i in range(n_seg)
+            ]
+        )
+    ).alias("s")
+    index = index_titles.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        seg_rows,
+    ).select("doc_a", "title_a", "s.seg", "s.sub")
+    probe_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring(
+                        "title", 1 + i * _ED_SEG + d, _ED_SEG
+                    ).alias("sub"),
+                )
+                for i in range(n_seg)
+                for d in range(-_ED_K, _ED_K + 1)
+                if 1 + i * _ED_SEG + d >= 1
+                and i * _ED_SEG + d + _ED_SEG <= _ED_PFX
+            ]
+        )
+    ).alias("p")
+    probe = probe_titles.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        probe_rows,
+    ).select("doc_b", "title_b", "p.seg", "p.sub")
+    cand = (
+        index.join(probe, ["seg", "sub"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "title_a", "title_b")
+        .distinct()
+    )
+    dist = F.levenshtein("title_a", "title_b")
+    return cand.filter(dist <= _ED_K).select(
+        "doc_a", "doc_b", dist.cast("int").alias("dist")
+    )
+
+
 @register(
     "l70_editdist_simjoin",
     oracle=f"""
@@ -1401,56 +1463,7 @@ def l70_editdist_simjoin(spark, sf_dir):
         ),
         "doc_id",
     )
-    n_seg = _ED_K + 1
-    seg_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seg"),
-                    F.substring(
-                        "title", 1 + i * _ED_SEG, _ED_SEG
-                    ).alias("sub"),
-                )
-                for i in range(n_seg)
-            ]
-        )
-    ).alias("s")
-    index = titles.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("title").alias("title_a"),
-        seg_rows,
-    ).select("doc_a", "title_a", "s.seg", "s.sub")
-    probe_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seg"),
-                    F.substring(
-                        "title", 1 + i * _ED_SEG + d, _ED_SEG
-                    ).alias("sub"),
-                )
-                for i in range(n_seg)
-                for d in range(-_ED_K, _ED_K + 1)
-                if 1 + i * _ED_SEG + d >= 1
-                and i * _ED_SEG + d + _ED_SEG <= _ED_PFX
-            ]
-        )
-    ).alias("p")
-    probe = titles.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("title_b"),
-        probe_rows,
-    ).select("doc_b", "title_b", "p.seg", "p.sub")
-    cand = (
-        index.join(probe, ["seg", "sub"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "title_a", "title_b")
-        .distinct()
-    )
-    dist = F.levenshtein("title_a", "title_b")
-    return cand.filter(dist <= _ED_K).select(
-        "doc_a", "doc_b", dist.cast("int").alias("dist")
-    )
+    return _editdist_pairs(titles, titles)
 
 
 # ------------------------------------------------------------------- l71 ---
@@ -2099,3 +2112,137 @@ def l79_kmeans_lloyd(spark, sf_dir):
     return a2.groupBy("true_label", F.col("cl").alias("cluster")).agg(
         F.count("*").alias("n_vectors")
     )
+
+
+# --------------------------------- round-12 10x slice-audit twins ----------
+# l55b and l70b complete the within-corpus pair family's 10x evidence
+# (VERDICT r11 item #3) — the family note and the shared residue
+# constants live in queries/llm_ops.py next to _src5_sliced_pairs.
+
+
+@register(
+    "l55b_pair_token_f1_slice",
+    oracle="""
+    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
+            FROM docs5),
+    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
+              FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 20 = 5
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM docs5)
+           GROUP BY doc_id, token),
+    tn AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY doc_id),
+    ov AS (SELECT p.doc_a, p.doc_b, SUM(LEAST(ta.c, tb.c)) AS overlap
+           FROM pairs p
+           JOIN tc ta ON ta.doc_id = p.doc_a
+           JOIN tc tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+           GROUP BY p.doc_a, p.doc_b)
+    SELECT o.doc_a, o.doc_b, CAST(o.overlap AS BIGINT) AS overlap,
+           round(o.overlap / CAST(nb.n AS DOUBLE), 6) AS precision_b,
+           round(o.overlap / CAST(na.n AS DOUBLE), 6) AS recall_a,
+           round(2.0 * o.overlap / CAST(na.n + nb.n AS DOUBLE), 6) AS token_f1
+    FROM ov o
+    JOIN tn na ON na.doc_id = o.doc_a
+    JOIN tn nb ON nb.doc_id = o.doc_b
+    """,
+)
+def l55b_pair_token_f1_slice(spark, sf_dir):
+    """l55's token-multiset F1 verifier over the SLICED candidate pair
+    set (llm_ops._src5_sliced_pairs — shared with l12b/l29b/l33b/l44b,
+    one physical computation per sweep): the token-count side is linear
+    and identical to l55; only the candidate generation consumes the
+    residue slice that makes the oracle 10x-runnable."""
+    from google_analytics_dataframes_spark.queries.llm_ops import (
+        _src5_sliced_pairs,
+    )
+
+    docs5 = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src5")
+        .select("doc_id", "text")
+    )
+    tc = (
+        fanout_by(docs5, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tn = tc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    pairs = _src5_sliced_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ta = tc.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("c").alias("ca")
+    )
+    tb = tc.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("c").alias("cb")
+    )
+    ov = (
+        ta.join(F.broadcast(pairs), "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    na = tn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = tn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            F.round(F.col("overlap") / F.col("nb").cast("double"), 6).alias(
+                "precision_b"
+            ),
+            F.round(F.col("overlap") / F.col("na").cast("double"), 6).alias(
+                "recall_a"
+            ),
+            F.round(
+                F.lit(2.0) * F.col("overlap")
+                / (F.col("na") + F.col("nb")).cast("double"),
+                6,
+            ).alias("token_f1"),
+        )
+    )
+
+
+@register(
+    "l70b_editdist_slice",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substr(text, 1, {_ED_PFX}) AS title
+               FROM documents WHERE len(text) >= {_ED_PFX})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+     AND a.doc_id % 20 = 5
+     AND levenshtein(a.title, b.title) <= {_ED_K}
+    """,
+)
+def l70b_editdist_slice(spark, sf_dir):
+    """l70's PassJoin edit-distance join with the INDEX side residue-
+    sliced (the probe side — full-corpus candidate generation — stays
+    whole): the oracle's quadratic levenshtein evaluation divides by 20,
+    making the family's last member 10x-runnable.  Losslessness is
+    per-pair (any b within k edits of a sliced a still contains one of
+    a's segments in a +-k window), so the slice cannot cost recall."""
+    docs = T(spark, sf_dir, "documents")
+    titles = fanout_by(
+        docs.filter(F.length("text") >= _ED_PFX).select(
+            "doc_id", F.substring("text", 1, _ED_PFX).alias("title")
+        ),
+        "doc_id",
+    )
+    return _editdist_pairs(titles.filter(F.col("doc_id") % 20 == 5), titles)
