@@ -52,65 +52,65 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are FULL query names (exact match beats prefix in
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
-    # generated: tools/stale_evidence.py --emit-head 50 10
-    # 23 stale/changed rows lead; oldest-evidence back-fill to 50
-    "s9_binaryfile_source",
-    "st16_stream_outer_join",
-    "st19_stream_timer_sessions",
-    "st14_stream_sessionize",
-    "l12_ngram_jaccard",
+    # generated: tools/stale_evidence.py --emit-head 50 11
+    # 16 stale/changed rows lead; oldest-evidence back-fill to 50
     "l74_thumbnail_pipeline",
-    "l13_embed_neardup",
-    "l4_knn_join",
-    "l10_embed_agg",
-    "l7_string_simjoin",
     "l26_multimodal_frames",
     "l63_bmp_roundtrip",
     "l64_png_roundtrip",
-    "l67_jpeg_roundtrip",
-    "l68_wav_roundtrip",
-    "l72_gif_roundtrip",
-    "l27_sequence_pack",
-    "l29_dedup_clusters",
-    "l33_dedup_apply",
-    "l44_clean_corpus",
-    "l55_pair_token_f1",
-    "l58_pq_codes",
-    "l79_kmeans_lloyd",
-    "s3_json_props",
-    "p2_computed_col",
-    "f8_null_handling",
-    "a9_pivot",
-    "a15_collect_list",
-    "j11_asof",
-    "j14_skew_salted",
-    "o3_offset_page",
-    "u1_union_all",
-    "u6_except_distinct",
-    "u7_intersect_all",
-    "sf1_date_parse",
-    "l41_pii_redact",
-    "l39_batch_knn",
-    "l43_random_projection",
-    "l45_corpus_shuffle",
-    "l46_dsir_weights",
-    "l49_importance_resample",
-    "l50_bloom_dedup",
-    "l51_bpe_pair_counts",
-    "l52_temperature_mixture",
-    "l54_seqlen_histogram",
-    "l56_bigram_logprob",
-    "l57_token_fertility",
-    "rb12_report_totals",
-    "rb13_new_vs_returning",
-    "rb14_keep_empty_rows",
+    "l61_exact_substr_spans",
+    "l61b_exact_substr_hashed",
+    "l12b_ngram_jaccard_slice",
+    "l29b_dedup_clusters_slice",
+    "l33b_dedup_apply_slice",
+    "l44b_clean_corpus_slice",
+    "l7b_simjoin_slice",
+    "l61c_substr_slice",
+    "l61d_substr_slice_hashed",
+    "l70_editdist_simjoin",
+    "l55b_pair_token_f1_slice",
+    "l70b_editdist_slice",
+    "rb15_histogram_buckets",
+    "rb16_report_minmax",
+    "rb17_filter_expression",
+    "rb21_active_users",
+    "rb22_ecommerce_overview",
+    "s4_sink_parquet",
+    "s5_csv_json_io",
+    "s7_orc_roundtrip",
+    "s8_clustered_write",
+    "f3_range_date",
+    "a6_grouping_sets",
+    "a10_ratio_metric",
+    "a13_histogram",
+    "a14_percentiles",
+    "a17_approx_percentile",
+    "a18_freq_topk",
+    "j12_interval",
+    "w4_running_sum",
+    "w6_range_frame",
+    "w11_rolling_hll",
+    "o4_topk_per_group",
+    "u3_intersect",
+    "sf5_regex_fn",
+    "sf12_json_path",
+    "sf14b_xxhash",
+    "st3_sessionize",
+    "l40_compression_ratio",
+    "l24_stratified_sample",
+    "l30_decontaminate",
+    "l34_unigram_logprob",
+    "l48_ppl_buckets",
+    "l53_decontam_multi_n",
+    "l59_embed_norm_outliers",
+    "rb4_cohort_retention",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
 #: CORRECTNESS round on disk at generation time) — the invariant test
 #: re-derives the head at THIS horizon so a mid-verdict r11 sweep file
 #: doesn't invalidate it.
-SWEEP_HEAD_HORIZON = 10
+SWEEP_HEAD_HORIZON = 11
 
 # Staleness rotation: oldest driver evidence first once the head clears
 # (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;
