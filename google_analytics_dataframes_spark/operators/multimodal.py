@@ -630,10 +630,16 @@ def decode_png(blob: bytes):
                 or inter not in (0, 1)
                 or ctype not in ok_depth
                 or depth not in ok_depth[ctype]
+                # spec: width and height are >= 1 (review finding,
+                # round 12 — a 0xN file decoded to an empty array where
+                # decode_tiff's 'bad dimensions' convention refuses)
+                or w == 0
+                or h == 0
             ):
                 raise ValueError(
                     "decode_png: invalid IHDR parameters "
-                    f"(depth={depth}, color={ctype}, interlace={inter})"
+                    f"(depth={depth}, color={ctype}, interlace={inter}, "
+                    f"size={w}x{h})"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 256 * 3:
@@ -3644,7 +3650,13 @@ def decode_tiff(blob: bytes):
                 raw = d.decompress(raw, expect + 1)
             except zlib.error as e:
                 raise ValueError(f"decode_tiff: bad deflate strip ({e})")
-            if len(raw) != expect or d.unconsumed_tail or d.unused_data:
+            # interop concession (review finding, round 12): some writers
+            # pad an odd-length strip to an even StripByteCount and count
+            # the pad — libtiff inflates `expect` bytes and ignores the
+            # tail, so a single zero byte after the stream is tolerated;
+            # anything else after the stream is a structural lie
+            pad_ok = d.unused_data in (b"", b"\x00")
+            if len(raw) != expect or d.unconsumed_tail or not pad_ok:
                 raise ValueError(
                     f"decode_tiff: deflate strip {len(raw)} bytes "
                     f"(tail={len(d.unconsumed_tail) + len(d.unused_data)}),"

@@ -925,6 +925,9 @@ def l60_incremental_neardup(spark, sf_dir):
     vocabulary stay in the prefix regime where output and work are both
     near-linear."""
     from google_analytics_dataframes_spark.operators.dedup import jaccard_pairs_cross
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        dedup_cross_stats,
+    )
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     from google_analytics_dataframes_spark.operators.dedup import char_ngrams
@@ -934,7 +937,15 @@ def l60_incremental_neardup(spark, sf_dir):
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc = docs.filter(F.length("source") == 5).select("doc_id", grams)
     ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
-    pairs = jaccard_pairs_cross(inc, ex, threshold_pct=60)
+    # round 12 (VERDICT r11 item #4's production wiring): strategy stats
+    # come from the PERSISTED index-side table — n_items/vocab/n_in_docs
+    # in one dict, n_in_docs always present, so the operator's probe jobs
+    # (persist + count + vocab collect) are skipped and its
+    # unpersisted-lineage-rescan fallback is unreachable; the vocabulary
+    # is validated (limit-1 scan) before the bitmask path may run.
+    pairs = jaccard_pairs_cross(
+        inc, ex, threshold_pct=60, stats=dedup_cross_stats(spark, sf_dir)
+    )
     return pairs.select(
         "doc_in",
         "doc_ex",
@@ -2116,30 +2127,21 @@ def l79_kmeans_lloyd(spark, sf_dir):
 
 # --------------------------------- round-12 10x slice-audit twins ----------
 # l55b and l70b complete the within-corpus pair family's 10x evidence
-# (VERDICT r11 item #3) — the family note and the shared residue
-# constants live in queries/llm_ops.py next to _src5_sliced_pairs.
+# (VERDICT r11 item #3) — the family note, the shared residue constants
+# AND the shared sliced-pairs oracle CTE live in queries/llm_ops.py next
+# to _src5_sliced_pairs (module-level import is safe: llm_ops never
+# imports corpus_ops, and queries/__init__ loads llm_ops first).
+from google_analytics_dataframes_spark.queries.llm_ops import (  # noqa: E402
+    _ASLICE_MOD,
+    _ASLICE_RES,
+    _SLICED_SRC5_PAIRS_CTE,
+)
 
 
 @register(
     "l55b_pair_token_f1_slice",
-    oracle="""
-    WITH docs5 AS (SELECT doc_id, text FROM documents WHERE source = 'src5'),
-    pos AS (SELECT doc_id, text,
-                   unnest(range(1, greatest(len(text) - 2, 1) + 1)) AS p
-            FROM docs5),
-    grams AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 3) AS gram
-              FROM pos),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-              FROM grams a JOIN grams b
-                ON a.gram = b.gram AND a.doc_id < b.doc_id
-              WHERE a.doc_id % 20 = 5
-              GROUP BY 1, 2),
-    pairs AS (SELECT i.doc_a, i.doc_b
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.doc_a
-              JOIN sizes sb ON sb.doc_id = i.doc_b
-              WHERE 100 * i.inter >= 60 * (sa.sz + sb.sz - i.inter)),
+    oracle=f"""
+    WITH {_SLICED_SRC5_PAIRS_CTE},
     tc AS (SELECT doc_id, token, COUNT(*) AS c
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM docs5)
@@ -2227,7 +2229,7 @@ def l55b_pair_token_f1_slice(spark, sf_dir):
            CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
     FROM t a JOIN t b
       ON a.doc_id < b.doc_id
-     AND a.doc_id % 20 = 5
+     AND a.doc_id % {_ASLICE_MOD} = {_ASLICE_RES}
      AND levenshtein(a.title, b.title) <= {_ED_K}
     """,
 )
@@ -2245,4 +2247,6 @@ def l70b_editdist_slice(spark, sf_dir):
         ),
         "doc_id",
     )
-    return _editdist_pairs(titles.filter(F.col("doc_id") % 20 == 5), titles)
+    return _editdist_pairs(
+        titles.filter(F.col("doc_id") % _ASLICE_MOD == _ASLICE_RES), titles
+    )

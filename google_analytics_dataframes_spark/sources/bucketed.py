@@ -304,7 +304,10 @@ def dedup_cross_stats(
     if cached is not None:
         return dict(cached)
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    stats_table = f"dedup_cross_stats_{sf_tag}_{fp}"
+    # max_vocab is part of the PHYSICAL identity: a table written under a
+    # smaller cap holds a truncated vocab that a larger-cap caller would
+    # otherwise read back as complete (review finding, round 12)
+    stats_table = f"dedup_cross_stats_{sf_tag}_{fp}_v{max_vocab}"
     if spark.catalog.tableExists(stats_table):
         row = spark.table(stats_table).head()
     else:
@@ -319,8 +322,15 @@ def dedup_cross_stats(
             F.count_distinct(
                 F.when(F.col("_side") == 5, F.col("doc_id"))
             ).alias("n_in_docs"),
-            F.sum((F.col("_side") == 5).cast("long")).alias("n_in_items"),
-            F.sum((F.col("_side") == 4).cast("long")).alias("n_ex_items"),
+            # coalesce: SUM over zero rows is NULL, and a corpus with no
+            # length-4/5 sources must yield zeros, not a TypeError at the
+            # int() below (review finding, round 12)
+            F.coalesce(
+                F.sum((F.col("_side") == 5).cast("long")), F.lit(0)
+            ).alias("n_in_items"),
+            F.coalesce(
+                F.sum((F.col("_side") == 4).cast("long")), F.lit(0)
+            ).alias("n_ex_items"),
         ).head()
         # vocab probe bounded exactly like mask_index_tables: the driver
         # never holds more than max_vocab + 1 items, whatever the corpus

@@ -96,6 +96,12 @@ def main() -> int:
 
     reg = registry()
     excluded = set(args.exclude)
+    unknown = excluded - set(reg)
+    if unknown:
+        # a typo'd/renamed exclude silently runs the row it meant to skip
+        # (and at 10x that row's oracle kills the sweep) — fail loudly
+        print(f"--exclude names not in the registry: {sorted(unknown)}")
+        return 2
     names = [
         n
         for n in sorted(reg)

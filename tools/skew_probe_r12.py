@@ -4,9 +4,11 @@ family (VERDICT r11 item #6).
 
 Every synth so far is uniform; real corpora are power-law.  This probe
 PLANTS the power-law head — one hot 3-gram shared by >=20% of the
-corpus (text || ' qzx' on doc_id % 5 == 0 over the src5 slice — the
-l12/l29/l33 dedup corpus, ~1/6 of documents at every SF) — and
-measures what each candidate-generation strategy does with it:
+corpus (text || ' qzx' on doc_id % 100 == 5 over the src5 slice, the
+l12/l29/l33 dedup corpus, whose ids are all ≡ 5 mod 20, so the
+predicate selects exactly 1-in-5 of it; asserted 0.15-0.25 at run
+time) — and measures what each candidate-generation strategy does
+with it:
 
   index    plain inverted-index join (the adaptive router's choice below
            prefix_min_items): the hot gram enumerates ~(0.2 n)^2 pair
