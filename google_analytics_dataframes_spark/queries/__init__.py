@@ -53,7 +53,7 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 11
-    # 16 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 17 stale/changed rows lead; oldest-evidence back-fill to 50
     "l74_thumbnail_pipeline",
     "l26_multimodal_frames",
     "l63_bmp_roundtrip",
@@ -67,6 +67,7 @@ SWEEP_HEAD: list[str] = [
     "l7b_simjoin_slice",
     "l61c_substr_slice",
     "l61d_substr_slice_hashed",
+    "l60_incremental_neardup",
     "l70_editdist_simjoin",
     "l55b_pair_token_f1_slice",
     "l70b_editdist_slice",
@@ -103,7 +104,6 @@ SWEEP_HEAD: list[str] = [
     "l48_ppl_buckets",
     "l53_decontam_multi_n",
     "l59_embed_norm_outliers",
-    "rb4_cohort_retention",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
