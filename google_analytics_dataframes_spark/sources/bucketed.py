@@ -351,6 +351,24 @@ def dedup_cross_stats(
             "n_in_docs long, n_in_items long, n_ex_items long, "
             "vocab array<string>",
         )
+        # Evict stale siblings: a new table fingerprint (data regen)
+        # creates a new dedup_cross_stats_* name, and without this the
+        # old fingerprint's tables leak catalog entries + scratch
+        # parquet forever (ADVICE r12).  Same-fingerprint tables with a
+        # different max_vocab are KEPT — they are live caches for other
+        # callers, not stale.
+        import shutil
+
+        stale_prefix = f"dedup_cross_stats_{sf_tag}_"
+        live_prefix = f"{stale_prefix}{fp}_"
+        for t in spark.catalog.listTables():
+            n = t.name
+            if n.startswith(stale_prefix) and not n.startswith(live_prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
+                shutil.rmtree(
+                    os.path.join(scratch_dir("cross_stats"), n),
+                    ignore_errors=True,
+                )
         spark.sql(f"DROP TABLE IF EXISTS {stats_table}")
         agg.coalesce(1).write.mode("overwrite").option(
             "path", os.path.join(scratch_dir("cross_stats"), stats_table)

@@ -511,9 +511,93 @@ def test_stored_cross_stats_round_trip_includes_n_in_docs(spark):
     inc = docs.filter(F.length("source") == 5).select("doc_id", grams)
     ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
     with warnings.catch_warnings():
-        warnings.simplefilter("error")  # any fallback warning -> failure
+        # escalate ONLY the targeted fallback warning — a blanket
+        # simplefilter("error") also trips on unrelated PySpark
+        # deprecation warnings emitted during plan build / collect
+        # (ADVICE r12)
+        warnings.filterwarnings(
+            "error", message=r"jaccard_pairs_cross: stats supplied.*"
+        )
         fast = D.jaccard_pairs_cross(inc, ex, threshold_pct=60, stats=stats)
         got = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in fast.collect()}
     slow = D.jaccard_pairs_cross(inc, ex, threshold_pct=60)
     want = {(r.doc_in, r.doc_ex, r.inter, r.uni) for r in slow.collect()}
     assert got == want and want
+
+
+def test_shipped_prefix_crossover_threshold(spark):
+    """VERDICT r12 item #7: the planted-skew probe's index-path safety
+    argument rests on the SHIPPED crossover — "past prefix_min_items
+    index rows the router runs prefix, below it index".  The older
+    routing tests force strategies with parameters; this pins the
+    DEFAULT threshold itself: identical inputs, stats straddling the
+    shipped 2M default, no parameter overrides.  Plan signatures:
+    ppjoin prefix carries the array_intersect verify stage, the plain
+    inverted-index join never does.  tools/router_threshold_probe_r13.py
+    is the companion MEASUREMENT (real >2M-row corpus through the
+    no-stats probe path, walls + task histograms in BASELINE.md)."""
+    import inspect
+
+    # the shipped default this test exists to pin
+    sig = inspect.signature(D.jaccard_pairs)
+    shipped = sig.parameters["prefix_min_items"].default
+    assert shipped == 2_000_000
+
+    from google_analytics_dataframes_spark.plans import audit
+
+    items = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.array(*[F.lit(f"t{i}") for i in range(3)])).alias("item"),
+    )
+    # vocab None disables the bitmask regime; n_items is the router input
+    over = D.jaccard_pairs(
+        items, 60, stats={"n_items": shipped, "vocab": None}
+    )
+    under = D.jaccard_pairs(
+        items, 60, stats={"n_items": shipped - 1, "vocab": None}
+    )
+    assert "array_intersect" in audit.formatted_plan(over)
+    assert "array_intersect" not in audit.formatted_plan(under)
+    # the cross-relation twin ships the same crossover
+    sig_x = inspect.signature(D.jaccard_pairs_cross)
+    assert sig_x.parameters["prefix_min_items"].default == shipped
+    over_x = D.jaccard_pairs_cross(
+        items, items, 60, stats={"n_items": shipped, "vocab": None}
+    )
+    under_x = D.jaccard_pairs_cross(
+        items, items, 60, stats={"n_items": shipped - 1, "vocab": None}
+    )
+    assert "array_intersect" in audit.formatted_plan(over_x)
+    assert "array_intersect" not in audit.formatted_plan(under_x)
+
+
+def test_stored_cross_stats_evicts_stale_fingerprint_siblings(spark):
+    """ADVICE r12: a data regeneration changes the table fingerprint and
+    creates a NEW dedup_cross_stats_* name; the writer must drop the old
+    fingerprint's catalog entries (and scratch parquet) instead of
+    leaking them forever — while KEEPING same-fingerprint siblings with
+    a different max_vocab (live caches for other callers)."""
+    import os
+
+    from google_analytics_dataframes_spark.io import table_fingerprint
+    from google_analytics_dataframes_spark.sources import bucketed as B
+
+    fp = table_fingerprint(SF_DIR, "documents")
+    sf_tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    stale = f"dedup_cross_stats_{sf_tag}_deadbeef_v4096"
+    live_sibling = f"dedup_cross_stats_{sf_tag}_{fp}_v7"
+    for name in (stale, live_sibling):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.createDataFrame([(1,)], "x long").write.mode(
+            "overwrite"
+        ).saveAsTable(name)
+    # force a real (re)write: clear the session cache and the live table
+    B._CROSS_STATS_CACHE.clear()
+    spark.sql(f"DROP TABLE IF EXISTS dedup_cross_stats_{sf_tag}_{fp}_v4096")
+    stats = B.dedup_cross_stats(spark, SF_DIR)
+    assert stats["n_in_docs"] > 0
+    assert not spark.catalog.tableExists(stale), "stale sibling leaked"
+    assert spark.catalog.tableExists(live_sibling), (
+        "same-fingerprint sibling (different max_vocab) must survive"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {live_sibling}")

@@ -133,9 +133,16 @@ def main() -> None:
         "skewed": items_of(skewed),
         "superhot": items_of(superhot),
     }
-    # hot-key audit: the planted gram's document frequency
+    # hot-key audit: the planted gram's DOCUMENT frequency (distinct
+    # docs, not gram rows — char_ngrams is not per-doc distinct, so a
+    # natural 'qzx' occurrence would otherwise inflate the share and
+    # trip the band assertion with a confusing number; ADVICE r12)
     hot_n = (
-        corpora["skewed"].filter(F.col("item") == "qzx").count()
+        corpora["skewed"]
+        .filter(F.col("item") == "qzx")
+        .select("doc_id")
+        .distinct()
+        .count()
     )
     n_docs = docs.count()
     assert 0.15 <= hot_n / n_docs <= 0.25, (hot_n, n_docs)
