@@ -114,6 +114,8 @@ def main() -> None:
     # untimed global warm-up: JVM, noop sink classes, parquet footers
     execute("a1_groupby_sum")
 
+    import gc
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(reg):
@@ -123,6 +125,14 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             times[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        # Release the finished query's py4j handles OUTSIDE the timed
+        # window: the JVM side of a dropped DataFrame only becomes
+        # weakly-reachable (and thus ContextCleaner-reclaimable at the
+        # session's periodic GC) once the Python proxy is collected.
+        # Without this, ~300 distinct plans' probe persists/broadcasts
+        # accumulate and the 10x suite runs later queries at 2-5x their
+        # fresh-session cost (round-13 finding, BASELINE.md).
+        gc.collect()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     load_mid = _loadavg()  # after the main pass, before the repeat pass
@@ -146,6 +156,7 @@ def main() -> None:
         except Exception as e:
             repeat[name] = -1.0
             print(f"# bench repeat error {name}: {e}", file=sys.stderr)
+        gc.collect()
     load_after = _loadavg()
 
     def _subset_total(subset: list[str], series: dict[str, float]) -> float:

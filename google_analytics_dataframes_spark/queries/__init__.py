@@ -52,65 +52,65 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are FULL query names (exact match beats prefix in
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
-    # generated: tools/stale_evidence.py --emit-head 50 11
-    # 17 stale/changed rows lead; oldest-evidence back-fill to 50
-    "l74_thumbnail_pipeline",
-    "l26_multimodal_frames",
-    "l63_bmp_roundtrip",
-    "l64_png_roundtrip",
-    "l61_exact_substr_spans",
-    "l61b_exact_substr_hashed",
-    "l12b_ngram_jaccard_slice",
-    "l29b_dedup_clusters_slice",
-    "l33b_dedup_apply_slice",
-    "l44b_clean_corpus_slice",
-    "l7b_simjoin_slice",
-    "l61c_substr_slice",
-    "l61d_substr_slice_hashed",
+    # generated: tools/stale_evidence.py --emit-head 50 12
+    # 2 stale/changed rows lead; oldest-evidence back-fill to 50
     "l60_incremental_neardup",
-    "l70_editdist_simjoin",
-    "l55b_pair_token_f1_slice",
-    "l70b_editdist_slice",
-    "rb15_histogram_buckets",
-    "rb16_report_minmax",
-    "rb17_filter_expression",
-    "rb21_active_users",
-    "rb22_ecommerce_overview",
-    "s4_sink_parquet",
-    "s5_csv_json_io",
-    "s7_orc_roundtrip",
-    "s8_clustered_write",
-    "f3_range_date",
-    "a6_grouping_sets",
-    "a10_ratio_metric",
-    "a13_histogram",
-    "a14_percentiles",
-    "a17_approx_percentile",
-    "a18_freq_topk",
-    "j12_interval",
-    "w4_running_sum",
-    "w6_range_frame",
-    "w11_rolling_hll",
-    "o4_topk_per_group",
-    "u3_intersect",
-    "sf5_regex_fn",
-    "sf12_json_path",
-    "sf14b_xxhash",
-    "st3_sessionize",
-    "l40_compression_ratio",
-    "l24_stratified_sample",
-    "l30_decontaminate",
-    "l34_unigram_logprob",
-    "l48_ppl_buckets",
-    "l53_decontam_multi_n",
-    "l59_embed_norm_outliers",
+    "l60b_neardup_slice",
+    "rb4_cohort_retention",
+    "rb7_funnel",
+    "rb18_session_metrics",
+    "rb19_landing_exit",
+    "rb20_engagement_rate",
+    "f1_eq",
+    "f2_neq",
+    "f4_contains",
+    "f6_and_or",
+    "f7_in_list",
+    "a1_groupby_sum",
+    "a3_count_distinct",
+    "a4_approx_distinct",
+    "a5_global_totals",
+    "a7_rollup",
+    "a8_cube",
+    "a11_having",
+    "a12_distinct_rows",
+    "a16_multikey_count",
+    "j1_inner_hash",
+    "j2_broadcast",
+    "j4_left_outer",
+    "l11_simhash_neardup",
+    "l62_semantic_decontam",
+    "l62b_semantic_decontam_ivf",
+    "l36_char_entropy",
+    "rb1_report_events",
+    "rb2_report_orders",
+    "rb3_segment_users",
+    "s1_scan_parquet",
+    "s2_scan_pruned",
+    "p1_select_rename",
+    "f5_regex",
+    "a2_multi_agg",
+    "j3_sort_merge",
+    "j5_right_outer",
+    "j6_full_outer",
+    "j7_semi",
+    "j8_anti",
+    "j9_cross",
+    "j10_theta_range",
+    "j13_multikey",
+    "w1_row_number",
+    "w2_rank_dense",
+    "o1_multisort",
+    "o2_limit",
+    "o5_global_topk",
+    "u2_union_distinct",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
 #: CORRECTNESS round on disk at generation time) — the invariant test
 #: re-derives the head at THIS horizon so a mid-verdict r11 sweep file
 #: doesn't invalidate it.
-SWEEP_HEAD_HORIZON = 11
+SWEEP_HEAD_HORIZON = 12
 
 # Staleness rotation: oldest driver evidence first once the head clears
 # (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;

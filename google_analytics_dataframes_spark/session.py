@@ -75,6 +75,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-lived-session hygiene (round 13): ContextCleaner reclaims
+        # unreferenced persisted blocks / broadcasts only after a JVM GC
+        # processes their weak references, and a suite that never fills
+        # the heap never triggers one — Spark's default periodicGC of
+        # 30 min is longer than the whole bench.  Measured at the 10x
+        # synth: accumulated probe persists from ~300 distinct plans ran
+        # in-suite queries at 2-5x their fresh-session cost (l7 13.8 s
+        # in-suite vs 4.0 s standalone).  A minutely System.gc on this
+        # heap is a few hundred ms — noise next to the eviction churn it
+        # prevents.  Same posture on a real cluster: long-lived drivers
+        # issuing many distinct plans set this low.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     spark = builder.getOrCreate()
     return configure(spark)
