@@ -31,14 +31,25 @@ its own evidence:
   ``repeat_total_pass2`` on identical plans in the same process.  A stable
   window reproduces the subset total; an ambient spike shows up as a
   divergent pass ratio with unchanged code.
+* a mid-run CANARY series (VERDICT r13 item #3): the fixed sub-second
+  ``a1_groupby_sum`` plan re-timed every 30 rows.  The pre-JVM loadavg
+  and the end-of-suite repeat pass bracket the window but sample nothing
+  in the middle — r13's 247.7 s point was stamped "quiet" by both while
+  a roving blip inflated the contiguous l25-l43 block mid-suite.  A
+  canary excursion (> 2x the series median AND > 0.25 s above it) now
+  demotes the window to "unstable" and the offending positions are
+  stamped into the artifact.
 * ``window.class`` — "quiet" (pre-JVM ambient load low AND the repeat
-  ratio tight), "loaded" (pre-JVM ambient load high), or "unstable" (low
-  ambient but divergent passes: a transient spike hit one pass).  The
-  mid/after load snapshots include this bench's own executor threads, so
-  only the pre-JVM one drives the classification.  The
-  criteria are stamped alongside so the classification is auditable, and
-  ``st_total_best`` (min of the two st-family passes) is the floor
-  estimate a grader should compare across rounds.
+  ratio tight AND the canary series clean), "loaded" (pre-JVM ambient
+  load high), "unstable" (low ambient but divergent passes or a canary
+  excursion: transient interference hit mid-run), or "unknown"
+  (/proc/loadavg unreadable — a missing measurement is not evidence of
+  load, ADVICE r13).  The mid/after load snapshots include this bench's
+  own executor threads, so only the pre-JVM one drives the
+  classification.  The criteria are stamped alongside so the
+  classification is auditable, and ``st_total_best`` (min of the two
+  st-family passes) is the floor estimate a grader should compare
+  across rounds.
 """
 
 from __future__ import annotations
@@ -115,10 +126,41 @@ def main() -> None:
     execute("a1_groupby_sum")
 
     import gc
+    from statistics import median
+
+    # Mid-run canary (VERDICT r13 item #3): the pre-JVM loadavg and the
+    # end-of-suite repeat pass bracket the window but sample nothing in
+    # the middle — r13's 247.7 s point was stamped "quiet" by both while
+    # a roving-interference blip inflated a contiguous alphabetical block
+    # (l25-l43) mid-suite.  Re-timing ONE fixed sub-second query (the
+    # same a1 plan, warm since the global warm-up) every CANARY_EVERY
+    # rows turns that blind spot into a stamped series: an interference
+    # window that inflates ordinary plans inflates the canary landing
+    # inside it the same way.
+    CANARY_EVERY = 30
+    canary_name = "a1_groupby_sum"
+    canary: list[dict] = []
+
+    def time_canary(after_n: int) -> None:
+        try:
+            canary.append(
+                {"after_n": after_n, "sec": round(execute(canary_name), 3)}
+            )
+        except Exception as e:
+            print(f"# bench canary error: {e}", file=sys.stderr)
+        gc.collect()
+
+    # fresh-session anchor point; one extra untimed execution first so
+    # the anchor can never carry a residual first-timed-run cost (the
+    # global warm-up ran a1 once, but session-level lazy inits could
+    # still bias execution #2 — and a biased anchor would demote a
+    # genuinely quiet window via the 2x-median rule)
+    execute(canary_name)
+    time_canary(0)
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in sorted(reg):
+    for i, name in enumerate(sorted(reg)):
         try:
             cold[name] = round(execute(name), 3)  # untimed per-query warm-up (codegen)
             times[name] = round(execute(name), 3)  # timed warm run
@@ -133,6 +175,8 @@ def main() -> None:
         # accumulate and the 10x suite runs later queries at 2-5x their
         # fresh-session cost (round-13 finding, BASELINE.md).
         gc.collect()
+        if (i + 1) % CANARY_EVERY == 0:
+            time_canary(i + 1)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     load_mid = _loadavg()  # after the main pass, before the repeat pass
@@ -159,40 +203,80 @@ def main() -> None:
         gc.collect()
     load_after = _loadavg()
 
-    def _subset_total(subset: list[str], series: dict[str, float]) -> float:
-        return round(sum(series[n] for n in subset if series.get(n, -1) >= 0), 3)
+    # Pass totals compare ONLY rows timed successfully in BOTH series
+    # (ADVICE r13): a query that errors in exactly one pass would
+    # otherwise shrink one subset total and skew the ratio/min toward a
+    # misclassification.
+    def _both(subset: list[str]) -> list[str]:
+        return [
+            n
+            for n in subset
+            if times.get(n, -1) >= 0 and repeat.get(n, -1) >= 0
+        ]
 
-    st_p1 = _subset_total(st_names, times)
-    st_p2 = _subset_total(st_names, repeat)
-    rep_p1 = _subset_total(repeat_names, times)
-    rep_p2 = _subset_total(repeat_names, repeat)
+    def _subset_total(subset: list[str], series: dict[str, float]) -> float:
+        return round(sum(series[n] for n in subset), 3)
+
+    st_common = _both(st_names)
+    rep_common = _both(repeat_names)
+    st_p1 = _subset_total(st_common, times)
+    st_p2 = _subset_total(st_common, repeat)
+    rep_p1 = _subset_total(rep_common, times)
+    rep_p2 = _subset_total(rep_common, repeat)
     ncpus = os.cpu_count() or 1
     # quiet = ambient 1-min load <= 25% of cpus BEFORE the JVM starts (the
     # only self-load-free snapshot: mid/after include this bench's own
-    # executor threads and are recorded as context, not criteria — a
-    # mid-run ambient arrival is what the repeat-pass stability check
-    # catches); stable = the repeat-subset totals agree within 25%
+    # executor threads and are recorded as context, not criteria); stable
+    # = the repeat-subset totals agree within 25%; canary clean = no
+    # mid-suite re-timing of the fixed a1 plan exceeded 2x the series
+    # median by more than 0.25 s (the absolute guard keeps sub-100-ms
+    # scheduler jitter from tripping a 2x ratio on a ~0.1 s plan).  An
+    # unreadable /proc/loadavg is a MISSING measurement, not evidence of
+    # load (ADVICE r13) — class "unknown", never "loaded".
     ambient_cap = 0.25 * ncpus
     ambient_quiet = load_before is not None and load_before[0] <= ambient_cap
     stable = (
         min(rep_p1, rep_p2) > 0
         and max(rep_p1, rep_p2) / min(rep_p1, rep_p2) <= 1.25
     )
+    canary_secs = [c["sec"] for c in canary]
+    canary_median = round(median(canary_secs), 3) if canary_secs else None
+    canary_excursions = [
+        c
+        for c in canary
+        if canary_median is not None
+        and c["sec"] > 2 * canary_median
+        and c["sec"] - canary_median > 0.25
+    ]
+    canary_clean = not canary_excursions
+    if load_before is None:
+        cls = "unknown"
+    elif not ambient_quiet:
+        cls = "loaded"
+    elif stable and canary_clean:
+        cls = "quiet"
+    else:
+        cls = "unstable"
     window = {
-        "class": (
-            "quiet" if (ambient_quiet and stable) else
-            "loaded" if not ambient_quiet else "unstable"
-        ),
+        "class": cls,
         "criteria": (
-            f"quiet iff pre-JVM load1 <= {ambient_cap:.0f} "
-            f"(25% of {ncpus} cpus) and repeat-subset pass ratio <= 1.25"
+            f"quiet iff pre-JVM load1 <= {ambient_cap:.2f} "
+            f"(25% of {ncpus} cpus), repeat-subset pass ratio <= 1.25 "
+            f"over rows timed in both passes, and no canary excursion "
+            f"(a1 re-timed every {CANARY_EVERY} rows; excursion = "
+            f"> 2x series median AND > 0.25 s above it); "
+            f"unknown iff /proc/loadavg unreadable"
         ),
+        "ambient_cap": round(ambient_cap, 2),
         "st_total_pass1": st_p1,
         "st_total_pass2": st_p2,
         "st_total_best": min(st_p1, st_p2),
         "repeat_total_pass1": rep_p1,
         "repeat_total_pass2": rep_p2,
-        "repeat_n": len(repeat_names),
+        "repeat_n": len(rep_common),
+        "canary": canary,
+        "canary_median": canary_median,
+        "canary_excursions": canary_excursions,
     }
     load = {
         "before": load_before,
@@ -222,7 +306,6 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     import re
-    from statistics import median
 
     families: dict[str, list[float]] = {}
     for name, t in times.items():

@@ -52,65 +52,65 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are FULL query names (exact match beats prefix in
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
-    # generated: tools/stale_evidence.py --emit-head 50 12
+    # generated: tools/stale_evidence.py --emit-head 50 13
     # 2 stale/changed rows lead; oldest-evidence back-fill to 50
     "l60_incremental_neardup",
     "l60b_neardup_slice",
-    "rb4_cohort_retention",
-    "rb7_funnel",
-    "rb18_session_metrics",
-    "rb19_landing_exit",
-    "rb20_engagement_rate",
-    "f1_eq",
-    "f2_neq",
-    "f4_contains",
-    "f6_and_or",
-    "f7_in_list",
-    "a1_groupby_sum",
-    "a3_count_distinct",
-    "a4_approx_distinct",
-    "a5_global_totals",
-    "a7_rollup",
-    "a8_cube",
-    "a11_having",
-    "a12_distinct_rows",
-    "a16_multikey_count",
-    "j1_inner_hash",
-    "j2_broadcast",
-    "j4_left_outer",
-    "l11_simhash_neardup",
-    "l62_semantic_decontam",
-    "l62b_semantic_decontam_ivf",
-    "l36_char_entropy",
-    "rb1_report_events",
-    "rb2_report_orders",
-    "rb3_segment_users",
-    "s1_scan_parquet",
-    "s2_scan_pruned",
-    "p1_select_rename",
-    "f5_regex",
-    "a2_multi_agg",
-    "j3_sort_merge",
-    "j5_right_outer",
-    "j6_full_outer",
-    "j7_semi",
-    "j8_anti",
-    "j9_cross",
-    "j10_theta_range",
-    "j13_multikey",
-    "w1_row_number",
-    "w2_rank_dense",
-    "o1_multisort",
-    "o2_limit",
-    "o5_global_topk",
-    "u2_union_distinct",
+    "u4_except",
+    "sf2_date_extract",
+    "sf3_date_arith",
+    "sf4_string_basic",
+    "sf6_split_array",
+    "sf7_math",
+    "sf8_case_when",
+    "sf9_cast",
+    "sf11_map_fns",
+    "st15_stream_content_dedup",
+    "ud1_scalar_udf",
+    "ud2_pandas_udf",
+    "ud3_grouped_map",
+    "ud4_grouped_agg",
+    "ud5_udtf",
+    "ud6_mapinpandas",
+    "l2_near_dedup_minhash",
+    "l42_dup_passages",
+    "l65_bm25_topk",
+    "dg1_struct_min",
+    "dg2_lateral_series",
+    "dg3_dot_raw",
+    "dg4_ntile",
+    "dg5_round_grid",
+    "dg6_day_bucket",
+    "dg8_ts_micros",
+    "s10_partitioned_read",
+    "s12_dpp_join",
+    "s13_zorder_scan",
+    "s14_python_datasource",
+    "s15_schema_evolution",
+    "s16_corrupt_records",
+    "s17_footer_stats",
+    "s18_manifest_pruned_read",
+    "s19_python_datasource_writer",
+    "a19_moment_stats",
+    "a20_bool_aggs",
+    "j15_nullsafe_join",
+    "w12_gapfill_interpolate",
+    "w13_nth_value",
+    "w14_cume_dist",
+    "sf15_variant",
+    "sf16_collation",
+    "sf17_unpivot",
+    "sf18_bitwise",
+    "sf19_timezone_render",
+    "st17_stream_restart_resume",
+    "st13_stream_windowed_agg",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
 #: CORRECTNESS round on disk at generation time) — the invariant test
 #: re-derives the head at THIS horizon so a mid-verdict r11 sweep file
 #: doesn't invalidate it.
-SWEEP_HEAD_HORIZON = 12
+SWEEP_HEAD_HORIZON = 13
 
 # Staleness rotation: oldest driver evidence first once the head clears
 # (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;

@@ -356,14 +356,30 @@ def dedup_cross_stats(
         # old fingerprint's tables leak catalog entries + scratch
         # parquet forever (ADVICE r12).  Same-fingerprint tables with a
         # different max_vocab are KEPT — they are live caches for other
-        # callers, not stale.
+        # callers, not stale.  Eviction candidates must match the FULL
+        # writer-owned name pattern (ADVICE r13): a bare sf_tag prefix
+        # could sweep up a user temp view whose name merely starts the
+        # same way (DROP TABLE errors on views on some Spark builds), so
+        # only names this writer could have produced qualify, and
+        # TEMPORARY catalog entries are skipped outright.  Scratch
+        # caches are SINGLE-SESSION by contract (VERDICT r13 nit #5):
+        # two concurrent sessions regenerating different fingerprints
+        # could race this rmtree against each other's live read — the
+        # scratch root is per-process state, not a shared cache.
+        import re
         import shutil
 
-        stale_prefix = f"dedup_cross_stats_{sf_tag}_"
-        live_prefix = f"{stale_prefix}{fp}_"
+        owned = re.compile(
+            rf"^dedup_cross_stats_{re.escape(sf_tag)}_[0-9a-f]{{16}}_v\d+$"
+        )
+        live_prefix = f"dedup_cross_stats_{sf_tag}_{fp}_"
         for t in spark.catalog.listTables():
             n = t.name
-            if n.startswith(stale_prefix) and not n.startswith(live_prefix):
+            if (
+                owned.match(n)
+                and not n.startswith(live_prefix)
+                and getattr(t, "tableType", "") != "TEMPORARY"
+            ):
                 spark.sql(f"DROP TABLE IF EXISTS {n}")
                 shutil.rmtree(
                     os.path.join(scratch_dir("cross_stats"), n),

@@ -584,13 +584,20 @@ def test_stored_cross_stats_evicts_stale_fingerprint_siblings(spark):
 
     fp = table_fingerprint(SF_DIR, "documents")
     sf_tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
-    stale = f"dedup_cross_stats_{sf_tag}_deadbeef_v4096"
+    # stale sibling in the writer's EXACT name format (16-hex fp, _v<int>)
+    stale = f"dedup_cross_stats_{sf_tag}_{'deadbeef' * 2}_v4096"
     live_sibling = f"dedup_cross_stats_{sf_tag}_{fp}_v7"
-    for name in (stale, live_sibling):
+    # ADVICE r13: names that merely share the prefix but are NOT in the
+    # writer's format must survive (user tables), as must TEMPORARY views
+    # whose names collide with the pattern.
+    user_table = f"dedup_cross_stats_{sf_tag}_notmine"
+    temp_view = f"dedup_cross_stats_{sf_tag}_{'deadbeef' * 2}_v1"
+    for name in (stale, live_sibling, user_table):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.createDataFrame([(1,)], "x long").write.mode(
             "overwrite"
         ).saveAsTable(name)
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView(temp_view)
     # force a real (re)write: clear the session cache and the live table
     B._CROSS_STATS_CACHE.clear()
     spark.sql(f"DROP TABLE IF EXISTS dedup_cross_stats_{sf_tag}_{fp}_v4096")
@@ -600,4 +607,12 @@ def test_stored_cross_stats_evicts_stale_fingerprint_siblings(spark):
     assert spark.catalog.tableExists(live_sibling), (
         "same-fingerprint sibling (different max_vocab) must survive"
     )
-    spark.sql(f"DROP TABLE IF EXISTS {live_sibling}")
+    assert spark.catalog.tableExists(user_table), (
+        "prefix-sharing user table must survive (not in writer format)"
+    )
+    assert spark.catalog.tableExists(temp_view), (
+        "pattern-colliding TEMPORARY view must survive"
+    )
+    spark.catalog.dropTempView(temp_view)
+    for name in (live_sibling, user_table):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -2262,3 +2262,22 @@ def test_codec_decompress_bombs_and_degenerate_strh_r12():
     out = M.decode_avi(avi)
     assert (out["width"], out["height"], out["n_frames"]) == (w_, h_, 1)
     assert np.array_equal(out["frames"][0], fr)
+
+
+def test_l44_clean_corpus_nonvacuous_at_driver_gate_scale(spark):
+    """VERDICT r13 item #4: l44_clean_corpus (and its 10x slice twin
+    l44b) compose near-dup clustering, quality filtering, and
+    decontamination into one drop-list — and the conjunction is known to
+    EMPTY the src5 slice at sf0.1 and the 10x synth (documented in
+    BASELINE.md; the drop-list machinery stays non-vacuously covered
+    there by l29b/l33b).  The driver's correctness gate runs at sf0.01,
+    where both queries DO emit rows (5 at r13) — but nothing asserted
+    that, so a testdata/synth regeneration could silently zero the
+    capstone's driver evidence while every hash still "matched" on empty
+    frames.  Pin the non-vacuousness at the gate scale."""
+    reg = registry()
+    gate_dir = "/root/testdata/sf0.01"
+    n_l44 = reg["l44_clean_corpus"].fn(spark, gate_dir).count()
+    n_l44b = reg["l44b_clean_corpus_slice"].fn(spark, gate_dir).count()
+    assert n_l44 > 0, "l44 emits 0 rows at sf0.01 — driver evidence vacuous"
+    assert n_l44b > 0, "l44b emits 0 rows at sf0.01 — driver evidence vacuous"
