@@ -192,7 +192,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fanout(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Guarantee at least ``min_partitions`` partitions ahead of compute-dense
     per-row work (hashing every shingle, 64 simhash bit-votes, Arrow UDF
     batches).
@@ -206,12 +210,24 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the operator path); on tiny inputs it round-robins a few MB once to engage
     every core.  Cost model: one narrow shuffle of the projected columns vs an
     N-core speedup of the dominant stage.
+
+    ``by`` (round 14, guide §2.5): when the caller knows a well-spread
+    high-cardinality column, hash-partition on it instead of round-robin.
+    Keyless ``repartition(n)`` first pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207, so retried map tasks reproduce their row-to-partition
+    assignment); hash partitioning on a deterministic key needs no such
+    sort and is retry-safe for free.  Measured on h1 at sf0.1: plain
+    1.57 s, round-robin fanout 0.95 s, ``by=("l_orderkey",)`` 0.62 s.
+    Same no-op-at-scale property as the keyless form.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     n = _narrow_partition_count(df)
     if n is None or n >= min_partitions:
         return df
+    if by:
+        return df.repartition(min_partitions, *[F.col(c) for c in by])
     return df.repartition(min_partitions)
 
 

@@ -61,8 +61,16 @@ def a1_groupby_sum(spark, sf_dir):
     """,
 )
 def a2_multi_agg(spark, sf_dir):
-    """Multi-metric single pass (GA up-to-10-`metrics` [K]); TPC-H Q1 shape."""
-    li = T(spark, sf_dir, "lineitem")
+    """Multi-metric single pass (GA up-to-10-`metrics` [K]); TPC-H Q1 shape.
+
+    Round 14: ``fanout(by=l_orderkey)`` ahead of the decimal partials —
+    single-row-group local inputs pin the partial aggregation to one core
+    (h1's finding, guide §2.5); hash fanout measured 1.23 -> 0.71 s at
+    sf0.1 and is a no-op on any multi-split (real-scale) input.  Decimal
+    sums are exactly associative, so the result is order-independent."""
+    from google_analytics_dataframes_spark.io import fanout
+
+    li = fanout(T(spark, sf_dir, "lineitem"), by=("l_orderkey",))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),

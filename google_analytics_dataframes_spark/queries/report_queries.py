@@ -1407,30 +1407,48 @@ def rb26_flow_reachability(spark, sf_dir):
     is one join against the prior level, the same physical shape as
     rb25's unrolled power iterations, but declared through the SQL
     standard's fixpoint syntax (SPARK-24497, new in Spark 4.x) instead
-    of a Python loop."""
+    of a Python loop.
+
+    Round 14 (guide §2.4 remove-repeated-work): UnionLoopExec re-executes
+    the recursive step's WHOLE subtree each iteration, and with the edge
+    derivation inlined into the CTE the before-plan showed the events
+    scan + JSON parse + LAG window + rollup + top-3 INSIDE the loop —
+    the corpus-scale work ran once per hop (~5x) instead of once.  The
+    edge list is now built as a DataFrame (identical derivation, same
+    WindowGroupLimit top-3 plan) and localCheckpoint'd — page-bounded,
+    ≤3·|pages| rows, the rb25 materialization posture — so the recursion
+    joins a tiny in-memory relation per hop and the corpus is scanned
+    exactly once.  plans/r14/rb26_flow_reachability_{before,after}.txt."""
+    from pyspark.sql import Window
+
     ev = T(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_rb26_events")
+    page = F.get_json_object("props", "$.k").cast("int")
+    pg = ev.select("user_id", "ts", "event_id", page.alias("page"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = pg.select(
+        F.lag("page").over(w_seq).alias("src"), F.col("page").alias("dst")
+    )
+    ec = (
+        tr.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rk = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    edges = (
+        ec.select("src", "dst", F.row_number().over(w_rk).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("_rb26_edges")
     return spark.sql(
         """
         WITH RECURSIVE
-        pg AS (SELECT user_id, ts, event_id,
-                      CAST(get_json_object(props, '$.k') AS INT) AS page
-               FROM _rb26_events),
-        tr AS (SELECT LAG(page) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS src,
-                      page AS dst FROM pg),
-        ec AS (SELECT src, dst, COUNT(*) AS cnt FROM tr
-               WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
-        edges AS (SELECT src, dst FROM (
-                    SELECT src, dst,
-                           ROW_NUMBER() OVER (PARTITION BY src
-                                              ORDER BY cnt DESC, dst) AS rk
-                    FROM ec) WHERE rk <= 3),
         reach(page, hop) AS (
           SELECT CAST(0 AS INT) AS page, CAST(0 AS INT) AS hop
           UNION ALL
           SELECT e.dst, r.hop + 1
-          FROM reach r JOIN edges e ON e.src = r.page
+          FROM reach r JOIN _rb26_edges e ON e.src = r.page
           WHERE r.hop < 4
         )
         SELECT page, MIN(hop) AS min_hops, COUNT(*) AS n_paths

@@ -177,6 +177,27 @@ def test_fanout_raises_but_never_reduces_partitions(spark):
     assert fanout(docs).count() == docs.count()
 
 
+def test_fanout_by_key_hash_partitions_without_presort(spark):
+    """fanout(by=...) (round 14): hash-partitions on the given key when the
+    input is narrow — no round-robin pre-sort (SPARK-23207 cost) — keeps
+    the no-op guarantee on already-wide inputs, and preserves rows."""
+    from google_analytics_dataframes_spark.io import fanout
+    from google_analytics_dataframes_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = spark.sparkContext.defaultParallelism
+    fanned = fanout(docs, by=("doc_id",))
+    assert fanned.rdd.getNumPartitions() == want
+    plan = formatted_plan(fanned)
+    assert "hashpartitioning(doc_id" in plan
+    assert "roundrobin" not in plan.lower()
+    # no-op on already-wide input (the 100-TB case)
+    wide = docs.repartition(want + 8)
+    assert fanout(wide, by=("doc_id",)) is wide
+    # row preservation
+    assert fanned.count() == docs.count()
+
+
 def test_sequence_pack_has_no_global_window(spark):
     """l27 must never plan a partition-less WindowExec (it pulls the whole
     corpus onto ONE task — the classic 100 TB scale-killer).  The two-phase
@@ -751,13 +772,19 @@ def test_sf17_unpivot_is_expand_after_single_exchange(spark):
 
 def test_rb26_recursive_cte_plan_shape(spark):
     """rb26: WITH RECURSIVE plans as a UnionLoop (Spark 4's iterative
-    union execution), and the top-3-per-src edge ranking pushes a
-    WindowGroupLimit so the full edge set is never sorted beyond rank 3
-    per partition."""
+    union execution) — and, since round 14, the loop body joins ONLY the
+    pre-materialized page-bounded edge list (LogicalRDD): UnionLoopExec
+    re-executes the recursive step's whole subtree per iteration, so the
+    corpus-scale edge derivation (events scan + LAG window + rollup +
+    top-3) must live OUTSIDE the loop or it runs once per hop (measured
+    4.8 -> 2.2 s at sf0.1).  No parquet scan may appear in the returned
+    plan; the one-time derivation keeps the WindowGroupLimit top-3 shape
+    (asserted on the builder's own plan, pre-checkpoint)."""
     df = registry()["rb26_flow_reachability"].fn(spark, SF_DIR)
-    nodes = audit.node_names(df)
-    assert "UnionLoop" in nodes, nodes
-    assert "WindowGroupLimit" in nodes, nodes
+    plan = audit.formatted_plan(df)
+    assert "UnionLoop" in plan, plan
+    assert "LogicalRDD" in plan, plan
+    assert "Scan parquet" not in plan and "LogicalRelation" not in plan, plan
 
 
 def test_a19_moments_single_exchange(spark):
