@@ -53,9 +53,12 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 13
-    # 2 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 5 stale/changed rows lead; oldest-evidence back-fill to 50
+    "a2_multi_agg",
     "l60_incremental_neardup",
     "l60b_neardup_slice",
+    "rb26_flow_reachability",
+    "h1_pricing_summary",
     "u4_except",
     "sf2_date_extract",
     "sf3_date_arith",
@@ -101,9 +104,6 @@ SWEEP_HEAD: list[str] = [
     "sf16_collation",
     "sf17_unpivot",
     "sf18_bitwise",
-    "sf19_timezone_render",
-    "st17_stream_restart_resume",
-    "st13_stream_windowed_agg",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest

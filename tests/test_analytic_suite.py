@@ -66,13 +66,27 @@ def test_h5_snowflake_is_broadcast_only_one_fact_exchange(spark):
 
 
 def test_scan_aggregates_single_exchange(spark):
-    """h1/h6: scan -> map-side partial -> one exchange -> final."""
+    """h1/h6: scan -> map-side partial -> one agg exchange -> final.
+
+    Round 14: h1 additionally carries ``fanout(by=l_orderkey)`` ahead of
+    its nine decimal partials (io.fanout doc), so its plan has exactly one
+    EXTRA narrow exchange — hashpartitioning on the spread key — BEFORE
+    the partial aggregate, and still exactly one aggregate exchange.  h6's
+    single-exchange contract is unchanged."""
     reg = registry()
-    for name in ("h1_pricing_summary", "h6_forecast_revenue"):
+    for name, n_exchanges in (
+        ("h1_pricing_summary", 2),
+        ("h6_forecast_revenue", 1),
+    ):
         df = reg[name].fn(spark, SF_DIR)
         nodes = audit.node_names(df)
         assert nodes.count("HashAggregate") == 2, name
-        assert audit.count_exchanges(df) == 1, name
+        assert audit.count_exchanges(df) == n_exchanges, name
+    # the extra h1 exchange is the fanout's hash partitioning, not a sort
+    # or an accidental wide shuffle
+    plan = audit.formatted_plan(reg["h1_pricing_summary"].fn(spark, SF_DIR))
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "Sort" not in audit.node_names(reg["h1_pricing_summary"].fn(spark, SF_DIR))
 
 
 def test_h6_predicates_push_to_scan(spark):
