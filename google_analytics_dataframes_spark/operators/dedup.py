@@ -112,7 +112,22 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_cols).alias("band", "bsig"))
+    # Round 14 (guide §1/§4): the band self-join references ``banded``
+    # twice, so the whole signature pass (shingle explode + 32 xxhash
+    # mins — the dominant cost) ran once PER JOIN SIDE; the verify stage
+    # then re-tokenized the corpus once per pair side.  Materialize both
+    # once: ``banded`` is 3 longs x ``bands`` rows per doc, ``tok_sets``
+    # one distinct-token array per doc — each strictly smaller than the
+    # text it replaces, so at any scale the checkpoint write is cheaper
+    # than the second full recompute it removes.  Same ContextCleaner
+    # cleanup contract as l11's checkpoint note.  Measured on l2 at
+    # sf0.1 (back-to-back 5-rep A/B, before side in the slightly busier
+    # half): warm median 1.62 -> 1.18 s, first execution 4.69 -> 2.32 s
+    # (plans/r14/l2_near_dedup_minhash_{before,after}.txt: 8 parquet
+    # scans -> 0 in the returned plan, one scan per checkpoint build).
+    banded = sig.select(
+        "doc_id", F.posexplode(band_cols).alias("band", "bsig")
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -124,7 +139,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    tok_sets = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    tok_sets = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    ).localCheckpoint(eager=True)
     ta = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
@@ -620,6 +637,7 @@ def jaccard_pairs_cross(
     max_bitmask_vocab: int = 4096,
     prefix_min_items: int = 2_000_000,
     stats: dict | None = None,
+    pre_clustered: bool = False,
 ) -> DataFrame:
     """Exact Jaccard join ACROSS two relations — the incremental-dedup
     shape (incoming batch vs existing corpus): emits (doc_in, doc_ex,
@@ -665,9 +683,23 @@ def jaccard_pairs_cross(
     max_bitmask_vocab, 4096 -> at most 64 packed longs = 512 B/doc) and
     broadcast size (incoming-side mask table must fit
     ``_BITMASK_BROADCAST_CAP``; past it the strategy falls back even on a
-    tiny vocabulary — a giant batch must not be broadcast)."""
-    items_in = fanout_by(items_in, "doc_id")
-    items_ex = fanout_by(items_ex, "doc_id")
+    tiny vocabulary — a giant batch must not be broadcast).
+
+    ``pre_clustered`` (round 14, guide §2.3): the default fanout_by here
+    repartitions the ALREADY-EXPLODED (doc_id, item) stream — ~L bytes +
+    row overhead per corpus character through the exchange.  A caller
+    that derives both item relations from a doc_id-clustered COMPACT doc
+    relation (``fanout_by(docs, "doc_id")`` before the explode — explode
+    and broadcast-joins preserve the clustering, so every downstream
+    per-doc aggregate is still satisfied without an exchange) passes
+    ``pre_clustered=True`` to skip the exploded-stream exchange entirely:
+    the only exchange left is the compact text, ~(L+overhead)x smaller.
+    Measured on l60/l60b at sf0.1: 2.96 -> 1.73 and 2.70 -> 1.44 s
+    median, back-to-back 5-rep A/B (plans/r14/l60*_{before,after}.txt:
+    the post-Generate Exchange is gone from both branches)."""
+    if not pre_clustered:
+        items_in = fanout_by(items_in, "doc_id")
+        items_ex = fanout_by(items_ex, "doc_id")
     persisted = []
     if stats is None:
         items_in = items_in.persist()

@@ -249,10 +249,25 @@ def hyperplane_lsh_pairs(
         ]
         return pd.Series(np.stack(sigs, axis=1).tolist())
 
+    # Round 14 (guide §4): ``sig`` feeds BOTH the hot-bucket census and
+    # the candidate semi-join, and nothing materialized it — the
+    # before-plan carries the ArrowEvalPython signature pass (and the
+    # parquet scan under it) THREE times (hot side, candidate side, and
+    # l13's probe-union branch doubles the scans again).  One eager
+    # checkpoint runs the Python boundary exactly once per corpus pass;
+    # every downstream reference is a JVM-side read of the (vec_id,
+    # embedding, tbl, sig) relation.  Same ContextCleaner cleanup
+    # contract as l11's checkpoint note (blocks reclaimed once the
+    # result frame is unreachable).  Measured on l13 at sf0.1 (two A/B
+    # windows, ambient waves noted): first-execution 6.6-7.9 s -> 2.6-3.2 s
+    # both windows; warm median 2.71 -> 1.93 s in the cleaner pairing
+    # (plans/r14/l13_embed_neardup_{before,after}.txt: 6 ArrowEvalPython
+    # -> 1, run once at checkpoint-build time).
     sig = (
         fanout(emb)
         .select("vec_id", "embedding", signatures("embedding").alias("sigs"))
         .select("vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig"))
+        .localCheckpoint(eager=True)
     )
     hot = (
         sig.groupBy("tbl", "sig").count().filter(F.col("count") >= 2)

@@ -53,10 +53,21 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 13
-    # 5 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 16 stale/changed rows lead; oldest-evidence back-fill to 50
     "a2_multi_agg",
+    "l2_near_dedup_minhash",
+    "l13_embed_neardup",
+    "l12b_ngram_jaccard_slice",
+    "l29b_dedup_clusters_slice",
+    "l33b_dedup_apply_slice",
+    "l44b_clean_corpus_slice",
+    "l7b_simjoin_slice",
     "l60_incremental_neardup",
+    "l65_bm25_topk",
     "l60b_neardup_slice",
+    "l78_source_overlap",
+    "l79_kmeans_lloyd",
+    "l55b_pair_token_f1_slice",
     "rb26_flow_reachability",
     "h1_pricing_summary",
     "u4_except",
@@ -75,9 +86,7 @@ SWEEP_HEAD: list[str] = [
     "ud4_grouped_agg",
     "ud5_udtf",
     "ud6_mapinpandas",
-    "l2_near_dedup_minhash",
     "l42_dup_passages",
-    "l65_bm25_topk",
     "dg1_struct_min",
     "dg2_lateral_series",
     "dg3_dot_raw",
@@ -95,15 +104,6 @@ SWEEP_HEAD: list[str] = [
     "s18_manifest_pruned_read",
     "s19_python_datasource_writer",
     "a19_moment_stats",
-    "a20_bool_aggs",
-    "j15_nullsafe_join",
-    "w12_gapfill_interpolate",
-    "w13_nth_value",
-    "w14_cume_dist",
-    "sf15_variant",
-    "sf16_collation",
-    "sf17_unpivot",
-    "sf18_bitwise",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest

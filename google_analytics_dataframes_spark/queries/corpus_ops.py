@@ -929,7 +929,15 @@ def l60_incremental_neardup(spark, sf_dir):
         dedup_cross_stats,
     )
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Round 14 (guide §2.3): cluster the COMPACT doc relation on doc_id
+    # once, ahead of the gram explode — explode preserves the clustering,
+    # so the operator's per-doc aggregates need no exchange of the
+    # ~(L+overhead)x larger exploded gram stream (pre_clustered=True
+    # skips it; plan diff + A/B in jaccard_pairs_cross's docstring).
+    docs = fanout_by(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    )
     from google_analytics_dataframes_spark.operators.dedup import char_ngrams
 
     # shared gram builder — must stay identical to the stored index's
@@ -944,7 +952,11 @@ def l60_incremental_neardup(spark, sf_dir):
     # unpersisted-lineage-rescan fallback is unreachable; the vocabulary
     # is validated (limit-1 scan) before the bitmask path may run.
     pairs = jaccard_pairs_cross(
-        inc, ex, threshold_pct=60, stats=dedup_cross_stats(spark, sf_dir)
+        inc,
+        ex,
+        threshold_pct=60,
+        stats=dedup_cross_stats(spark, sf_dir),
+        pre_clustered=True,
     )
     return pairs.select(
         "doc_in",
@@ -1034,6 +1046,16 @@ def l65_bm25_topk(spark, sf_dir):
         # the array INDEX there instead
         return lambda x: x == F.lit(term)
 
+    # Round 14 (guide §1): ``proj`` feeds both the global-stats aggregate
+    # and the scoring join, and unpersisted that planned TWO full
+    # tokenize+count corpus passes (the before-plan carries the scan and
+    # the split twice).  The per-doc tf vector is 7 ints per document —
+    # the smallest possible materialization of the tokenization — so one
+    # eager checkpoint makes the second pass a read of n_docs tiny rows:
+    # 1.04 -> 0.77 s median (first execution 3.60 -> 1.72 s), same-window
+    # quiet 5-rep A/B at sf0.1
+    # (plans/r14/l65_bm25_topk_{before,after}.txt).  Same ContextCleaner
+    # cleanup contract as l11's checkpoint note.
     proj = barrier.select(
         "doc_id",
         F.size("toks").alias("dl"),
@@ -1041,7 +1063,7 @@ def l65_bm25_topk(spark, sf_dir):
             F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=True)
     g = proj.agg(
         F.count("*").alias("n"),
         F.sum("dl").cast("long").alias("sdl"),
@@ -1760,7 +1782,11 @@ def l60b_neardup_slice(spark, sf_dir):
         dedup_cross_stats,
     )
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # round 14: compact-side clustering, same as l60 (guide §2.3)
+    docs = fanout_by(
+        T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    )
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc = docs.filter(
         (F.length("source") == 5)
@@ -1768,7 +1794,11 @@ def l60b_neardup_slice(spark, sf_dir):
     ).select("doc_id", grams)
     ex = docs.filter(F.length("source") == 4).select("doc_id", grams)
     pairs = jaccard_pairs_cross(
-        inc, ex, threshold_pct=60, stats=dedup_cross_stats(spark, sf_dir)
+        inc,
+        ex,
+        threshold_pct=60,
+        stats=dedup_cross_stats(spark, sf_dir),
+        pre_clustered=True,
     )
     return pairs.select(
         "doc_in",
@@ -1992,8 +2022,26 @@ def l78_source_overlap(spark, sf_dir):
         )
         .distinct()
     )
-    tot = sh.groupBy("source").agg(F.count("*").alias("total"))
     sets = sh.groupBy("sh").agg(F.collect_set("source").alias("ss"))
+    # Round 14 (guide §1/§2): ``tot`` used to re-aggregate ``sh``
+    # directly, which kept the explicit ``.distinct()`` alive in that
+    # branch: a full (source, sh) distinct — partial agg + Exchange of
+    # the exploded shingle stream + final agg — stacked UNDER the
+    # per-source count (the ov/sets branch had already elided it,
+    # collect_set being duplicate-insensitive).  A source's
+    # shingle-vocabulary size == the number of source-sets that contain
+    # it, so derive ``tot`` from ``sets`` instead: the tot branch now
+    # shares the sets branch's single collect_set aggregation shape and
+    # the stacked distinct disappears (plan diff in
+    # plans/r14/l78_source_overlap_{before,after}.txt: before nodes 5-7,
+    # the (source, sh) Exchange + two HashAggregates, are gone; exact
+    # integer counts, so equality is structural).  Measured at sf0.1:
+    # 1.72 -> 1.12 s median, same-window 5-rep A/B.
+    tot = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("total"))
+    )
     pairs = (
         sets.select(F.explode("ss").alias("src_a"), "ss")
         .select("src_a", F.explode("ss").alias("src_b"))
@@ -2123,18 +2171,39 @@ def l79_kmeans_lloyd(spark, sf_dir):
         label_centroids,
     )
 
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        as_double("embedding").alias("v"),
+    # Round 14 (guide §1/§5): the logical loop reads the vector relation
+    # FOUR times (init centroids; assign-1 feeding both the centroid
+    # update and assign-2).  Unpersisted, each reference re-ran the
+    # parquet scan + float->double widening — the before-plan carries 4
+    # embeddings scans — so one Lloyd "iteration" paid ~2 corpus passes.
+    # Materialize the working set once (the standard Lloyd posture:
+    # MLlib's KMeans persists its norm-augmented input for exactly this
+    # reason) and every downstream pass is a narrow fold over the
+    # in-memory relation: ONE parquet scan per run — 2.48 -> 1.81 s
+    # median (cold 6.8 -> 3.2 s), same-window 5-rep A/B at sf0.1
+    # (plans/r14/l79_kmeans_lloyd_{before,after}.txt).
+    # Same ContextCleaner cleanup contract as l11's checkpoint note.
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            as_double("embedding").alias("v"),
+        )
+        .localCheckpoint(eager=True)
     )
-    # init = label centroids (cl := label), then two Lloyd rounds
+    # init = label centroids (cl := label), then two Lloyd rounds.
+    # label_centroids' as_double over the already-widened v is an exact
+    # no-op (double->double cast), so the init centroids are bitwise
+    # identical to the former fresh-scan form.
     cent0 = (
-        label_centroids(T(spark, sf_dir, "embeddings"))
+        label_centroids(
+            emb.select(F.col("true_label").alias("label"), F.col("v").alias("embedding"))
+        )
         .select(F.struct(F.col("label").alias("cl"), "centroid").alias("c"))
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
-    a1 = _kmeans_assign(emb, cent0)
+    a1 = _kmeans_assign(emb, cent0).localCheckpoint(eager=True)
     cent1 = _cluster_centroids(a1)
     a2 = _kmeans_assign(a1.drop("cl"), cent1)
     return a2.groupBy("true_label", F.col("cl").alias("cluster")).agg(

@@ -926,14 +926,20 @@ def test_l79_kmeans_iterations_never_shuffle_vectors(spark):
     embeddings per iteration.  Every Exchange's partitioning keys must
     therefore be drawn from the cell/centroid axes, never vec_id, and
     both assignments must be broadcast folds (no join algorithms at
-    all)."""
+    all).
+
+    Round 14: assignment 1 is eagerly checkpointed (it feeds both the
+    centroid update and the re-assignment; the checkpoint makes "one
+    corpus pass per iteration" physically true — before, the plan
+    inlined TWO copies of assign-1 and four parquet scans).  The
+    returned plan is therefore assignment 2 alone: exactly ONE
+    broadcast-fold cross join over the checkpointed a1 relation, no
+    parquet scan, and still no vector-table exchange."""
     df = registry()["l79_kmeans_lloyd"].fn(spark, SF_DIR)
-    # exactly the broadcast-fold cross joins: assignment 2 + the two
-    # inlined copies of assignment 1 (it feeds both the centroid update
-    # and the re-assignment — an extra linear scan, not a shuffle)
     algs = audit.join_algorithms(df)
-    assert algs == ["BroadcastNestedLoopJoin"] * 3, algs
+    assert algs == ["BroadcastNestedLoopJoin"], algs
     plan = audit.formatted_plan(df)
+    assert "Scan parquet" not in plan, "assign-2 must read the checkpointed a1"
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "vec_id" not in ln, ln
