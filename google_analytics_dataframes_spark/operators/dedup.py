@@ -970,6 +970,15 @@ def exact_substr_spans(
     if hashed:
         # shuffle only the 8-byte hash; the raw window never leaves its
         # map task
+        # Round-14 measured non-change: eagerly checkpointing ``wh`` (so
+        # the self-join's two references share one generation pass) was
+        # A/B'd at sf0.1 and REJECTED — the window stream is ~L x corpus
+        # bytes, and materializing it costs more than regenerating it
+        # (substring + xxhash64 are cheap per row): l61b 1.94 -> 1.74 s
+        # but the sliced twin l61d 0.88 -> 1.46 s, because the slice
+        # only ever generates 1/mod of the a side while a checkpoint
+        # pays for ALL of it.  The double generation is the cheaper arm
+        # at every scale that matters.
         wh = w.select("doc_id", "p", F.xxhash64("win").alias("h"))
         a, b = a_side(wh).alias("a"), wh.alias("b")
         cand = a.join(

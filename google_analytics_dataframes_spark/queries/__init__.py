@@ -53,18 +53,26 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
     # generated: tools/stale_evidence.py --emit-head 50 13
-    # 16 stale/changed rows lead; oldest-evidence back-fill to 50
+    # 24 stale/changed rows lead; oldest-evidence back-fill to 50
     "a2_multi_agg",
     "l2_near_dedup_minhash",
     "l13_embed_neardup",
+    "l61_exact_substr_spans",
+    "l61b_exact_substr_hashed",
     "l12b_ngram_jaccard_slice",
     "l29b_dedup_clusters_slice",
     "l33b_dedup_apply_slice",
     "l44b_clean_corpus_slice",
     "l7b_simjoin_slice",
+    "l61c_substr_slice",
+    "l61d_substr_slice_hashed",
     "l60_incremental_neardup",
     "l65_bm25_topk",
+    "l69_indexed_neardup",
+    "l75_delta_dedup",
     "l60b_neardup_slice",
+    "l69b_indexed_slice",
+    "l75b_delta_slice",
     "l78_source_overlap",
     "l79_kmeans_lloyd",
     "l55b_pair_token_f1_slice",
@@ -96,14 +104,6 @@ SWEEP_HEAD: list[str] = [
     "dg8_ts_micros",
     "s10_partitioned_read",
     "s12_dpp_join",
-    "s13_zorder_scan",
-    "s14_python_datasource",
-    "s15_schema_evolution",
-    "s16_corrupt_records",
-    "s17_footer_stats",
-    "s18_manifest_pruned_read",
-    "s19_python_datasource_writer",
-    "a19_moment_stats",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest

@@ -1277,9 +1277,19 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
     from google_analytics_dataframes_spark.operators.dedup import char_ngrams
 
     # shared gram builder — must stay identical to the stored index's
-    # (sources/bucketed.corpus_gram_relation); see the round-8 note there
+    # (sources/bucketed.corpus_gram_relation); see the round-8 note there.
+    # Round 14 (guide §2.3): cluster the COMPACT batch docs on doc_id
+    # before the explode — the helper's per-doc mask aggregate then
+    # partial-aggregates in parallel AND needs no exchange at all (the
+    # explode and the broadcast dictionary join preserve the clustering);
+    # without it the single-row-group batch scan ran the whole gram
+    # shred + mask fold on one core.  Same-window 5-rep A/B at sf0.1:
+    # l69 1.62 -> 1.01, l69b 0.64 -> 0.50, l75 1.04 -> 0.67,
+    # l75b 0.81 -> 0.66 s median.
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
-    inc_items = docs.filter(F.length("source") == 5).select("doc_id", grams)
+    inc_items = fanout_by(
+        docs.filter(F.length("source") == 5).select("doc_id", "text"), "doc_id"
+    ).select("doc_id", grams)
     return _stored_index_cross_pairs(
         spark, sf_dir, inc_items, _force_gram_path=_force_gram_path
     )
@@ -1689,9 +1699,9 @@ def l75_delta_dedup(spark, sf_dir):
             F.reverse("text").alias("text"),
         )
     )
-    delta_items = (
-        changed.unionAll(added)
-        .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
+    # round 14: compact-side clustering ahead of the explode (l69 note)
+    delta_items = fanout_by(changed.unionAll(added), "doc_id").select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     )
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
 
@@ -1829,9 +1839,13 @@ def l69b_indexed_slice(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
-    inc_items = docs.filter(
-        (F.length("source") == 5)
-        & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
+    # round 14: compact-side clustering ahead of the explode (l69 note)
+    inc_items = fanout_by(
+        docs.filter(
+            (F.length("source") == 5)
+            & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
+        ).select("doc_id", "text"),
+        "doc_id",
     ).select("doc_id", grams)
     return _stored_index_cross_pairs(spark, sf_dir, inc_items)
 
@@ -1874,13 +1888,14 @@ def l75b_delta_slice(spark, sf_dir):
             F.reverse("text").alias("text"),
         )
     )
-    delta_items = (
+    # round 14: compact-side clustering ahead of the explode (l69 note)
+    delta_items = fanout_by(
         changed.unionAll(added)
-        .filter(F.col("doc_id") % 20 == 0)  # delta ids span all residues
+        .filter(F.col("doc_id") % 20 == 0),  # delta ids span all residues
         # (unlike the incoming side's 10-19 mod 20): % 20 == 0 keeps ~1/20
         # of the delta at every sf — 6 docs at sf0.01, non-vacuous
-        .select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
-    )
+        "doc_id",
+    ).select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
 
 
