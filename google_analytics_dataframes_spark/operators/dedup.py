@@ -688,15 +688,20 @@ def jaccard_pairs_cross(
     ``pre_clustered`` (round 14, guide §2.3): the default fanout_by here
     repartitions the ALREADY-EXPLODED (doc_id, item) stream — ~L bytes +
     row overhead per corpus character through the exchange.  A caller
-    that derives both item relations from a doc_id-clustered COMPACT doc
-    relation (``fanout_by(docs, "doc_id")`` before the explode — explode
-    and broadcast-joins preserve the clustering, so every downstream
-    per-doc aggregate is still satisfied without an exchange) passes
-    ``pre_clustered=True`` to skip the exploded-stream exchange entirely:
-    the only exchange left is the compact text, ~(L+overhead)x smaller.
-    Measured on l60/l60b at sf0.1: 2.96 -> 1.73 and 2.70 -> 1.44 s
-    median, back-to-back 5-rep A/B (plans/r14/l60*_{before,after}.txt:
-    the post-Generate Exchange is gone from both branches)."""
+    that builds both item relations over ``fanout(docs, by=("doc_id",))``
+    on the COMPACT doc relation passes ``pre_clustered=True`` to skip
+    the exploded-stream exchange entirely.  Regime behavior (all three
+    desired): on narrow microbench scans the fanout fires, explode and
+    broadcast joins preserve the clustering, and every per-doc aggregate
+    runs exchange-free; at real scale the fanout no-ops and the per-doc
+    aggregates insert their own exchanges of MAP-SIDE PARTIALS (one
+    ~48 B mask row per doc per partition) — tiny next to either the
+    exploded stream or the compact text; nothing ever repartitions the
+    full corpus.  Measured on l60/l60b at sf0.1: 2.96 -> 1.73 and
+    2.70 -> 1.44 s median, back-to-back 5-rep A/B
+    (plans/r14/l60*_{before,after}.txt: the post-Generate Exchange is
+    gone from both branches); at the 10x synth (8-file scans) l60 stays
+    ahead (14.0-14.7 vs 15.2-16.3 s across two alternating windows)."""
     if not pre_clustered:
         items_in = fanout_by(items_in, "doc_id")
         items_ex = fanout_by(items_ex, "doc_id")

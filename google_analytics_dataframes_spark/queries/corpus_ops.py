@@ -934,9 +934,9 @@ def l60_incremental_neardup(spark, sf_dir):
     # so the operator's per-doc aggregates need no exchange of the
     # ~(L+overhead)x larger exploded gram stream (pre_clustered=True
     # skips it; plan diff + A/B in jaccard_pairs_cross's docstring).
-    docs = fanout_by(
+    docs = fanout(
         T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
-        "doc_id",
+        by=("doc_id",),
     )
     from google_analytics_dataframes_spark.operators.dedup import char_ngrams
 
@@ -1287,8 +1287,9 @@ def l69_indexed_neardup(spark, sf_dir, _force_gram_path: bool = False):
     # l69 1.62 -> 1.01, l69b 0.64 -> 0.50, l75 1.04 -> 0.67,
     # l75b 0.81 -> 0.66 s median.
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
-    inc_items = fanout_by(
-        docs.filter(F.length("source") == 5).select("doc_id", "text"), "doc_id"
+    inc_items = fanout(
+        docs.filter(F.length("source") == 5).select("doc_id", "text"),
+        by=("doc_id",),
     ).select("doc_id", grams)
     return _stored_index_cross_pairs(
         spark, sf_dir, inc_items, _force_gram_path=_force_gram_path
@@ -1700,7 +1701,7 @@ def l75_delta_dedup(spark, sf_dir):
         )
     )
     # round 14: compact-side clustering ahead of the explode (l69 note)
-    delta_items = fanout_by(changed.unionAll(added), "doc_id").select(
+    delta_items = fanout(changed.unionAll(added), by=("doc_id",)).select(
         "doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     )
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
@@ -1793,9 +1794,9 @@ def l60b_neardup_slice(spark, sf_dir):
     )
 
     # round 14: compact-side clustering, same as l60 (guide §2.3)
-    docs = fanout_by(
+    docs = fanout(
         T(spark, sf_dir, "documents").select("doc_id", "source", "text"),
-        "doc_id",
+        by=("doc_id",),
     )
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     inc = docs.filter(
@@ -1840,12 +1841,12 @@ def l69b_indexed_slice(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     grams = F.explode(char_ngrams(F.col("text"), 3)).alias("item")
     # round 14: compact-side clustering ahead of the explode (l69 note)
-    inc_items = fanout_by(
+    inc_items = fanout(
         docs.filter(
             (F.length("source") == 5)
             & (F.col("doc_id") % _SLICE_MOD == _SLICE_RES)
         ).select("doc_id", "text"),
-        "doc_id",
+        by=("doc_id",),
     ).select("doc_id", grams)
     return _stored_index_cross_pairs(spark, sf_dir, inc_items)
 
@@ -1889,12 +1890,12 @@ def l75b_delta_slice(spark, sf_dir):
         )
     )
     # round 14: compact-side clustering ahead of the explode (l69 note)
-    delta_items = fanout_by(
+    delta_items = fanout(
         changed.unionAll(added)
         .filter(F.col("doc_id") % 20 == 0),  # delta ids span all residues
         # (unlike the incoming side's 10-19 mod 20): % 20 == 0 keeps ~1/20
         # of the delta at every sf — 6 docs at sf0.01, non-vacuous
-        "doc_id",
+        by=("doc_id",),
     ).select("doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("item"))
     return _stored_index_cross_pairs(spark, sf_dir, delta_items)
 
