@@ -673,11 +673,15 @@ def jaccard_pairs_cross(
 
     ``stats`` (optional): {"n_items": int, "vocab": list | None,
     "n_in_docs": int | None} skips the probe jobs, e.g. from catalog
-    metadata.  A supplied vocab is VALIDATED before it may drive the
-    bitmask path: an item missing from it would give ``array_position``
-    0, vid -1, and ``shiftleft(1, -1 % 64)`` — which Java masks to bit 63
-    of word 0 — i.e. silent phantom intersections;
-    :func:`_validate_vocab_covers` raises instead.
+    metadata.  A supplied vocab is GUARDED IN-PLAN before it may drive
+    the bitmask math: an uncovered item would otherwise dictionary-encode
+    to a phantom bit (silent false intersections), so the mask build's
+    dictionary join is a LEFT join whose vid is
+    ``coalesce(vid, raise_error(...))`` — a covered corpus pays one null
+    check per item, an uncovered vocab fails the query loudly at first
+    evaluation (round 14; replaces the eager full-shred
+    ``_validate_vocab_covers`` pre-pass, which was the dominant build
+    cost of the l60 family).
 
     The bitmask regime is bounded on TWO axes: vocabulary (<=
     max_bitmask_vocab, 4096 -> at most 64 packed longs = 512 B/doc) and
@@ -730,12 +734,16 @@ def jaccard_pairs_cross(
         n_in_docs = stats.get("n_in_docs")
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
-        if vocab is not None:
-            _validate_vocab_covers(
-                items_in.select("item").unionAll(items_ex.select("item")),
-                vocab,
-                "jaccard_pairs_cross",
-            )
+        # Round 14 (guide §1): coverage of a caller-supplied vocab is now
+        # enforced IN-PLAN by _cross_bitmask's guarded dictionary join
+        # (coalesce(vid, raise_error)) instead of an eager
+        # _validate_vocab_covers pre-pass.  The pre-pass was a FULL extra
+        # shred of both gram streams per run — measured as the dominant
+        # build cost of l60/l60b (~1.2 s of l60's ~2.3 s total at sf0.1);
+        # the in-plan guard gives the identical guarantee (an uncovered
+        # item can never silently phantom-intersect — the query REFUSES
+        # to evaluate it, now at first execution instead of at build)
+        # for the cost of a per-row null check.
 
     if vocab is not None:
         # broadcast guard: the incoming mask table (one row per batch doc,
@@ -789,8 +797,32 @@ def _cross_bitmask(
     )
 
     def masks_of(items):
+        # LEFT join + guarded vid: an item missing from the dictionary
+        # must never dictionary-encode to a phantom bit (vid -1 ->
+        # shiftleft bit 63 of word 0), and must not need a separate
+        # validation pass either (round 14) — coalesce only evaluates
+        # raise_error when vid IS NULL, so covered corpora pay one null
+        # check per item and an uncovered vocab fails the query loudly
+        # at first evaluation, before any pair can be emitted.
+        guarded_vid = F.coalesce(
+            F.col("vid"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "jaccard_pairs_cross: stats['vocab'] does not "
+                        "cover item '"
+                    ),
+                    F.col("item"),
+                    F.lit(
+                        "'; pass the full vocabulary or vocab=None to "
+                        "use the index/prefix strategies"
+                    ),
+                )
+            ).cast("long"),
+        )
         return (
-            items.join(F.broadcast(vdf), "item")
+            items.join(F.broadcast(vdf), "item", "left")
+            .withColumn("vid", guarded_vid)
             .groupBy("doc_id")
             .agg(F.count("*").alias("sz"), *packed_mask_aggs(n_words))
         )

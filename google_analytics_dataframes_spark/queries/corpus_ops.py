@@ -950,7 +950,8 @@ def l60_incremental_neardup(spark, sf_dir):
     # in one dict, n_in_docs always present, so the operator's probe jobs
     # (persist + count + vocab collect) are skipped and its
     # unpersisted-lineage-rescan fallback is unreachable; the vocabulary
-    # is validated (limit-1 scan) before the bitmask path may run.
+    # is guarded in-plan by the mask build's left dictionary join
+    # (round 14 — no separate validation shred per run).
     pairs = jaccard_pairs_cross(
         inc,
         ex,

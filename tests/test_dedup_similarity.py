@@ -258,13 +258,18 @@ def test_jaccard_incomplete_supplied_vocab_raises(spark):
     )
     with pytest.raises(ValueError, match="vocab"):
         D.jaccard_pairs(items, 40, stats={"n_items": 4, "vocab": ["a", "b"]})
-    with pytest.raises(ValueError, match="vocab"):
-        D.jaccard_pairs_cross(
-            items.filter(F.col("doc_id") == 1),
-            items.filter(F.col("doc_id") == 2),
-            40,
-            stats={"n_items": 4, "vocab": ["a", "b"]},
-        )
+    # cross form (round 14): the guard moved IN-PLAN (left dictionary
+    # join + coalesce(vid, raise_error)) so the stats path no longer pays
+    # a full validation shred per run — the uncovered vocab now fails
+    # loudly at first EXECUTION, before any pair can be emitted
+    cross_bad = D.jaccard_pairs_cross(
+        items.filter(F.col("doc_id") == 1),
+        items.filter(F.col("doc_id") == 2),
+        40,
+        stats={"n_items": 4, "vocab": ["a", "b"]},
+    )
+    with pytest.raises(Exception, match="vocab"):
+        cross_bad.collect()
     # complete vocab still works and matches the probe-driven result
     full = {
         (r.doc_a, r.doc_b, r.inter, r.uni)
