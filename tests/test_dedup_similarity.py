@@ -334,6 +334,44 @@ def test_cross_dense_vocab_routes_to_bitmask(spark):
     assert got == want and want  # nonempty: the regime really is dense
 
 
+def test_cross_pre_clustered_equals_default_and_skips_item_exchange(spark):
+    """Round 14: ``pre_clustered=True`` (caller clustered the compact doc
+    side before exploding) must emit the identical pair set as the
+    default path AND must not repartition the exploded item stream — the
+    whole point is that the only exchange is the caller's compact one."""
+    import itertools
+
+    alpha = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for d in range(12):
+        for it in alpha[: 4 + d % 3]:
+            rows.append({"doc_id": d, "item": it})
+    pdf = pd.DataFrame(rows)
+    stats = {"n_items": len(pdf), "vocab": sorted(alpha), "n_in_docs": 4}
+    inc = spark.createDataFrame(pdf[pdf.doc_id < 4])
+    ex = spark.createDataFrame(pdf[pdf.doc_id >= 4])
+    default = D.jaccard_pairs_cross(inc, ex, threshold_pct=60, stats=stats)
+    # caller-clustered form: repartition the inputs on doc_id (stand-in
+    # for fanout(docs, by=("doc_id",)) before the explode)
+    pre = D.jaccard_pairs_cross(
+        inc.repartition(4, "doc_id"),
+        ex.repartition(4, "doc_id"),
+        threshold_pct=60,
+        stats=stats,
+        pre_clustered=True,
+    )
+    from google_analytics_dataframes_spark.plans import audit
+
+    # default path: the operator's own fanout_by repartitions the item
+    # stream; pre_clustered: exactly the two caller exchanges, none
+    # added.  (Plan read BEFORE execution — after collect, AQE renders
+    # executed exchanges as reused query stages.)
+    assert audit.count_exchanges(pre) == 2, audit.formatted_plan(pre)
+    assert audit.formatted_plan(pre).count("hashpartitioning(doc_id") == 2
+    key = lambda r: (r.doc_in, r.doc_ex, r.inter, r.uni)
+    assert {key(r) for r in default.collect()} == {key(r) for r in pre.collect()}
+
+
 def test_cross_bitmask_broadcast_guard_falls_back(spark):
     """Round-5 guard: even with a bitmask-eligible vocabulary, an incoming
     side whose mask table would exceed the broadcast cap must NOT be
