@@ -62,6 +62,90 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _core_tag(master: str | None) -> str:
+    """'local[8]' -> '8', 'local[*]'/None/odd -> 'any' — keys the rolling
+    per-core-count reference file (an 8-core band must never judge a
+    32-core run)."""
+    import re
+
+    m = re.fullmatch(r"local\[(\d+)\]", master or "")
+    return m.group(1) if m else "any"
+
+
+def _load_row_reference(repo_dir: str, master: str | None, sf: float):
+    """Rolling quiet-band per-query reference for row-level anomaly
+    stamping (VERDICT r14 item #3).  Preference order: the per-core-count
+    rolling file (written by the last run at this core count that
+    classified quiet), else the last BENCH_DETAIL.json if its master AND
+    sf match.  Returns (queries dict, provenance dict) or (None, None)."""
+    candidates = [
+        (
+            os.path.join(repo_dir, f"BENCH_REF_c{_core_tag(master)}.json"),
+            "rolling_quiet_reference",
+        ),
+        (os.path.join(repo_dir, "BENCH_DETAIL.json"), "previous_detail"),
+    ]
+    for path, kind in candidates:
+        try:
+            with open(path) as f:
+                ref = json.load(f)
+        except Exception:
+            continue
+        env = ref.get("env") or {}
+        if _core_tag(env.get("spark.master")) != _core_tag(master):
+            continue
+        if ref.get("sf") != sf:
+            continue
+        qs = ref.get("queries")
+        if not isinstance(qs, dict) or not qs:
+            continue
+        prov = {
+            "file": os.path.basename(path),
+            "kind": kind,
+            "total_sec": ref.get("value"),
+            "window_class": (ref.get("window") or {}).get("class"),
+        }
+        return qs, prov
+    return None, None
+
+
+def _row_anomalies(
+    times: dict[str, float], ref_queries: dict[str, float] | None
+) -> tuple[list[dict], int]:
+    """Per-row excursion stamp vs the rolling reference: a row is anomalous
+    when it ran > 2.5x its reference AND > 0.3 s above it (the absolute
+    guard keeps sub-100-ms scheduler jitter off the list).  Also returns
+    the longest CONTIGUOUS anomalous block in suite order — the signature
+    of a roving interference wave (r14's 238.9 s case: l7/l7b/rb1 inflated
+    2-4x in one alphabetical block while the canary stayed quiet)."""
+    if not ref_queries:
+        return [], 0
+    ordered = [n for n in sorted(times) if times[n] >= 0]
+    anomalies: list[dict] = []
+    anom_pos: set[int] = set()
+    for pos, name in enumerate(ordered):
+        ref = ref_queries.get(name)
+        if ref is None or ref <= 0:
+            continue
+        sec = times[name]
+        if sec > 2.5 * ref and sec - ref > 0.3:
+            anomalies.append(
+                {
+                    "query": name,
+                    "sec": sec,
+                    "ref_sec": ref,
+                    "ratio": round(sec / ref, 2),
+                }
+            )
+            anom_pos.add(pos)
+    longest_block = 0
+    run = 0
+    for pos in range(len(ordered)):
+        run = run + 1 if pos in anom_pos else 0
+        longest_block = max(longest_block, run)
+    return anomalies, longest_block
+
+
 def _loadavg() -> list[float] | None:
     """Host load averages (1/5/15 min).  In this container /proc/loadavg is
     host-wide, so the 1-min figure taken BEFORE the JVM starts is the pure
@@ -249,11 +333,26 @@ def main() -> None:
         and c["sec"] - canary_median > 0.25
     ]
     canary_clean = not canary_excursions
+    # Row-level anomaly stamp (VERDICT r14 item #3): the canary has a
+    # sub-threshold blind spot — r14's fourth final-HEAD attempt BANDED
+    # "quiet" at 238.9 s while an untouched l7/rb1/l7b block ran 2-4x its
+    # band (the canary peaked at 0.458 s, under the 2x+0.25 s bar).  Every
+    # run now compares each row against the rolling quiet-band reference
+    # (same core count, same sf) and stamps the excursions; too many
+    # anomalies, or a contiguous block of them (the roving-wave
+    # signature), demotes the window — a wave that misses every canary
+    # slot still cannot band.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    ref_queries, ref_prov = _load_row_reference(
+        repo_dir, env.get("spark.master"), sf
+    )
+    row_anoms, row_anom_block = _row_anomalies(times, ref_queries)
+    rows_clean = len(row_anoms) <= 3 and row_anom_block < 3
     if load_before is None:
         cls = "unknown"
     elif not ambient_quiet:
         cls = "loaded"
-    elif stable and canary_clean:
+    elif stable and canary_clean and rows_clean:
         cls = "quiet"
     else:
         cls = "unstable"
@@ -264,9 +363,14 @@ def main() -> None:
             f"(25% of {ncpus} cpus), repeat-subset pass ratio <= 1.25 "
             f"over rows timed in both passes, and no canary excursion "
             f"(a1 re-timed every {CANARY_EVERY} rows; excursion = "
-            f"> 2x series median AND > 0.25 s above it); "
+            f"> 2x series median AND > 0.25 s above it), and rows clean "
+            f"(<= 3 rows > 2.5x their rolling same-core-count quiet "
+            f"reference by > 0.3 s, no contiguous block of 3+); "
             f"unknown iff /proc/loadavg unreadable"
         ),
+        "row_anomalies": row_anoms,
+        "row_anomaly_block": row_anom_block,
+        "row_anomaly_reference": ref_prov,
         "ambient_cap": round(ambient_cap, 2),
         "st_total_pass1": st_p1,
         "st_total_pass2": st_p2,
@@ -304,6 +408,29 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Roll the per-core-count quiet-band reference forward ONLY when this
+    # run itself banded quiet under the full criteria (a wave-polluted
+    # reference would hide the next wave).  Timing metadata only — never
+    # query results — so nothing here feeds any computation.
+    if cls == "quiet":
+        ref_path = os.path.join(
+            repo_dir, f"BENCH_REF_c{_core_tag(env.get('spark.master'))}.json"
+        )
+        with open(ref_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_query_sec",
+                    "value": total,
+                    "queries": times,
+                    "window": {"class": cls},
+                    "sf": sf,
+                    "env": env,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     import re
 

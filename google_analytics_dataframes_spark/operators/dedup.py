@@ -97,12 +97,20 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     jaccard_threshold_pct: int = 30,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH band join for candidates, exact token-set
     Jaccard (integer-threshold compare) to verify.
 
     threshold is integer percent so the filter `100*|I| >= pct*|U|` is exact
     arithmetic — no float boundary flakiness.
+
+    ``materialize`` (default True, ADVICE r14): eagerly localCheckpoint the
+    double-referenced signature/token relations — building the DataFrame
+    then launches jobs and severs lineage (executor loss is not recomputed,
+    and the plan cannot run on a streaming input).  Pass False for a fully
+    lazy plan that recomputes the signature pass per consumer — the
+    pre-round-14 behavior; same emitted pairs either way.
     """
     rows = num_perm // bands
     sig = minhash_signatures(docs, num_perm)
@@ -127,7 +135,9 @@ def minhash_lsh_pairs(
     # scans -> 0 in the returned plan, one scan per checkpoint build).
     banded = sig.select(
         "doc_id", F.posexplode(band_cols).alias("band", "bsig")
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -141,7 +151,9 @@ def minhash_lsh_pairs(
     )
     tok_sets = docs.select(
         "doc_id", F.array_distinct(tokens("text")).alias("toks")
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        tok_sets = tok_sets.localCheckpoint(eager=True)
     ta = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
@@ -681,7 +693,15 @@ def jaccard_pairs_cross(
     check per item, an uncovered vocab fails the query loudly at first
     evaluation (round 14; replaces the eager full-shred
     ``_validate_vocab_covers`` pre-pass, which was the dominant build
-    cost of the l60 family).
+    cost of the l60 family).  Exception-contract note (ADVICE r14): the
+    failure surfaces as a Spark runtime error (``SparkRuntimeException``
+    from ``raise_error``, wrapped in the action's Py4J error) when the
+    result is first EXECUTED — not as a ``ValueError`` at build time as
+    in rounds <=13.  Callers that caught ValueError around construction
+    must move that handling to the action, and a write action may emit
+    partial output before a later task hits the raise.  The
+    within-corpus :func:`jaccard_pairs` keeps its eager build-time
+    ValueError.
 
     The bitmask regime is bounded on TWO axes: vocabulary (<=
     max_bitmask_vocab, 4096 -> at most 64 packed longs = 512 B/doc) and
@@ -812,7 +832,9 @@ def _cross_bitmask(
                         "jaccard_pairs_cross: stats['vocab'] does not "
                         "cover item '"
                     ),
-                    F.col("item"),
+                    # a NULL item would null the whole concat and raise an
+                    # unreadable null message (ADVICE r14) — name it
+                    F.coalesce(F.col("item"), F.lit("<null>")),
                     F.lit(
                         "'; pass the full vocabulary or vocab=None to "
                         "use the index/prefix strategies"

@@ -198,7 +198,11 @@ def knn_join_blocked(emb: DataFrame, k: int = 3) -> DataFrame:
 
 
 def hyperplane_lsh_pairs(
-    emb: DataFrame, n_planes: int = 16, min_cos: float = 0.9, n_tables: int = 1
+    emb: DataFrame,
+    n_planes: int = 16,
+    min_cos: float = 0.9,
+    n_tables: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via random-hyperplane LSH: a fixed
     seeded hyperplane matrix signs each vector into an n_planes-bit bucket;
@@ -255,19 +259,32 @@ def hyperplane_lsh_pairs(
     # parquet scan under it) THREE times (hot side, candidate side, and
     # l13's probe-union branch doubles the scans again).  One eager
     # checkpoint runs the Python boundary exactly once per corpus pass;
-    # every downstream reference is a JVM-side read of the (vec_id,
-    # embedding, tbl, sig) relation.  Same ContextCleaner cleanup
-    # contract as l11's checkpoint note (blocks reclaimed once the
-    # result frame is unreachable).  Measured on l13 at sf0.1 (two A/B
-    # windows, ambient waves noted): first-execution 6.6-7.9 s -> 2.6-3.2 s
-    # both windows; warm median 2.71 -> 1.93 s in the cleaner pairing
+    # every downstream reference is a JVM-side read of the checkpointed
+    # relation.  Same ContextCleaner cleanup contract as l11's
+    # checkpoint note (blocks reclaimed once the result frame is
+    # unreachable).  Measured on l13 at sf0.1 (two A/B windows, ambient
+    # waves noted): first-execution 6.6-7.9 s -> 2.6-3.2 s both windows;
+    # warm median 2.71 -> 1.93 s in the cleaner pairing
     # (plans/r14/l13_embed_neardup_{before,after}.txt: 6 ArrowEvalPython
     # -> 1, run once at checkpoint-build time).
-    sig = (
-        fanout(emb)
-        .select("vec_id", "embedding", signatures("embedding").alias("sigs"))
-        .select("vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig"))
-        .localCheckpoint(eager=True)
+    #
+    # Round 15 (VERDICT r14 item #6): checkpoint BEFORE the posexplode —
+    # the materialized row is (vec_id, embedding, sigs[n_tables]) so the
+    # embedding vector is stored ONCE per corpus row regardless of
+    # n_tables; the r14 post-explode checkpoint duplicated the full
+    # vector n_tables times (the l61d anti-pattern: materialization
+    # bigger than its generation) for any caller using the recall knob.
+    # The explode itself is a cheap JVM Generate re-run per consumer.
+    # ``materialize`` (ADVICE r14): False skips the eager checkpoint —
+    # lazy lineage, UDF re-runs per consumer (pre-r14 behavior), same
+    # emitted pairs.
+    sig = fanout(emb).select(
+        "vec_id", "embedding", signatures("embedding").alias("sigs")
+    )
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
+    sig = sig.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig")
     )
     hot = (
         sig.groupBy("tbl", "sig").count().filter(F.col("count") >= 2)

@@ -170,6 +170,27 @@ def test_hyperplane_lsh_multi_table_superset_and_deduped(spark, planted_vectors)
     assert (3, 100003) in set(multi) and (11, 100011) in set(multi)
 
 
+def test_hyperplane_checkpoint_is_pre_explode_and_gated(spark, planted_vectors):
+    """Round 15 (VERDICT r14 item #6 + ADVICE r14): the eager checkpoint
+    must materialize the PRE-explode (vec_id, embedding, sigs) relation —
+    embedding stored once regardless of n_tables, not once per LSH table
+    (the l61d anti-pattern) — so every consumer's plan re-explodes the
+    checkpointed RDD (Generate above Scan ExistingRDD, zero Python-eval
+    nodes).  ``materialize=False`` must return the fully lazy plan (the
+    Arrow signature UDF visible in-plan), same pair set."""
+    from google_analytics_dataframes_spark.plans import audit
+
+    df = S.hyperplane_lsh_pairs(planted_vectors, n_tables=3)
+    plan = audit.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan and "Scan ExistingRDD" in plan
+    lazy = S.hyperplane_lsh_pairs(planted_vectors, n_tables=3, materialize=False)
+    assert "ArrowEvalPython" in audit.formatted_plan(lazy)
+    assert {(r.vec_a, r.vec_b) for r in df.collect()} == {
+        (r.vec_a, r.vec_b) for r in lazy.collect()
+    }
+
+
 def test_l13_query_emits_planted_probe_pairs(spark):
     """The registered l13 query plants 4 scaled clones (negative ids) and
     (since the round-5 full-oracle upgrade) emits exactly the intended
@@ -339,8 +360,6 @@ def test_cross_pre_clustered_equals_default_and_skips_item_exchange(spark):
     side before exploding) must emit the identical pair set as the
     default path AND must not repartition the exploded item stream — the
     whole point is that the only exchange is the caller's compact one."""
-    import itertools
-
     alpha = ["aa", "bb", "cc", "dd", "ee", "ff"]
     rows = []
     for d in range(12):
