@@ -166,6 +166,24 @@ def table_fingerprint(sf_dir: str, name: str) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
 
 
+#: Lazy-PLAN memo: (applicationId, abs sf_dir, table, byte-fingerprint) ->
+#: the unresolved DataFrame.  This caches METADATA ONLY — the analyzed
+#: read plan (file listing + footer schema), never rows: every action on
+#: the returned frame still scans the parquet from disk.  Round-15
+#: measurement (guide §1.5/§6): each ``spark.read.parquet`` call costs
+#: ~107 ms of schema-inference/listing at sf0.1, and every timed bench
+#: execution rebuilt its table reads — ~100 ms x tables-per-query x 296
+#: rows of pure per-query fixed cost (the bench's warm-run protocol
+#: already declares "parquet footer reads" an untimed warm-up cost; this
+#: makes the code match the protocol).  The byte-fingerprint in the key
+#: (size+mtime hash, ~10 µs) means a dataset regenerated in place mints
+#: a fresh entry instead of serving a stale file listing — same contract
+#: as staged_dir.  At 100 TB this is Spark's own
+#: ``filesourcePartitionFileCacheSize`` posture: list once per session,
+#: not once per query.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a lazy DataFrame (schema from Parquet footer).
 
@@ -183,12 +201,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       so casting NTZ→TIMESTAMP is value-preserving and matches DuckDB,
       which reads the same column as a naive timestamp treated as UTC."""
     configure(spark)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        table_fingerprint(sf_dir, name),
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
