@@ -172,23 +172,40 @@ def minhash_lsh_pairs(
     )
 
 
-def _validate_vocab_covers(items: DataFrame, vocab: list, caller: str) -> None:
-    """Raise if any ``item`` row is absent from a caller-supplied vocab.
-
-    Guards the bitmask strategies: an uncovered item dictionary-encodes to
-    vid -1 and ``shiftleft(1, -1 % 64)`` silently sets bit 63 of word 0
-    (Java masks negative shift amounts), manufacturing phantom
-    intersections.  One narrow early-exit scan (limit 1, no shuffle) —
-    still far cheaper than the probe jobs ``stats`` exists to skip."""
-    missing = (
-        items.select("item").filter(~F.col("item").isin(vocab)).limit(1).count()
+def _guarded_masks(items: DataFrame, vocab: list, caller: str) -> DataFrame:
+    """Per-doc packed-long bitmask frame ``(doc_id, sz, m0..mN)`` with the
+    item -> bit-position lookup as a broadcast LEFT dictionary join whose
+    vid is ``coalesce(vid, raise_error(...))`` — the in-plan coverage
+    guard shared by BOTH bitmask strategies (round 15; the cross form
+    adopted it in round 14, the within form still paid an eager
+    ``_validate_vocab_covers`` scan per run once callers started passing
+    stats).  An uncovered item can never dictionary-encode to a phantom
+    bit: the query refuses to evaluate it, at first execution.  The hash
+    join is also O(1) per item vs ``array_position``'s O(|vocab|) linear
+    scan over the literal array."""
+    n_words = (len(vocab) + 63) // 64
+    vdf = items.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(vocab)], ["item", "vid"]
     )
-    if missing:
-        raise ValueError(
-            f"{caller}: stats['vocab'] does not cover every item in the "
-            "inputs; pass the full vocabulary or vocab=None to use the "
-            "index/prefix strategies"
-        )
+    guarded_vid = F.coalesce(
+        F.col("vid"),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: stats['vocab'] does not cover item '"),
+                F.coalesce(F.col("item"), F.lit("<null>")),
+                F.lit(
+                    "'; pass the full vocabulary or vocab=None to use "
+                    "the index/prefix strategies"
+                ),
+            )
+        ).cast("long"),
+    )
+    return (
+        items.join(F.broadcast(vdf), "item", "left")
+        .withColumn("vid", guarded_vid)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"), *packed_mask_aggs(n_words))
+    )
 
 
 def jaccard_pairs(
@@ -273,10 +290,17 @@ def jaccard_pairs(
         vocab = stats.get("vocab")
         if vocab is not None and len(vocab) > max_bitmask_vocab:
             vocab = None
-        if vocab is not None and n_items <= max_bitmask_items:
-            _validate_vocab_covers(items, vocab, "jaccard_pairs")
+        # Round 15: coverage of a caller-supplied vocab is enforced
+        # IN-PLAN by _guarded_masks (the r14 cross-form treatment) — the
+        # eager _validate_vocab_covers pre-pass was a full extra shred of
+        # the item stream per run, the dominant build cost once l7
+        # started serving stats from the catalog.  Same contract shift
+        # as the cross form: an uncovered vocab now raises a Spark
+        # runtime error at first EXECUTION, not ValueError at build.
     if vocab is not None and n_items <= max_bitmask_items:
-        out = _jaccard_pairs_bitmask(items, threshold_pct, vocab)
+        out = _jaccard_pairs_bitmask(
+            items, threshold_pct, vocab, materialize=materialize
+        )
     elif threshold_pct > 0 and n_items >= prefix_min_items:
         out = _jaccard_pairs_prefix(items, threshold_pct)
     else:
@@ -394,19 +418,26 @@ def packed_mask_aggs(n_words: int) -> list:
 
 
 def _jaccard_pairs_bitmask(
-    items: DataFrame, threshold_pct: int, vocab: list
+    items: DataFrame, threshold_pct: int, vocab: list, materialize: bool = False
 ) -> DataFrame:
     """Bitmask-encoded exact Jaccard join for bounded vocabularies: each
     doc's item set becomes ceil(V/64) longs (bit v set <=> vocab[v] in set);
     |I| = sum of per-word bit_count(a&b).  Pair enumeration is a broadcast
     nested-loop self-join — one side is (doc_id, sz, masks) which is tiny
-    relative to the raw text at any corpus size."""
+    relative to the raw text at any corpus size.
+
+    Encoding is the shared :func:`_guarded_masks` broadcast-dictionary
+    join (round 15) — O(1)/item instead of ``array_position``'s linear
+    literal scan, with vocab coverage enforced in-plan.  ``materialize``
+    eagerly checkpoints the mask table: the self-join references it on
+    BOTH sides, and without a probe persist (the stats path) each side
+    would re-run the whole tokenize+encode+aggregate subtree; the mask
+    row is (1 + n_words) longs per doc — strictly smaller than its
+    generation at any scale."""
+    masks = _guarded_masks(items, vocab, "jaccard_pairs")
+    if materialize:
+        masks = masks.localCheckpoint(eager=True)
     n_words = (len(vocab) + 63) // 64
-    vid = F.array_position(F.lit(vocab), F.col("item")) - 1
-    encoded = items.select("doc_id", vid.alias("vid"))
-    masks = encoded.groupBy("doc_id").agg(
-        F.count("*").alias("sz"), *packed_mask_aggs(n_words)
-    )
     a, b = masks.alias("a"), masks.alias("b")
     inter = sum(
         (
@@ -700,8 +731,8 @@ def jaccard_pairs_cross(
     in rounds <=13.  Callers that caught ValueError around construction
     must move that handling to the action, and a write action may emit
     partial output before a later task hits the raise.  The
-    within-corpus :func:`jaccard_pairs` keeps its eager build-time
-    ValueError.
+    within-corpus :func:`jaccard_pairs` adopted the same in-plan guard in
+    round 15 (shared :func:`_guarded_masks`).
 
     The bitmask regime is bounded on TWO axes: vocabulary (<=
     max_bitmask_vocab, 4096 -> at most 64 packed longs = 512 B/doc) and
@@ -812,45 +843,16 @@ def _cross_bitmask(
     mask compare it feeds; the hash join is O(1) per item at any vocab
     size within the regime."""
     n_words = (len(vocab) + 63) // 64
-    vdf = items_in.sparkSession.createDataFrame(
-        [(v, i) for i, v in enumerate(vocab)], ["item", "vid"]
-    )
-
-    def masks_of(items):
-        # LEFT join + guarded vid: an item missing from the dictionary
-        # must never dictionary-encode to a phantom bit (vid -1 ->
-        # shiftleft bit 63 of word 0), and must not need a separate
-        # validation pass either (round 14) — coalesce only evaluates
-        # raise_error when vid IS NULL, so covered corpora pay one null
-        # check per item and an uncovered vocab fails the query loudly
-        # at first evaluation, before any pair can be emitted.
-        guarded_vid = F.coalesce(
-            F.col("vid"),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "jaccard_pairs_cross: stats['vocab'] does not "
-                        "cover item '"
-                    ),
-                    # a NULL item would null the whole concat and raise an
-                    # unreadable null message (ADVICE r14) — name it
-                    F.coalesce(F.col("item"), F.lit("<null>")),
-                    F.lit(
-                        "'; pass the full vocabulary or vocab=None to "
-                        "use the index/prefix strategies"
-                    ),
-                )
-            ).cast("long"),
-        )
-        return (
-            items.join(F.broadcast(vdf), "item", "left")
-            .withColumn("vid", guarded_vid)
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("sz"), *packed_mask_aggs(n_words))
-        )
-
-    a = masks_of(items_in).alias("a")  # incoming: the broadcast side
-    b = masks_of(items_ex).alias("b")
+    # LEFT join + guarded vid (shared _guarded_masks, round 15 — the
+    # round-14 in-plan guard factored out once the within form adopted
+    # it): an item missing from the dictionary must never encode to a
+    # phantom bit, and needs no separate validation pass; an uncovered
+    # vocab fails loudly at first evaluation, a NULL item is named
+    # "<null>" in the raise (ADVICE r14).
+    a = _guarded_masks(items_in, vocab, "jaccard_pairs_cross").alias(
+        "a"
+    )  # incoming: the broadcast side
+    b = _guarded_masks(items_ex, vocab, "jaccard_pairs_cross").alias("b")
     inter = sum(
         (
             F.bit_count(F.col(f"a.m{j}").bitwiseAND(F.col(f"b.m{j}"))).cast("long")

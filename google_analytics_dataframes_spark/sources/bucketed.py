@@ -400,6 +400,149 @@ def dedup_cross_stats(
     return stats
 
 
+#: Same cache policy as dedup_cross_stats; value is the complete stats dict.
+_SIMJOIN_STATS_CACHE: dict[tuple, dict] = {}
+
+
+def simjoin_token_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    mod: int,
+    res: int,
+    max_vocab: int = 4096,
+) -> dict:
+    """Persist (or reuse) the l7-family WORD-TOKEN statistics — the
+    within/cross Jaccard routers' strategy inputs served from catalog
+    metadata instead of per-run probe jobs (VERDICT r14 item #4: the
+    l60-batch-5 recipe applied to the simjoin family; l7's corpus IS the
+    fingerprinted documents table, so its router stats are table
+    metadata, not per-query discovery).
+
+    One catalog row per (dataset fingerprint, slice, max_vocab) over the
+    ENGLISH slice's distinct-word-token relation — the exact items
+    streams l7 (within: all en docs) and l7b (cross: ``doc_id % mod ==
+    res`` incoming vs all en existing) build:
+
+    * ``n_items``       — (doc, distinct token) rows over all en docs
+    * ``n_slice_items`` — same, restricted to the residue slice
+    * ``n_slice_docs``  — distinct doc_id in the slice (the cross form's
+      ``n_in_docs`` broadcast-cap input)
+    * ``vocab``         — the full token vocabulary when <= max_vocab,
+      else None (the routers then take candidate-generation strategies;
+      the probe never holds more than max_vocab + 1 driver-side rows)
+
+    Tokenization is operators/dedup.tokens — byte-identical to the query
+    side (the round-8 shared-builder rule), and the union vocabulary of
+    slice+corpus equals the corpus vocabulary because the slice is a
+    subset.  Coverage of a served vocab is still enforced IN-PLAN by the
+    operators' _guarded_masks, so a stale-but-wrong value can never
+    silently mis-pair (it fails the query loudly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from google_analytics_dataframes_spark.io import (
+        load_table,
+        scratch_dir,
+        table_fingerprint,
+    )
+    from google_analytics_dataframes_spark.operators.dedup import tokens
+
+    fp = table_fingerprint(sf_dir, "documents")
+    key = (
+        "simjoin_stats",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fp,
+        mod,
+        res,
+        max_vocab,
+    )
+    cached = _SIMJOIN_STATS_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stats_table = (
+        f"simjoin_stats_{sf_tag}_{fp}_m{mod}r{res}_v{max_vocab}"
+    )
+    if spark.catalog.tableExists(stats_table):
+        row = spark.table(stats_table).head()
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = (
+            docs.filter(F.col("lang") == "en")
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(tokens("text"))).alias("item"),
+            )
+            .persist()
+        )
+        counts = toks.groupBy().agg(
+            F.coalesce(F.count("*"), F.lit(0)).alias("n_items"),
+            F.coalesce(
+                F.sum((F.col("doc_id") % mod == res).cast("long")), F.lit(0)
+            ).alias("n_slice_items"),
+            F.coalesce(
+                F.count_distinct(
+                    F.when(F.col("doc_id") % mod == res, F.col("doc_id"))
+                ),
+                F.lit(0),
+            ).alias("n_slice_docs"),
+        ).head()
+        vocab_rows = (
+            toks.select("item").distinct().limit(max_vocab + 1).collect()
+        )
+        toks.unpersist()
+        probe_vocab = sorted(r["item"] for r in vocab_rows)
+        agg = spark.createDataFrame(
+            [
+                (
+                    int(counts["n_items"]),
+                    int(counts["n_slice_items"]),
+                    int(counts["n_slice_docs"]),
+                    probe_vocab,
+                )
+            ],
+            "n_items long, n_slice_items long, n_slice_docs long, "
+            "vocab array<string>",
+        )
+        # stale-fingerprint eviction, same writer-owned-pattern rules as
+        # dedup_cross_stats (ADVICE r12/r13)
+        import re
+        import shutil
+
+        owned = re.compile(
+            rf"^simjoin_stats_{re.escape(sf_tag)}_[0-9a-f]{{16}}_m\d+r\d+_v\d+$"
+        )
+        live_prefix = f"simjoin_stats_{sf_tag}_{fp}_"
+        for t in spark.catalog.listTables():
+            n = t.name
+            if (
+                owned.match(n)
+                and not n.startswith(live_prefix)
+                and getattr(t, "tableType", "") != "TEMPORARY"
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
+                shutil.rmtree(
+                    os.path.join(scratch_dir("simjoin_stats"), n),
+                    ignore_errors=True,
+                )
+        spark.sql(f"DROP TABLE IF EXISTS {stats_table}")
+        agg.coalesce(1).write.mode("overwrite").option(
+            "path", os.path.join(scratch_dir("simjoin_stats"), stats_table)
+        ).format("parquet").saveAsTable(stats_table)
+        row = spark.table(stats_table).head()
+    vocab = list(row["vocab"]) if len(row["vocab"]) <= max_vocab else None
+    stats = {
+        "n_items": int(row["n_items"]),
+        "n_slice_items": int(row["n_slice_items"]),
+        "n_slice_docs": int(row["n_slice_docs"]),
+        "vocab": vocab,
+    }
+    _SIMJOIN_STATS_CACHE[key] = dict(stats)
+    return dict(stats)
+
+
 def corpus_gram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-side signature relation the gram index stores: one row
     per (existing-corpus doc, distinct char-3-gram) with the per-doc

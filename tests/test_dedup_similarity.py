@@ -277,8 +277,13 @@ def test_jaccard_incomplete_supplied_vocab_raises(spark):
     items = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 1, 2, 2], "item": ["a", "b", "b", "c"]})
     )
-    with pytest.raises(ValueError, match="vocab"):
-        D.jaccard_pairs(items, 40, stats={"n_items": 4, "vocab": ["a", "b"]})
+    # round 15: the within form's guard moved IN-PLAN too (shared
+    # _guarded_masks) once l7 started serving stats from the catalog —
+    # same contract as the cross form below: the uncovered vocab raises
+    # a Spark runtime error at first EXECUTION, not ValueError at build
+    bad = D.jaccard_pairs(items, 40, stats={"n_items": 4, "vocab": ["a", "b"]})
+    with pytest.raises(Exception, match="vocab"):
+        bad.collect()
     # cross form (round 14): the guard moved IN-PLAN (left dictionary
     # join + coalesce(vid, raise_error)) so the stats path no longer pays
     # a full validation shred per run — the uncovered vocab now fails
@@ -678,3 +683,49 @@ def test_stored_cross_stats_evicts_stale_fingerprint_siblings(spark):
     spark.catalog.dropTempView(temp_view)
     for name in (live_sibling, user_table):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_simjoin_token_stats_match_direct_probe(spark):
+    """Round 15 (VERDICT r14 item #4): the persisted l7-family router
+    stats must equal what the per-run probe jobs would have computed —
+    same tokenizer, same counts — and serving them must not change the
+    emitted pair set (the whole point is skipping the probes, not
+    re-deriving different routing inputs)."""
+    from google_analytics_dataframes_spark.sources import bucketed as B
+
+    mod, res = 20, 5
+    B._SIMJOIN_STATS_CACHE.clear()
+    stats = B.simjoin_token_stats(spark, SF_DIR, mod, res)
+    toks = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("item")
+        )
+    )
+    assert stats["n_items"] == toks.count()
+    sl = toks.filter(F.col("doc_id") % mod == res)
+    assert stats["n_slice_items"] == sl.count()
+    assert stats["n_slice_docs"] == sl.select("doc_id").distinct().count()
+    direct_vocab = sorted(
+        r["item"] for r in toks.select("item").distinct().collect()
+    )
+    if len(direct_vocab) <= 4096:
+        assert stats["vocab"] == direct_vocab
+    else:
+        assert stats["vocab"] is None
+    # pair-set equality: stats-served vs probe-served within-corpus router
+    if stats["vocab"] is not None and len(stats["vocab"]) <= 512:
+        served = {
+            (r.doc_a, r.doc_b, r.inter)
+            for r in D.jaccard_pairs(
+                toks,
+                40,
+                stats={"n_items": stats["n_items"], "vocab": stats["vocab"]},
+            ).collect()
+        }
+        probed = {
+            (r.doc_a, r.doc_b, r.inter)
+            for r in D.jaccard_pairs(toks, 40).collect()
+        }
+        assert served == probed

@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--conf", action="append", default=[])
+    ap.add_argument(
+        "--ab",
+        action="store_true",
+        help="interleave reps: alternate base conf / --conf per rep inside "
+        "one process so ambient waves hit both arms equally",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -62,6 +68,7 @@ def main() -> None:
         print(f"no queries match {args.patterns}", file=sys.stderr)
         sys.exit(1)
 
+    conf_pairs = []
     overrides = {}
     for kv in args.conf:
         k, _, v = kv.partition("=")
@@ -69,7 +76,24 @@ def main() -> None:
             overrides[k] = spark.conf.get(k, None)
         except Exception:
             overrides[k] = None
-        spark.conf.set(k, v)
+        conf_pairs.append((k, v))
+
+    def apply_confs():
+        for k, v in conf_pairs:
+            spark.conf.set(k, v)
+
+    def restore_confs():
+        for k, old in overrides.items():
+            if old is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, old)
+
+    if not args.ab:
+        apply_confs()
 
     progress_log: list[dict] = []
 
@@ -103,12 +127,22 @@ def main() -> None:
                 execute(name)  # untimed warm-up (staging, codegen)
                 gc.collect()
                 reps = []
+                reps_base, reps_conf = [], []
                 batches = None
-                for r in range(args.reps):
+                n_reps = args.reps * 2 if args.ab else args.reps
+                for r in range(n_reps):
+                    if args.ab:
+                        if r % 2 == 0:
+                            restore_confs()
+                        else:
+                            apply_confs()
                     progress_log.clear()
                     t0 = time.time()
                     execute(name)
-                    reps.append(round(time.time() - t0, 3))
+                    dt = round(time.time() - t0, 3)
+                    if args.ab:
+                        (reps_base if r % 2 == 0 else reps_conf).append(dt)
+                    reps.append(dt)
                     # summarize the LAST rep's batches
                     batches = [
                         {
@@ -134,7 +168,19 @@ def main() -> None:
                     "median": round(median(reps), 3),
                     "last_rep_batches": batches,
                 }
-                print(f"{name:32s} reps={reps} median={median(reps):6.3f}")
+                if args.ab:
+                    results[name]["ab"] = {
+                        "base_reps": reps_base,
+                        "conf_reps": reps_conf,
+                        "base_median": round(median(reps_base), 3),
+                        "conf_median": round(median(reps_conf), 3),
+                    }
+                    print(
+                        f"{name:32s} base={reps_base} med={median(reps_base):6.3f}"
+                        f" | conf={reps_conf} med={median(reps_conf):6.3f}"
+                    )
+                else:
+                    print(f"{name:32s} reps={reps} median={median(reps):6.3f}")
                 for b in batches or []:
                     d = b["durationMs"] or {}
                     print(
@@ -152,14 +198,7 @@ def main() -> None:
                 print(f"{name:32s} ERROR {e}", file=sys.stderr)
     finally:
         spark.streams.removeListener(listener)
-        for k, old in overrides.items():
-            if old is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, old)
+        restore_confs()
 
     out = {
         "sf": args.sf,
