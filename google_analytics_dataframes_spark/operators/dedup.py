@@ -1008,7 +1008,20 @@ def exact_substr_spans(
     slice-audit hook (VERDICT r11 item #3, the l60b recipe applied to
     this family): the b side — full-corpus candidate generation, the
     scale risk — stays whole, while the naive SQL oracle's window
-    self-join intermediate divides by ``mod``."""
+    self-join intermediate divides by ``mod``.
+
+    Round-15 measured REJECTION (VERDICT r14 item #5, guide §3.2): a
+    broadcast LEFT-SEMI pre-filter of the b stream against the a-slice's
+    distinct keys (prune ~(mod-1)/mod of b before its exchange) was
+    A/B'd on both slice twins at sf0.1 AND the 10x synth and LOST both:
+    l61d 1.00 -> 1.38/1.52 s at sf0.1, 1.91 -> 2.70/2.62 s at 10x; l61c
+    1.05 -> 1.48/1.80 and 3.23 -> 3.69/3.72 (ABA-bracketed 5/3-rep
+    medians).  The distinct+broadcast build plus a per-row probe over
+    the full b stream costs more than the pruned exchange saves — the
+    hashed variant's exchange rows are already only ~24 B, and the
+    Spark 4 automatic runtime Bloom filter correctly declines to fire
+    here (no selective scan-side filter on the creation side).  Keep
+    the plain join."""
     from pyspark.sql import Window
 
     L = min_len
