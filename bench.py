@@ -411,18 +411,31 @@ def main() -> None:
 
     # Roll the per-core-count quiet-band reference forward ONLY when this
     # run itself banded quiet under the full criteria (a wave-polluted
-    # reference would hide the next wave).  Timing metadata only — never
+    # reference would hide the next wave), and merge by ELEMENT-WISE MIN
+    # with the existing reference: a broad mild ambient swell (many rows
+    # at 1.5-2x, none over the 2.5x row bar) can band "quiet", and a
+    # plain overwrite would bake its inflation into the band (observed
+    # this round: a quiet-banded 188.4 s run carried l61d at 4.5x its
+    # band; isolation re-probes put every such row back).  Min keeps the
+    # fastest quiet evidence per row; a genuine code slowdown then shows
+    # up as a persistent stamped anomaly for a human to adjudicate —
+    # stamps are evidence, not gates.  Timing metadata only — never
     # query results — so nothing here feeds any computation.
     if cls == "quiet":
         ref_path = os.path.join(
             repo_dir, f"BENCH_REF_c{_core_tag(env.get('spark.master'))}.json"
         )
+        merged = {n: t for n, t in times.items() if t >= 0}
+        if ref_queries:
+            for n, t in ref_queries.items():
+                if t > 0 and (n not in merged or t < merged[n]):
+                    merged[n] = t
         with open(ref_path, "w") as f:
             json.dump(
                 {
                     "metric": "total_query_sec",
-                    "value": total,
-                    "queries": times,
+                    "value": round(sum(merged.values()), 3),
+                    "queries": merged,
                     "window": {"class": cls},
                     "sf": sf,
                     "env": env,
