@@ -52,13 +52,19 @@ from google_analytics_dataframes_spark.registry import registry as _registry
 # Entries are FULL query names (exact match beats prefix in
 # registry.ordered_by_priority), eliminating prefix-collision care.
 SWEEP_HEAD: list[str] = [
-    # generated: tools/stale_evidence.py --emit-head 50 13
-    # 24 stale/changed rows lead; oldest-evidence back-fill to 50
-    "a2_multi_agg",
+    # generated: tools/stale_evidence.py --emit-head 50 14
+    # 22 stale/changed rows lead; oldest-evidence back-fill to 50
     "l2_near_dedup_minhash",
+    "l12_ngram_jaccard",
+    "l73_triangle_count",
     "l13_embed_neardup",
+    "l7_string_simjoin",
+    "l29_dedup_clusters",
+    "l33_dedup_apply",
     "l61_exact_substr_spans",
     "l61b_exact_substr_hashed",
+    "l44_clean_corpus",
+    "l80_keeper_election",
     "l12b_ngram_jaccard_slice",
     "l29b_dedup_clusters_slice",
     "l33b_dedup_apply_slice",
@@ -66,51 +72,45 @@ SWEEP_HEAD: list[str] = [
     "l7b_simjoin_slice",
     "l61c_substr_slice",
     "l61d_substr_slice_hashed",
+    "l55_pair_token_f1",
     "l60_incremental_neardup",
-    "l65_bm25_topk",
-    "l69_indexed_neardup",
-    "l75_delta_dedup",
     "l60b_neardup_slice",
-    "l69b_indexed_slice",
-    "l75b_delta_slice",
-    "l78_source_overlap",
-    "l79_kmeans_lloyd",
     "l55b_pair_token_f1_slice",
-    "rb26_flow_reachability",
-    "h1_pricing_summary",
-    "u4_except",
-    "sf2_date_extract",
-    "sf3_date_arith",
-    "sf4_string_basic",
-    "sf6_split_array",
-    "sf7_math",
-    "sf8_case_when",
-    "sf9_cast",
-    "sf11_map_fns",
-    "st15_stream_content_dedup",
-    "ud1_scalar_udf",
-    "ud2_pandas_udf",
-    "ud3_grouped_map",
-    "ud4_grouped_agg",
-    "ud5_udtf",
-    "ud6_mapinpandas",
-    "l42_dup_passages",
-    "dg1_struct_min",
-    "dg2_lateral_series",
-    "dg3_dot_raw",
-    "dg4_ntile",
-    "dg5_round_grid",
-    "dg6_day_bucket",
-    "dg8_ts_micros",
-    "s10_partitioned_read",
-    "s12_dpp_join",
+    "s13_zorder_scan",
+    "s14_python_datasource",
+    "s15_schema_evolution",
+    "s16_corrupt_records",
+    "s17_footer_stats",
+    "s18_manifest_pruned_read",
+    "s19_python_datasource_writer",
+    "a19_moment_stats",
+    "a20_bool_aggs",
+    "j15_nullsafe_join",
+    "w12_gapfill_interpolate",
+    "w13_nth_value",
+    "w14_cume_dist",
+    "sf15_variant",
+    "sf16_collation",
+    "sf17_unpivot",
+    "sf18_bitwise",
+    "sf19_timezone_render",
+    "st17_stream_restart_resume",
+    "st13_stream_windowed_agg",
+    "st20_stream_cdc_apply",
+    "st21_stream_late_drop",
+    "ud7_arrow_udf",
+    "ud8_mapinarrow",
+    "l76_priority_sample",
+    "l66_corpus_delta",
+    "l71_merge_upsert",
+    "l77_bpe_encode_roundtrip",
 ]
 
 #: Evidence horizon SWEEP_HEAD was generated from (the newest
 #: CORRECTNESS round on disk at generation time) — the invariant test
 #: re-derives the head at THIS horizon so a mid-verdict r11 sweep file
 #: doesn't invalidate it.
-SWEEP_HEAD_HORIZON = 13
+SWEEP_HEAD_HORIZON = 14
 
 # Staleness rotation: oldest driver evidence first once the head clears
 # (the r05-evidence cohort — generated as --emit-head 85's entries 51-84;
